@@ -1,0 +1,71 @@
+"""Job configuration.
+
+Mirrors the *semantics* of the reference's ``Models/SettingsModel.cs:3-43``
+(source/target locations, batch size with a default when unset, task
+selection) re-expressed for a Parquet-lake world.  JSON-loadable like
+``appsettings.json``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+from pathlib import Path
+
+DEFAULT_BATCH_SIZE = 100_000  # reference default: Models/SettingsModel.cs:10
+
+
+@dataclass
+class JobConfig:
+    # Source: directory of change-log Parquet files (the "binlog/WAL tail").
+    changelog_dir: str = ""
+    # Target: lake root; partition files live at <lake_dir>/part=NNNN/,
+    # manifests at <lake_dir>/_manifest/, checkpoints at <lake_dir>/_checkpoint/.
+    lake_dir: str = ""
+    # Number of hash partitions on conv_id. Fixed for the table's lifetime.
+    num_partitions: int = 16
+    # Rows per batch through the normalize/partial-merge stages
+    # (reference InsertionBatch default 100_000, SettingsModel.cs:10).
+    batch_size: int = DEFAULT_BATCH_SIZE
+    # Partitioning mode: "conv" = hash(conv_id) (conv-disjoint partitions,
+    # cheap per-partition ordering) | "key" = hash(conv_id, turn_idx)
+    # (salted: defeats hot-conversation skew; snapshot then needs a sort).
+    partition_mode: str = "conv"
+    # Actor pool size for the merge/apply stage; None = let Ray scale tasks.
+    apply_concurrency: int | tuple[int, int] | None = None
+    # Schema compliance policy: "strict" (reference EndToEnd.cs:51-85
+    # semantics: exact name+type match) | "evolve" (added nullable columns
+    # allowed, incompatible type changes abort).
+    compliance: str = "evolve"
+
+    def __post_init__(self) -> None:
+        if self.batch_size <= 0:  # reference behavior: <=0 falls back to default
+            self.batch_size = DEFAULT_BATCH_SIZE
+        if self.partition_mode not in ("conv", "key"):
+            raise ValueError(f"partition_mode must be 'conv'|'key', got {self.partition_mode!r}")
+        if self.num_partitions <= 0:
+            raise ValueError("num_partitions must be positive")
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "JobConfig":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    def to_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(asdict(self), indent=2))
+
+    # Lake layout helpers -------------------------------------------------
+    @property
+    def manifest_dir(self) -> str:
+        return str(Path(self.lake_dir) / "_manifest")
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return str(Path(self.lake_dir) / "_checkpoint")
+
+    @property
+    def lineage_dir(self) -> str:
+        return str(Path(self.lake_dir) / "_lineage")
+
+    def partition_path(self, pid: int) -> str:
+        return str(Path(self.lake_dir) / f"part={pid:05d}")

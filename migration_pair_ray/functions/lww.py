@@ -1,0 +1,107 @@
+"""Last-writer-wins merge core — pure, vectorized Arrow functions.
+
+This re-implements, explicitly, what the reference got for free from
+Cassandra upsert semantics: every INSERT in ``Tasks/MigrationTask.cs:101-104``
+overwrites the row with the same primary key, with the cluster's write
+timestamp providing last-writer-wins.  Here the total order per key
+``(conv_id, turn_idx)`` is the lexicographic ``(ts, lsn)`` pair and a winning
+``op == "D"`` is a tombstone (key absent from the *visible* state, but kept in
+the internal lake state so late/replayed older events cannot resurrect it).
+
+All functions are batch-level (``pyarrow.Table`` in/out), no Python row
+loops: sort + boundary-mask keep-last.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from migration_pair_ray.schemas import MERGE_KEYS, ORDER_COLS
+
+_SORT_KEYS = [(k, "ascending") for k in MERGE_KEYS + ORDER_COLS]
+
+
+def _group_last_mask(table: pa.Table, keys: list[str]) -> pa.Array:
+    """Boolean mask selecting the LAST row of each consecutive key group.
+
+    ``table`` must already be sorted by ``keys`` (plus any order columns).
+    Vectorized: row i is a group end iff any key column differs at i+1.
+    """
+    n = table.num_rows
+    if n == 0:
+        return pa.array([], type=pa.bool_())
+    mask = None
+    for k in keys:
+        col = table.column(k).combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(0, n - 1), col.slice(1, n - 1)), True
+        )
+        mask = neq if mask is None else pc.or_(mask, neq)
+    return pa.concat_arrays([mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask,
+                             pa.array([True], type=pa.bool_())])
+
+
+def _group_first_mask(table: pa.Table, keys: list[str]) -> pa.Array:
+    """Boolean mask selecting the FIRST row of each consecutive key group."""
+    n = table.num_rows
+    if n == 0:
+        return pa.array([], type=pa.bool_())
+    mask = None
+    for k in keys:
+        col = table.column(k).combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(0, n - 1), col.slice(1, n - 1)), True
+        )
+        mask = neq if mask is None else pc.or_(mask, neq)
+    return pa.concat_arrays([pa.array([True], type=pa.bool_()),
+                             mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask])
+
+
+def lww_reduce(table: pa.Table) -> pa.Table:
+    """Reduce change events to one winner per ``(conv_id, turn_idx)``.
+
+    Winner = max by ``(ts, lsn)``; tombstone winners (``op == "D"``) are
+    KEPT (internal lake form).  Used both as the per-batch partial reduce
+    before the shuffle (monotone: reduce(reduce(a)+reduce(b)) ==
+    reduce(a+b)) and as the final per-partition merge.
+    """
+    if table.num_rows == 0:
+        return table
+    # null_placement="at_start": a null ts/lsn always loses to a real one.
+    table = table.sort_by(_SORT_KEYS, null_placement="at_start")
+    return table.filter(_group_last_mask(table, MERGE_KEYS))
+
+
+def dedup_replayed(table: pa.Table) -> pa.Table:
+    """Exact dedup of replayed change events: keep-first per
+    ``(conv_id, turn_idx, lsn)`` (an at-least-once log may repeat events;
+    SURVEY.md §2.7).  LWW itself is insensitive to duplicates, so this is a
+    volume optimization, not a correctness requirement.
+    """
+    if table.num_rows == 0:
+        return table
+    keys = MERGE_KEYS + ["lsn"]
+    table = table.sort_by([(k, "ascending") for k in keys])
+    return table.filter(_group_first_mask(table, keys))
+
+
+def visible_state(table: pa.Table, drop_meta: bool = True) -> pa.Table:
+    """Internal lake form -> user-visible final state: tombstone winners
+    removed; CDC metadata columns dropped when ``drop_meta``."""
+    if "op" in table.schema.names:
+        keep = pc.fill_null(pc.not_equal(table.column("op"), "D"), True)
+        table = table.filter(keep)
+        if drop_meta:
+            table = table.drop_columns([c for c in ("op", "lsn") if c in table.schema.names])
+    return table
+
+
+def merge_tables(existing: pa.Table | None, changes: pa.Table) -> pa.Table:
+    """Merge a partition's existing internal state with new (pre-reduced)
+    change events, with schema evolution via permissive promotion
+    (an added column like ``tool`` backfills null on the old side)."""
+    if existing is None or existing.num_rows == 0:
+        return lww_reduce(changes)
+    both = pa.concat_tables([existing, changes], promote_options="permissive")
+    return lww_reduce(both)

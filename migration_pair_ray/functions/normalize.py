@@ -1,0 +1,60 @@
+"""Normalize stage — vectorized re-expression of the reference's per-cell
+type conversion (``Converters/DynamicTypeConverter.cs:8-22``), empty→null
+rule (``:10-13``) and timestamp canonicalization (``Tasks/Extraction.cs:65-70``
+stores timestamps as unix epoch milliseconds).
+
+One batch-level function, Arrow in / Arrow out, matching columns **by name**
+against a target schema (the reference's positional bind in
+``Tasks/Insertion.cs:101-102`` is a hazard deliberately not reproduced).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cast_column(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> pa.ChunkedArray | pa.Array:
+    src = col.type
+    if src == target:
+        return col
+    # string source → typed target: empty string means null
+    # (DynamicTypeConverter.cs:10-13 returns null for IsNullOrEmpty input).
+    if pa.types.is_string(src) or pa.types.is_large_string(src):
+        col = pc.if_else(pc.equal(col, ""), pa.scalar(None, type=src), col)
+        if pa.types.is_boolean(target):
+            # bool.Parse accepts "True"/"true" — lowercase first.
+            return pc.cast(pc.utf8_lower(col), target)
+        return pc.cast(col, target)
+    # integer source → timestamp target: interpret as unix epoch ms,
+    # the reference's canonical wire form (Extraction.cs:67-68).
+    if pa.types.is_integer(src) and pa.types.is_timestamp(target):
+        ms = pc.cast(col, pa.int64())
+        return pc.cast(pc.multiply(ms, pa.scalar(1000, pa.int64())), pa.timestamp("us"))
+    # timestamp source → integer target: emit unix epoch ms.
+    if pa.types.is_timestamp(src) and pa.types.is_integer(target):
+        us = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        return pc.cast(pc.divide(us, pa.scalar(1000, pa.int64())), target)
+    return pc.cast(col, target)
+
+
+def normalize_batch(batch: pa.Table, target: pa.Schema) -> pa.Table:
+    """Conform ``batch`` to ``target`` by name: missing columns backfilled
+    with typed nulls (schema evolution), extra columns dropped, types cast
+    with the reference's conversion semantics."""
+    n = batch.num_rows
+    cols = []
+    for f in target:
+        idx = batch.schema.get_field_index(f.name)
+        if idx == -1:
+            cols.append(pa.nulls(n, type=f.type))
+        else:
+            cols.append(_cast_column(batch.column(idx), f.type))
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+def make_normalizer(target: pa.Schema):
+    """A pickleable map_batches fn bound to a target schema."""
+    def _normalize(batch: pa.Table) -> pa.Table:
+        return normalize_batch(batch, target)
+    return _normalize

@@ -1,0 +1,131 @@
+"""CDC replay — the flagship pipeline (EP1/EndToEnd analog, SURVEY.md §3).
+
+    discover uncommitted change files            (manifest/checkpoint diff)
+      → ray.data.read_parquet                    (streaming blocks)
+      → normalize map_batches                    (stateless; schema evolution)
+      → partial LWW reduce map_batches           (combiner: ≤1 row per key
+                                                  per batch crosses the wire)
+      → add hash-partition column                (conv / salted-key mode)
+      → groupby(part).map_groups(Applier, ...)   (the ONE shuffle; actor pool
+                                                  merges + commits manifests)
+      → lineage records → pass checkpoint
+
+The reference's EndToEnd (``Tasks/EndToEnd.cs:20-49``) is the degenerate
+single-stream version of this; the explicit partial reduce + hash partition
+is what makes it hold at 10^10 events (only unique keys per batch shuffle,
+and a hot conversation can be salted across partitions with mode="key").
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import ray.data
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.functions.lww import lww_reduce, visible_state
+from migration_pair_ray.sources.changelog import discover, read_changes, unified_schema
+from migration_pair_ray.stages.applier import Applier, LINEAGE_SCHEMA
+from migration_pair_ray.stages.partition import PART_COL, add_partition_column
+from migration_pair_ray.state.manifest import CheckpointStore, compute_pass_id
+
+
+def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str) -> pa.Table:
+    """Run the partition→merge→commit tail of the pipeline on a normalized
+    change Dataset; returns the lineage table (one row per partition)."""
+    ds = ds.map_batches(lww_reduce, batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(
+        lambda b: add_partition_column(b, cfg.num_partitions, cfg.partition_mode),
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+    )
+    conc = cfg.apply_concurrency or (1, min(cfg.num_partitions, 16))
+    lineage = ds.groupby(PART_COL).map_groups(
+        Applier,
+        fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id),
+        batch_format="pyarrow",
+        concurrency=conc,
+        num_cpus=1,
+    )
+    out = lineage.take_all()  # tiny: one record per partition
+    return pa.Table.from_pylist(out, schema=LINEAGE_SCHEMA)
+
+
+def _write_lineage(cfg: JobConfig, pass_id: str, lineage: pa.Table) -> None:
+    import pyarrow.parquet as pq
+    d = Path(cfg.lineage_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    pq.write_table(lineage, str(d / f"pass-{pass_id}.parquet"))
+
+
+def replay(cfg: JobConfig) -> dict:
+    """Replay all uncommitted change files into the lake. Idempotent:
+    re-running after success is a no-op; re-running after a partial
+    failure completes only the missing partitions."""
+    t0 = time.perf_counter()
+    files = discover(cfg.changelog_dir, cfg.checkpoint_dir)
+    if not files:
+        return {"pass_id": None, "files": 0, "events_in": 0, "partitions": 0,
+                "seconds": 0.0, "events_per_sec": 0.0, "up_to_date": True}
+
+    pass_id = compute_pass_id(files)
+    schema = unified_schema(files)
+    ds = read_changes(files, schema, cfg.batch_size)
+    lineage = apply_changes_ds(ds, cfg, pass_id)
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    # raw event count from footers (free); lineage rows_in is post-partial-reduce
+    events_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    _write_lineage(cfg, pass_id, lineage)
+    CheckpointStore(cfg.checkpoint_dir).commit_pass(
+        pass_id, files,
+        stats={"events_in": events_in, "partitions": lineage.num_rows},
+    )
+    dt = time.perf_counter() - t0
+    return {
+        "pass_id": pass_id,
+        "files": len(files),
+        "events_in": events_in,
+        "partitions": lineage.num_rows,
+        "rows_state": int(pc.sum(lineage.column("rows_state")).as_py() or 0),
+        "tombstones": int(pc.sum(lineage.column("tombstones")).as_py() or 0),
+        "skipped_partitions": int(pc.sum(pc.cast(lineage.column("skipped"), pa.int64())).as_py() or 0),
+        "seconds": dt,
+        "events_per_sec": events_in / dt if dt > 0 else 0.0,
+        "up_to_date": False,
+    }
+
+
+def read_lake(cfg: JobConfig) -> "ray.data.Dataset":
+    """Streaming Dataset over the lake's committed internal state
+    (tombstone rows included; only manifest-pinned files are read)."""
+    from migration_pair_ray.state.manifest import ManifestStore
+    store = ManifestStore(cfg.manifest_dir)
+    paths = []
+    for pid in range(cfg.num_partitions):
+        m = store.read(pid)
+        if m:
+            paths.append(str(Path(cfg.lake_dir) / m["data_file"]))
+    if not paths:
+        from migration_pair_ray.schemas import CHANGE_SCHEMA
+        return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
+    ds = ray.data.read_parquet(paths, file_extensions=None)
+    # the hive-style part=NNNNN dir name surfaces as an inferred column —
+    # it is layout metadata, not data
+    if PART_COL in (ds.schema().names or []):
+        ds = ds.drop_columns([PART_COL])
+    return ds
+
+
+def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True) -> "ray.data.Dataset":
+    """User-visible final table: tombstones filtered, stable
+    ``(conv_id, turn_idx)`` ordering when ``sort`` (the acceptance-comparison
+    ordering from BASELINE.json)."""
+    ds = read_lake(cfg).map_batches(
+        lambda b: visible_state(b, drop_meta=drop_meta), batch_format="pyarrow"
+    )
+    if sort:
+        ds = ds.sort(["conv_id", "turn_idx"])
+    return ds

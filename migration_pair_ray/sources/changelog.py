@@ -1,0 +1,52 @@
+"""Change-log tailer: the Ray-Data-native generalization of the reference's
+full-table scan source (``Tasks/MigrationTask.cs:84-92`` — one lazily-paged
+``SELECT *`` RowSet).
+
+The "binlog/WAL tail" here is a directory of Parquet change-batch files
+named ``batch-{epoch}-{lsn_lo}-{lsn_hi}.parquet``.  ``discover`` lists them
+in epoch order and drops files already consumed by a committed pass
+(checkpoint diff — the resume path).  ``read_changes`` builds a streaming
+``ray.data.Dataset`` with a deterministic unified schema across
+heterogeneous files (schema evolution: early files lack ``tool``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from migration_pair_ray.functions.normalize import make_normalizer
+from migration_pair_ray.schemas import unify_change_schemas
+from migration_pair_ray.state.manifest import CheckpointStore
+
+
+def discover(changelog_dir: str, checkpoint_dir: str | None = None) -> list[str]:
+    """Change files not yet consumed by a committed pass, in epoch order."""
+    files = sorted(str(p) for p in Path(changelog_dir).glob("batch-*.parquet"))
+    if checkpoint_dir is not None and Path(checkpoint_dir).exists():
+        done = CheckpointStore(checkpoint_dir).committed_files()
+        files = [f for f in files if Path(f).name not in done]
+    return files
+
+
+def unified_schema(files: list[str]) -> pa.Schema:
+    """Deterministic unified Arrow schema across the change files (footer
+    reads only — no data I/O).  The analog of the reference's
+    ``GetColumnsInfo`` schema probe (``Tasks/MigrationTask.cs:107-116``)."""
+    return unify_change_schemas([pq.read_schema(f) for f in files])
+
+
+def read_changes(files: list[str], schema: pa.Schema, batch_size: int = 100_000) -> "ray.data.Dataset":
+    """Streaming Dataset over the change files, normalized to ``schema``.
+
+    Files are read in per-file groups (Ray splits row groups into blocks);
+    the normalize ``map_batches`` conforms every batch by name so blocks
+    from pre-evolution files gain typed-null ``tool`` columns.
+    """
+    ds = ray.data.read_parquet(files, file_extensions=None)
+    return ds.map_batches(
+        make_normalizer(schema), batch_format="pyarrow", batch_size=batch_size
+    )

@@ -1,0 +1,58 @@
+"""Hash partitioning on ``conv_id`` (+ optional key-level salting for skew).
+
+The reference needs no partitioning (single stream, Cassandra owns
+placement).  At 10^10 events the placement must be explicit: every event of
+one merge key ``(conv_id, turn_idx)`` must land in exactly one partition so
+the LWW merge is local.
+
+* mode "conv": ``part = H(conv_id) % P`` — partitions are conv-disjoint, so
+  per-partition files are internally ordered by ``(conv_id, turn_idx)`` and a
+  global snapshot order is a cheap partition-ordered concatenation.
+* mode "key": ``part = H(conv_id, turn_idx) % P`` — the salted layout: a hot
+  conversation's turns spread over all partitions (skew defeated) while each
+  merge key still lives in exactly one partition (LWW stays local).
+
+``H`` is pandas' SipHash-based ``hash_array`` (fixed key → deterministic
+across processes and nodes — Python's builtin ``hash`` is salted per process
+and must never be used here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PART_COL = "part"
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash of a string column (vectorized)."""
+    np_arr = np.asarray(arr.to_pandas(), dtype=object)
+    return pd.util.hash_array(np_arr, categorize=False)
+
+
+def partition_ids(batch: pa.Table, num_partitions: int, mode: str = "conv") -> np.ndarray:
+    h = hash_strings(batch.column("conv_id"))
+    if mode == "key":
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (h ^ (turn * _GOLDEN)) * _GOLDEN
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int, mode: str = "conv") -> pa.Table:
+    if batch.num_rows == 0:
+        return batch.append_column(PART_COL, pa.array([], type=pa.int32()))
+    return batch.append_column(PART_COL, pa.array(partition_ids(batch, num_partitions, mode)))
+
+
+def key_histogram(batch: pa.Table) -> pa.Table:
+    """Per-batch conv_id histogram — partial counts for hot-key detection.
+
+    Emit one (conv_id, cnt) row per distinct conv per batch; a tiny
+    ``groupby("conv_id").sum("cnt")`` over these partials yields the global
+    histogram without shuffling the raw events (SURVEY.md §4 skew row).
+    """
+    counts = batch.group_by("conv_id").aggregate([("conv_id", "count")])
+    return counts.rename_columns(["conv_id", "cnt"])

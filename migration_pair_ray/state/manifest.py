@@ -1,0 +1,98 @@
+"""Per-partition commit manifests + job-level pass checkpoints.
+
+The reference has NO checkpointing — a rerun is safe only because Cassandra
+upserts are idempotent (``Tasks/MigrationTask.cs:101-104``).  Here the same
+guarantee is made explicit and durable:
+
+* every partition commit is ``write temp file → fsync → os.replace``
+  (atomic on POSIX) of both the state Parquet file and the manifest JSON;
+* state files are named by the deterministic ``pass_id``
+  (= hash of the change-file set), so a *retried* Ray task regenerates the
+  identical file and the commit is idempotent — exactly-once visibility
+  without coordination;
+* a pass checkpoint written after all partitions commit records the change
+  files consumed; resume skips them (``discover`` in sources/changelog.py).
+
+Replay from any checkpoint therefore reproduces the final state
+bit-for-bit (north_star requirement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def compute_pass_id(change_files: list[str]) -> str:
+    """Deterministic id for a set of change files (basename + size)."""
+    h = hashlib.sha256()
+    for p in sorted(change_files, key=lambda p: Path(p).name):
+        h.update(Path(p).name.encode())
+        h.update(str(os.path.getsize(p)).encode())
+    return h.hexdigest()[:16]
+
+
+class ManifestStore:
+    """Reads/writes per-partition manifests under ``<lake>/_manifest/``."""
+
+    def __init__(self, manifest_dir: str):
+        self.dir = Path(manifest_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, pid: int) -> str:
+        return str(self.dir / f"part-{pid:05d}.json")
+
+    def read(self, pid: int) -> dict | None:
+        try:
+            with open(self._path(pid)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def is_applied(self, pid: int, pass_id: str) -> bool:
+        m = self.read(pid)
+        return bool(m) and pass_id in m.get("history", [])
+
+    def commit(self, pid: int, record: dict) -> None:
+        """Atomically publish a new manifest; appends to pass history.
+        Committing the same pass twice is a no-op (idempotent)."""
+        prev = self.read(pid)
+        history = list(prev.get("history", [])) if prev else []
+        if record["pass_id"] in history:
+            return
+        record = dict(record, history=history + [record["pass_id"]])
+        _atomic_write(self._path(pid), json.dumps(record, indent=1).encode())
+
+
+class CheckpointStore:
+    """Job-level pass checkpoints under ``<lake>/_checkpoint/``."""
+
+    def __init__(self, checkpoint_dir: str):
+        self.dir = Path(checkpoint_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def committed_files(self) -> set[str]:
+        done: set[str] = set()
+        for p in sorted(self.dir.glob("pass-*.json")):
+            with open(p) as f:
+                done.update(json.load(f)["files"])
+        return done
+
+    def commit_pass(self, pass_id: str, change_files: list[str], stats: dict | None = None) -> None:
+        rec = {
+            "pass_id": pass_id,
+            "files": sorted(Path(p).name for p in change_files),
+            "stats": stats or {},
+        }
+        _atomic_write(str(self.dir / f"pass-{pass_id}.json"), json.dumps(rec, indent=1).encode())
