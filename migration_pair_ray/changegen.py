@@ -105,17 +105,24 @@ def generate_change_log(
     table = table.take(pa.array(order))
 
     # replayed duplicates: re-append a sample of earlier events at the end
-    # of later files (at-least-once delivery).
+    # of later files (at-least-once delivery). A redelivered event is the
+    # SAME wire message — a dup of a pre-evolution event keeps tool=null
+    # even when it lands in a post-evolution file.
+    per = (n + n_files - 1) // n_files
     n_dup = int(n * dup_frac)
     if n_dup:
         dup_idx = rng.integers(0, n, size=n_dup)
         dup = table.take(pa.array(dup_idx))
+        pre_evo = pa.array(dup_idx // per < tool_epoch)
+        import pyarrow.compute as _pc
+        masked_tool = _pc.if_else(pre_evo, pa.scalar(None, pa.string()),
+                                  dup.column("tool").combine_chunks())
+        dup = dup.set_column(dup.schema.get_field_index("tool"), "tool", masked_tool)
     else:
         dup = table.slice(0, 0)
 
     os.makedirs(out_dir, exist_ok=True)
     paths: list[str] = []
-    per = (n + n_files - 1) // n_files
     dup_per = (n_dup + n_files - 1) // n_files if n_dup else 0
     for epoch in range(n_files):
         part = table.slice(epoch * per, per)

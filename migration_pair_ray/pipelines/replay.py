@@ -111,12 +111,16 @@ def read_lake(cfg: JobConfig) -> "ray.data.Dataset":
     if not paths:
         from migration_pair_ray.schemas import CHANGE_SCHEMA
         return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
+    # Partitions evolve independently (a pass may touch only some), so state
+    # files can disagree on schema; conform every batch to the deterministic
+    # unified schema (footer reads only). This also drops the hive-inferred
+    # ``part=NNNNN`` layout column.
+    import pyarrow.parquet as pq
+    from migration_pair_ray.functions.normalize import make_normalizer
+    from migration_pair_ray.schemas import unify_change_schemas
+    schema = unify_change_schemas([pq.read_schema(p) for p in paths])
     ds = ray.data.read_parquet(paths, file_extensions=None)
-    # the hive-style part=NNNNN dir name surfaces as an inferred column —
-    # it is layout metadata, not data
-    if PART_COL in (ds.schema().names or []):
-        ds = ds.drop_columns([PART_COL])
-    return ds
+    return ds.map_batches(make_normalizer(schema), batch_format="pyarrow")
 
 
 def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True) -> "ray.data.Dataset":
