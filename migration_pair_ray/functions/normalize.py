@@ -53,6 +53,18 @@ def normalize_batch(batch: pa.Table, target: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=target)
 
 
+def empty_strings_to_null(batch: pa.Table) -> pa.Table:
+    """CSV wire convention: an empty field means null (the reference cannot
+    distinguish them either — empty→null in DynamicTypeConverter.cs:10-13).
+    Applied to every string column; used on the CSV ingest path only."""
+    for i, f in enumerate(batch.schema):
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            col = pc.if_else(pc.equal(batch.column(i), ""),
+                             pa.scalar(None, type=f.type), batch.column(i))
+            batch = batch.set_column(i, f.name, col)
+    return batch
+
+
 def make_normalizer(target: pa.Schema):
     """A pickleable map_batches fn bound to a target schema."""
     def _normalize(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,88 @@
+"""Bulk load — the EP3/Insertion analog (SURVEY.md §3).
+
+Reference: CSV file → per-cell type conversion against the live target
+schema → batched prepared-statement INSERTs (``Tasks/Insertion.cs:25-52``),
+with the positional-binding hazard at ``:101-102`` (CSV column order must
+equal target schema order).  Here:
+
+    read_csv/read_parquet → compliance gate → normalize (cast BY NAME to the
+    change schema; empty→null; unix-ms/ISO → timestamp) → synthesize CDC
+    envelope (op="I", lsn) → the same partition/merge/commit tail as replay.
+
+Loading a snapshot is just replaying a change log of pure inserts — the
+engine has exactly one write path (the reference effectively discovered the
+same thing: Insertion and EndToEnd share ``ProcessRows``/``ExecuteInsertAsync``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.functions.normalize import normalize_batch
+from migration_pair_ray.pipelines.compliance import check_compliance
+from migration_pair_ray.pipelines.replay import apply_changes_ds
+from migration_pair_ray.schemas import CHANGE_SCHEMA
+
+
+class SchemaComplianceError(ValueError):
+    pass
+
+
+def _synthesize_envelope(batch: pa.Table) -> pa.Table:
+    """Rows → insert change events.  lsn: taken from the input when present;
+    otherwise 0 for every row — a snapshot holds at most one row per
+    ``(conv_id, turn_idx)``, so ``(ts, lsn=0)`` is already a total order.
+    op: "I" unless the input carries its own op column."""
+    out = normalize_batch(batch, CHANGE_SCHEMA)
+    names = batch.schema.names
+    if "op" not in names:
+        out = out.set_column(out.schema.get_field_index("op"), "op",
+                             pa.array(["I"] * batch.num_rows, pa.string()))
+    if "lsn" not in names:
+        out = out.set_column(out.schema.get_field_index("lsn"), "lsn",
+                             pa.array([0] * batch.num_rows, pa.int64()))
+    return out
+
+
+def bulk_load(cfg: JobConfig, input_path: str, fmt: str = "csv",
+              pass_tag: str = "bulkload") -> dict:
+    """Load a CSV/Parquet snapshot into the lake via the upsert sink.
+    Returns a summary dict. Idempotent per (input content, pass_tag)."""
+    if fmt == "csv":
+        ds = ray.data.read_csv(input_path)
+    elif fmt == "parquet":
+        ds = ray.data.read_parquet(input_path)
+    else:
+        raise ValueError(f"unknown bulk_load format {fmt!r}")
+
+    src_schema = ds.schema()
+    src = pa.schema([pa.field(n, t) for n, t in
+                     zip(src_schema.names, src_schema.types)])
+    report = check_compliance(src, CHANGE_SCHEMA, mode=cfg.compliance)
+    if not report.compliant:
+        # reference behavior: abort before writing anything
+        # (Tasks/EndToEnd.cs:29-30)
+        raise SchemaComplianceError(
+            f"schema not compliant ({report.mode}): added={report.added} "
+            f"missing={report.missing} mismatched={report.mismatched}")
+
+    if fmt == "csv":
+        from migration_pair_ray.functions.normalize import empty_strings_to_null
+        ds = ds.map_batches(empty_strings_to_null, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+    ds = ds.map_batches(_synthesize_envelope, batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
+    from migration_pair_ray.state.manifest import compute_pass_id
+    import hashlib
+    pass_id = hashlib.sha256(f"{pass_tag}:{input_path}".encode()).hexdigest()[:16]
+    lineage = apply_changes_ds(ds, cfg, pass_id)
+    import pyarrow.compute as pc
+    return {
+        "pass_id": pass_id,
+        "rows_in": int(pc.sum(lineage.column("rows_in")).as_py() or 0),
+        "rows_state": int(pc.sum(lineage.column("rows_state")).as_py() or 0),
+        "partitions": lineage.num_rows,
+        "skipped_partitions": int(pc.sum(pc.cast(lineage.column("skipped"), pa.int64())).as_py() or 0),
+    }

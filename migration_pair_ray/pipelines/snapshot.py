@@ -1,0 +1,49 @@
+"""Snapshot export — the EP2/Extraction analog (SURVEY.md §3).
+
+The reference writes one CSV file from one thread (``Tasks/Extraction.cs:48-76``
+— the serial bottleneck of its design), canonicalizing timestamps to unix
+epoch milliseconds (``:67-68``) and quote-escaping strings (``:86-87``).
+
+Here: ``final_state → (optional ts→unix-ms map_batches) → parallel
+write_parquet/write_csv`` — many files, partition-parallel, and ordering
+is available per-partition (mode "conv") or via an explicit sort.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.pipelines.replay import final_state
+
+
+def _ts_to_unix_ms(batch: pa.Table) -> pa.Table:
+    """Reference wire form: DateTimeOffset → ToUnixTimeMilliseconds()
+    (Tasks/Extraction.cs:67-68), applied to every timestamp column."""
+    for i, f in enumerate(batch.schema):
+        if pa.types.is_timestamp(f.type):
+            us = pc.cast(pc.cast(batch.column(i), pa.timestamp("us")), pa.int64())
+            ms = pc.divide(us, pa.scalar(1000, pa.int64()))
+            batch = batch.set_column(i, f.name, ms)
+    return batch
+
+
+def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
+             unix_ms_ts: bool = False, sort: bool = True) -> int:
+    """Export the visible final state; returns row count written.
+
+    ``fmt``: "parquet" (preferred sink) or "csv" (reference-format parity —
+    Arrow's CSV writer handles the quote/escape rules the reference
+    hand-rolled in Extraction.cs:78-93).
+    """
+    ds = final_state(cfg, sort=sort)
+    if unix_ms_ts:
+        ds = ds.map_batches(_ts_to_unix_ms, batch_format="pyarrow")
+    if fmt == "parquet":
+        ds.write_parquet(out_dir)
+    elif fmt == "csv":
+        ds.write_csv(out_dir)
+    else:
+        raise ValueError(f"unknown snapshot format {fmt!r}")
+    return ds.count()
