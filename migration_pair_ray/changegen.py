@@ -123,11 +123,17 @@ def generate_change_log(
 
     os.makedirs(out_dir, exist_ok=True)
     paths: list[str] = []
-    dup_per = (n_dup + n_files - 1) // n_files if n_dup else 0
+    # duplicates are appended only to files at/after tool_epoch: a dup of a
+    # post-evolution event must never land in a file whose schema drops
+    # `tool`, or the same (ts, lsn) would exist with two different payloads
+    # and the LWW winner's payload would be undefined.
+    dup_start = max(n_files // 2, min(tool_epoch, n_files - 1))
+    dup_files = max(1, n_files - dup_start)
+    dup_per = (n_dup + dup_files - 1) // dup_files if n_dup else 0
     for epoch in range(n_files):
         part = table.slice(epoch * per, per)
-        if n_dup and epoch >= n_files // 2:
-            d0 = (epoch - n_files // 2) * dup_per
+        if n_dup and epoch >= dup_start:
+            d0 = (epoch - dup_start) * dup_per
             part = pa.concat_tables([part, dup.slice(d0, dup_per)])
         if part.num_rows == 0:
             continue

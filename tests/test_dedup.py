@@ -1,0 +1,126 @@
+"""Dedup-family tests: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Oracle strategy: build a small corpus with PLANTED duplicate groups
+(exact copies and near-copies by small edits); the expected survivor set is
+computed independently (exact dedup: pandas; near-dup: brute-force O(n²)
+true Jaccard + union-find on the driver)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from migration_pair_ray.functions.hashing import MinHasher, ngram_jaccard, simhash64, hamming64
+from migration_pair_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+
+
+def corpus(n_uniq=40, seed=3):
+    """Synthetic docs: n_uniq distinct base texts; every 4th has an exact
+    copy, every 5th a near-copy (one word substituted)."""
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november"]
+    rows = []
+    did = 0
+    for u in range(n_uniq):
+        base = " ".join(rng.choice(words, size=30))
+        rows.append({"doc_id": did, "text": base}); did += 1
+        if u % 4 == 0:
+            rows.append({"doc_id": did, "text": base}); did += 1           # exact dup
+        if u % 5 == 0:
+            toks = base.split(); toks[3] = "zulu"
+            rows.append({"doc_id": did, "text": " ".join(toks)}); did += 1  # near dup
+    return pd.DataFrame(rows)
+
+
+def union_find_oracle(df, sim_fn, threshold):
+    ids = df["doc_id"].tolist()
+    texts = dict(zip(df["doc_id"], df["text"]))
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]; x = parent[x]
+        return x
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sim_fn(texts[ids[i]], texts[ids[j]]) >= threshold:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return sorted(i for i in ids if find(i) == i)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup():
+    df = corpus()
+    ds = ray.data.from_pandas(df)
+    got = sorted(exact_dedup(ds).to_pandas()["doc_id"])
+    want = sorted(df.sort_values("doc_id").drop_duplicates("text")["doc_id"])
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_dedup_catches_planted_dups():
+    df = corpus()
+    ds = ray.data.from_pandas(df)
+    survivors = sorted(minhash_lsh_dedup(ds, threshold=0.7).to_pandas()["doc_id"])
+    want = union_find_oracle(df, lambda a, b: ngram_jaccard(a, b, 5), 0.7)
+    # MinHash is probabilistic: estimated-vs-true Jaccard may disagree near
+    # the threshold, but every exact duplicate MUST be merged and survivors
+    # must be a subset of docs (sanity) with the oracle's exact-dup removals.
+    exact_dups = set(df["doc_id"]) - set(
+        df.sort_values("doc_id").drop_duplicates("text")["doc_id"])
+    assert not exact_dups & set(survivors)
+    # and near-total agreement with the true-Jaccard oracle
+    sym = set(survivors) ^ set(want)
+    assert len(sym) <= max(2, len(want) // 10), (sorted(sym), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_dedup_matches_union_find_oracle():
+    df = corpus()
+    ds = ray.data.from_pandas(df)
+    survivors = sorted(ngram_jaccard_dedup(ds, threshold=0.7, n=5).to_pandas()["doc_id"])
+    want = union_find_oracle(df, lambda a, b: ngram_jaccard(a, b, 5), 0.7)
+    # recall is LSH-bounded; precision is exact. Survivors can only differ
+    # where LSH failed to surface a candidate pair.
+    missed = set(want) - set(survivors)
+    extra = set(survivors) - set(want)
+    assert not missed  # never delete a doc the oracle keeps...
+    assert len(extra) <= max(2, len(want) // 10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_dedup_exact_copies_merge():
+    df = corpus()
+    ds = ray.data.from_pandas(df)
+    survivors = set(simhash_dedup(ds, max_hamming=3).to_pandas()["doc_id"])
+    exact_dups = set(df["doc_id"]) - set(
+        df.sort_values("doc_id").drop_duplicates("text")["doc_id"])
+    assert not exact_dups & survivors        # exact copies always hamming 0
+    assert len(survivors) <= len(df)
+
+
+def test_minhash_estimate_tracks_true_jaccard():
+    mh = MinHasher(n_perm=128, k=5)
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = "the quick brown fox jumps over the lazy cat " * 3
+    c = "completely different content with no overlap at all xyz"
+    true_ab = ngram_jaccard(a, b, 5)
+    est_ab = MinHasher.jaccard_estimate(mh.signature(a), mh.signature(b))
+    assert abs(true_ab - est_ab) < 0.15
+    est_ac = MinHasher.jaccard_estimate(mh.signature(a), mh.signature(c))
+    assert est_ac < 0.2
+
+
+def test_simhash_hamming_properties():
+    sh = simhash64(["aaaa bbbb cccc", "aaaa bbbb cccc", "zzzz yyyy xxxx"])
+    assert hamming64(sh[:1], sh[1:2])[0] == 0          # identical text
+    assert hamming64(sh[:1], sh[2:3])[0] > 10          # unrelated text

@@ -1,0 +1,81 @@
+"""Similarity search + embedding dedup tests over the embeddings testdata."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from migration_pair_ray.stages.similarity import (
+    brute_force_topk,
+    embedding_dedup,
+    ivf_topk,
+    kmeans_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def numpy_oracle_topk(emb_df, queries, k):
+    m = np.stack(emb_df["embedding"].to_numpy()).astype(np.float32)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = np.asarray(queries, np.float32)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cos = np.round((q @ m.T).astype(np.float64), 6)
+    ids = emb_df["vec_id"].to_numpy()
+    out = []
+    for qi in range(len(q)):
+        order = np.lexsort((ids, -cos[qi]))[:k]
+        out.append([(qi, int(ids[i]), cos[qi, i]) for i in order])
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brute_force_topk_matches_numpy_oracle():
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = np.stack(emb["embedding"].iloc[:3].to_numpy())
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = brute_force_topk(ds, queries, k=10)
+    want = numpy_oracle_topk(emb, queries, 10)
+    got_rows = [(r["query_id"], r["vec_id"], r["cos"]) for r in got.to_pylist()]
+    want_rows = [t for group in want for t in group]
+    assert got_rows == want_rows
+    # query 0 IS corpus vector 0 → top hit must be itself at cos 1.0
+    assert got_rows[0][1] == emb["vec_id"].iloc[0] and got_rows[0][2] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_good_recall_vs_exact():
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = np.stack(emb["embedding"].iloc[5:8].to_numpy())
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(ds, queries, k=10)
+    approx = ivf_topk(ds, queries, k=10, n_clusters=8, n_probe=3)
+    recall_hits = 0
+    for qi in range(3):
+        e = {r["vec_id"] for r in exact.to_pylist() if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx.to_pylist() if r["query_id"] == qi}
+        recall_hits += len(e & a)
+    assert recall_hits / 30 >= 0.6  # n_probe=3/8 buckets
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    c1 = kmeans_centroids(x, 4)
+    c2 = kmeans_centroids(x, 4)
+    np.testing.assert_array_equal(c1, c2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dedup_removes_planted_copies():
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().head(100)
+    # plant exact copies with new ids
+    copies = emb.head(5).copy()
+    copies["vec_id"] = copies["vec_id"] + 10_000
+    df = pd.concat([emb, copies], ignore_index=True)
+    ds = ray.data.from_pandas(df)
+    survivors = set(embedding_dedup(ds, threshold=0.999).to_pandas()["vec_id"])
+    assert not (set(copies["vec_id"]) & survivors)     # copies removed
+    assert set(emb["vec_id"][:5]).issubset(survivors)  # originals kept
