@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in migration_pair_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,152 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: CDC replay of the change log derived from the
+    sf0.001 events table through the full engine (normalize → partial LWW
+    reduce → hash partition → actor-pool merge → manifest commit), then the
+    visible final state in stable (conv_id, turn_idx) order."""
+    from migration_pair_ray.pipelines.queries import cdc_lww_merge
+    return cdc_lww_merge("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from migration_pair_ray.pipelines import queries as q
+    return {
+        # CDC core (SURVEY.md §2.1/2.3/2.5/2.7: S1/S2/S5, ST1/ST4, A4/A5)
+        "cdc_lww_merge": q.cdc_lww_merge,
+        "cdc_tombstone_keys": q.cdc_tombstone_keys,
+        "cdc_changelog_stats": q.cdc_changelog_stats,
+        "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
+        # relational operator coverage (M1-M6 analogs + aggregates/joins)
+        "agg_pricing_summary": q.agg_pricing_summary,
+        "filter_highvalue_orders": q.filter_highvalue_orders,
+        "join_orders_customer_segment": q.join_orders_customer_segment,
+        "join_lineitem_part_type": q.join_lineitem_part_type,
+        "topk_orders_by_price": q.topk_orders_by_price,
+        "distinct_event_types": q.distinct_event_types,
+        "events_hourly_windows": q.events_hourly_windows,
+        "events_sessionize": q.events_sessionize,
+        "events_csv_roundtrip": q.events_csv_roundtrip,
+        # text / documents (training-data ops)
+        "doc_token_stats": q.doc_token_stats,
+        "doc_fingerprints": q.doc_fingerprints,
+        "doc_exact_dedup": q.doc_exact_dedup,
+        "doc_langid": q.doc_langid,                      # rows-only
+        "doc_near_dedup_minhash": q.doc_near_dedup_minhash,  # rows-only
+        "doc_near_dedup_simhash": q.doc_near_dedup_simhash,  # rows-only
+        # embeddings / multimodal
+        "embed_topk_bruteforce": q.embed_topk_bruteforce,
+        "embed_knn_ivf": q.embed_knn_ivf,                # rows-only
+        "media_byte_stats": q.media_byte_stats_q,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from migration_pair_ray.pipelines.queries import DERIVED_CHANGES_SQL
+
+    lww_winners = f"""
+    WITH ch AS ({DERIVED_CHANGES_SQL}),
+    w AS (SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn
+          FROM ch)
     """
-    return {}
+
+    return {
+        "cdc_lww_merge": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        "cdc_tombstone_keys": lww_winners + """
+            SELECT conv_id, turn_idx
+            FROM w WHERE rn = 1 AND op = 'D'
+            ORDER BY conv_id, turn_idx""",
+        "cdc_changelog_stats": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL})
+            SELECT op, COUNT(*) AS n, MIN(lsn) AS lsn_lo, MAX(lsn) AS lsn_hi
+            FROM ch GROUP BY op ORDER BY op""",
+        "cdc_snapshot_unix_ms": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool,
+                   epoch_ms(ts) AS ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice), 0) AS BIGINT) AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT)
+                       AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "filter_highvalue_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+            FROM orders WHERE o_totalprice > 400000
+            ORDER BY o_orderkey""",
+        "join_orders_customer_segment": """
+            SELECT c_mktsegment,
+                   CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "join_lineitem_part_type": """
+            SELECT p_type, SUM(l_quantity) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type ORDER BY p_type""",
+        "topk_orders_by_price": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC LIMIT 10""",
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type""",
+        "events_hourly_windows": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "events_sessionize": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events)
+            SELECT user_id, SUM(new_s) + 1 AS n_sessions, COUNT(*) AS n_events
+            FROM d GROUP BY user_id ORDER BY user_id""",
+        "events_csv_roundtrip": """
+            SELECT event_type,
+                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "doc_token_stats": """
+            SELECT lang,
+                   SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                       END) AS sum_tokens,
+                   SUM(n_chars) AS sum_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+        "doc_exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id, text
+            FROM documents GROUP BY text ORDER BY doc_id""",
+        "embed_topk_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 2),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cos
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, vec_id) rn
+              FROM scored)
+            SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 10
+            ORDER BY query_id, cos DESC, vec_id""",
+        "media_byte_stats": """
+            SELECT doc_id AS media_id, 'image' AS media_type,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents ORDER BY media_id""",
+        # doc_langid / doc_near_dedup_minhash / doc_near_dedup_simhash /
+        # embed_knn_ivf: intentionally no oracle (heuristic / probabilistic)
+    }

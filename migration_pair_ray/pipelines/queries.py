@@ -1,0 +1,449 @@
+"""Driver-conformance query library: every entry has a Ray-Data
+implementation here and (where SQL-expressible) a DuckDB oracle string in
+``__ray_entry__.oracle_sql``.  Column names match the oracles exactly.
+
+The CDC queries derive a deterministic change log from the driver's
+``events`` table (pure arithmetic/CASE mapping, mirrored 1:1 in SQL), write
+it as change-batch files under /tmp, and run the REAL replay pipeline —
+manifests, partial reduce, hash partition, actor merge — so the correctness
+gate exercises the engine, not a shortcut.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.pipelines.replay import final_state, read_lake, replay
+
+# --------------------------------------------------------------------------
+# CDC: derived change log from the events table
+# --------------------------------------------------------------------------
+
+# SQL mirror of _derive_changes AS DELIVERED — keep in lockstep with
+# _derive_changes + the file split in _events_lake: the first of 4 change
+# files (event_id < ceil(n/4)) is written WITHOUT the `tool` column
+# (schema evolution), so those events arrive with tool = null.
+DERIVED_CHANGES_SQL = """
+SELECT 'c' || CAST(user_id % 50 AS VARCHAR)             AS conv_id,
+       CAST(event_id % 200 AS INTEGER)                  AS turn_idx,
+       event_type                                       AS role,
+       props                                            AS text,
+       CASE WHEN event_type = 'click'
+             AND event_id >= CAST(CEIL((SELECT COUNT(*) FROM events) / 4.0) AS BIGINT)
+            THEN 'w' || CAST(event_id % 5 AS VARCHAR) END AS tool,
+       ts                                               AS ts,
+       CASE WHEN event_type = 'error' THEN 'D'
+            WHEN event_type = 'purchase' THEN 'U'
+            ELSE 'I' END                                AS op,
+       event_id                                         AS lsn
+FROM events
+"""
+
+
+def _derive_changes(batch: pa.Table) -> pa.Table:
+    """Vectorized mirror of DERIVED_CHANGES_SQL over an events batch."""
+    user = batch.column("user_id").to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    etype = np.asarray(batch.column("event_type").to_pandas(), dtype=object)
+    conv = np.char.add("c", (user % 50).astype("U8"))
+    turn = (eid % 200).astype(np.int32)
+    tool = np.where(etype == "click", np.char.add("w", (eid % 5).astype("U4")), None)
+    op = np.where(etype == "error", "D", np.where(etype == "purchase", "U", "I"))
+    return pa.table({
+        "conv_id": pa.array(conv.tolist(), pa.string()),
+        "turn_idx": pa.array(turn),
+        "role": batch.column("event_type").cast(pa.string()),
+        "text": batch.column("props").cast(pa.string()),
+        "tool": pa.array(tool.tolist(), pa.string()),
+        "ts": batch.column("ts").cast(pa.timestamp("us")),
+        "op": pa.array(op.tolist(), pa.string()),
+        "lsn": batch.column("event_id").cast(pa.int64()),
+    })
+
+
+def _events_lake(sf_dir: str) -> JobConfig:
+    """Build (or reuse) a lake under /tmp by replaying the change log
+    derived from ``<sf_dir>/events.parquet`` through the full pipeline.
+    Reuse is safe: replay is idempotent and keyed to the change files."""
+    tag = Path(sf_dir).name
+    root = Path("/tmp/mpr_queries") / tag
+    log_dir, lake_dir = str(root / "log"), str(root / "lake")
+    os.makedirs(log_dir, exist_ok=True)
+    if not any(Path(log_dir).glob("batch-*.parquet")):
+        ev = pq.read_table(f"{sf_dir}/events.parquet")
+        changes = _derive_changes(ev)
+        n = changes.num_rows
+        n_files = 4
+        per = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            part = changes.slice(i * per, per)
+            if part.num_rows == 0:
+                continue
+            lo = int(pc.min(part.column("lsn")).as_py())
+            hi = int(pc.max(part.column("lsn")).as_py())
+            if i == 0:
+                part = part.drop_columns(["tool"])  # schema-evolution file
+            pq.write_table(part, f"{log_dir}/batch-{i:05d}-{lo:012d}-{hi:012d}.parquet")
+    cfg = JobConfig(changelog_dir=log_dir, lake_dir=lake_dir, num_partitions=16)
+    replay(cfg)  # no-op when already up to date
+    return cfg
+
+
+def cdc_lww_merge(sf_dir: str):
+    """Flagship: LWW-merged final state of the derived change log."""
+    cfg = _events_lake(sf_dir)
+    return final_state(cfg, sort=True)
+
+
+def cdc_tombstone_keys(sf_dir: str):
+    """Keys whose LWW winner is a delete (internal lake state, op == 'D')."""
+    cfg = _events_lake(sf_dir)
+    ds = read_lake(cfg).map_batches(
+        lambda t: t.filter(pc.equal(t.column("op"), "D")).select(["conv_id", "turn_idx"]),
+        batch_format="pyarrow")
+    return ds.sort(["conv_id", "turn_idx"])
+
+
+def cdc_changelog_stats(sf_dir: str):
+    """Per-op event counts + lsn range of the derived change stream
+    (lineage/metrics-shaped aggregate; partial per-batch then tiny merge)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "props", "ts"])
+    ds = ds.map_batches(_derive_changes, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("op").aggregate(
+            [("lsn", "count"), ("lsn", "min"), ("lsn", "max")]).rename_columns(
+            ["op", "n", "lsn_lo", "lsn_hi"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    out = (part.groupby("op")
+           .aggregate(*_sum_min_max()))
+    return out.sort("op")
+
+
+def _sum_min_max():
+    from ray.data.aggregate import Max, Min, Sum
+    return [Sum("n", alias_name="n"), Min("lsn_lo", alias_name="lsn_lo"),
+            Max("lsn_hi", alias_name="lsn_hi")]
+
+
+def cdc_snapshot_unix_ms(sf_dir: str):
+    """Snapshot wire form: final state with ts as unix epoch ms."""
+    cfg = _events_lake(sf_dir)
+    from migration_pair_ray.pipelines.snapshot import _ts_to_unix_ms
+    return final_state(cfg, sort=True).map_batches(_ts_to_unix_ms,
+                                                   batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Relational operator coverage (TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def agg_pricing_summary(sf_dir: str):
+    """Q1-style grouped aggregate with per-batch partial aggregation
+    (combiner) before the shuffle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        t = t.append_column("disc_price", disc)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    out = part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"))
+    def integerize(t: pa.Table) -> pa.Table:
+        # whole-unit integers: float-sum error (~1e-6) is negligible vs the
+        # 0.5 rounding boundary, so Ray and the SQL oracle agree exactly
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.cast(pc.round(t.column(c), ndigits=0), pa.int64()))
+        return t
+    return out.sort(["l_returnflag", "l_linestatus"]).map_batches(
+        integerize, batch_format="pyarrow")
+
+
+def filter_highvalue_orders(sf_dir: str):
+    """Filter + projection + computed column, column-pruned at the read."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("o_totalprice"), 400_000.0))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_totalprice": t.column("o_totalprice"),
+            "price_cents": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0), ndigits=0), pa.int64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow").sort("o_orderkey")
+
+
+def join_orders_customer_segment(sf_dir: str):
+    """Broadcast hash join: customer (small side) is ray.put once; each
+    orders batch maps custkey → mktsegment with a numpy searchsorted —
+    no shuffle of the big side (SURVEY.md §2.4)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.column("c_custkey").to_numpy()
+    order_idx = np.argsort(keys)
+    ref = ray.put((keys[order_idx],
+                   np.asarray(cust.column("c_mktsegment").to_pandas())[order_idx]))
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        k, seg = ray.get(ref)
+        ck = t.column("o_custkey").to_numpy()
+        pos = np.searchsorted(k, ck)
+        pos = np.clip(pos, 0, len(k) - 1)
+        hit = k[pos] == ck
+        t = t.filter(pa.array(hit))
+        return pa.table({
+            "c_mktsegment": pa.array(seg[pos[hit]].tolist(), pa.string()),
+            "o_totalprice": t.column("o_totalprice"),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(join_batch, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]).rename_columns(
+            ["c_mktsegment", "revenue", "n_orders"])
+
+    from ray.data.aggregate import Sum
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_orders", alias_name="n_orders")))
+    return out.sort("c_mktsegment").map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.cast(pc.round(t.column("revenue"), ndigits=0), pa.int64())),
+        batch_format="pyarrow")
+
+
+def join_lineitem_part_type(sf_dir: str):
+    """Second broadcast join: part → lineitem, aggregate qty by p_type."""
+    part_tbl = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    keys = part_tbl.column("p_partkey").to_numpy()
+    order_idx = np.argsort(keys)
+    ref = ray.put((keys[order_idx],
+                   np.asarray(part_tbl.column("p_type").to_pandas())[order_idx]))
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        k, ptype = ray.get(ref)
+        pk = t.column("l_partkey").to_numpy()
+        pos = np.clip(np.searchsorted(k, pk), 0, len(k) - 1)
+        hit = k[pos] == pk
+        t = t.filter(pa.array(hit))
+        return pa.table({
+            "p_type": pa.array(ptype[pos[hit]].tolist(), pa.string()),
+            "l_quantity": t.column("l_quantity"),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity"])
+    joined = ds.map_batches(join_batch, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    out = (joined.map_batches(
+        lambda t: t.group_by("p_type").aggregate([("l_quantity", "sum")])
+        .rename_columns(["p_type", "sum_qty"]), batch_format="pyarrow")
+        .groupby("p_type").aggregate(Sum("sum_qty", alias_name="sum_qty")))
+    return out.sort("p_type")
+
+
+def topk_orders_by_price(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(10)
+
+
+def distinct_event_types(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    # distinct via per-batch shrink, then a tiny grouped count (the shuffle
+    # moves at most n_distinct rows per block, not the raw column)
+    part = ds.map_batches(
+        lambda t: t.group_by("event_type").aggregate([("event_type", "count")])
+        .select(["event_type"]), batch_format="pyarrow")
+    return (part.groupby("event_type").count()
+            .select_columns(["event_type"]).sort("event_type"))
+
+
+def events_hourly_windows(sf_dir: str):
+    """Tumbling 1h event-time windows: count + rounded value sum."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        t2 = pa.table({"hour": hour, "value": t.column("value")})
+        return t2.group_by("hour").aggregate(
+            [("value", "sum"), ("value", "count")]).rename_columns(
+            ["hour", "value_sum", "n"])
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("hour").aggregate(Sum("value_sum", alias_name="value_sum"),
+                                      Sum("n", alias_name="n")))
+    return out.sort("hour").map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("value_sum"), "value_sum",
+                               pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0),
+                                                ndigits=0), pa.int64())),
+        batch_format="pyarrow")
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the canonical
+    groupby(key).map_groups streaming-shaped operator (ordering assumption:
+    within-group sort by ts, done inside the group fn)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_sessions": [int(gaps.sum()) + 1],
+                             "n_events": [len(g)]})
+
+    return (ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+            .sort("user_id"))
+
+
+def events_csv_roundtrip(sf_dir: str):
+    """CSV sink + source parity (reference S3/S4): export events to CSV,
+    read it back, aggregate — equals the same aggregate from Parquet."""
+    out_dir = f"/tmp/mpr_queries/{Path(sf_dir).name}/events_csv"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ds.write_csv(out_dir)
+    back = rd.read_csv(out_dir)
+    from ray.data.aggregate import Count, Sum
+    out = (back.map_batches(
+        lambda t: t.group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "count")]).rename_columns(
+            ["event_type", "value_sum", "n"]), batch_format="pyarrow")
+        .groupby("event_type").aggregate(Sum("value_sum", alias_name="value_sum"),
+                                         Sum("n", alias_name="n")))
+    return out.sort("event_type").map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("value_sum"), "value_sum",
+                               pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0),
+                                                ndigits=0), pa.int64())),
+        batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Text / documents
+# --------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str):
+    from migration_pair_ray.functions.text import add_token_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "n_chars"])
+    withtok = ds.map_batches(add_token_count, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"lang": t.column("lang"),
+                       "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+                       "n_chars": t.column("n_chars")})
+        return t2.group_by("lang").aggregate(
+            [("n_tokens", "sum"), ("n_chars", "sum"), ("n_chars", "count")]
+        ).rename_columns(["lang", "sum_tokens", "sum_chars", "n_docs"])
+
+    from ray.data.aggregate import Sum
+    out = (withtok.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("sum_tokens", alias_name="sum_tokens"),
+                                      Sum("sum_chars", alias_name="sum_chars"),
+                                      Sum("n_docs", alias_name="n_docs")))
+    return out.sort("lang")
+
+
+def doc_fingerprints(sf_dir: str):
+    from migration_pair_ray.functions.text import md5_fingerprint
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (ds.map_batches(md5_fingerprint, batch_format="pyarrow")
+            .select_columns(["doc_id", "fp"]).sort("doc_id"))
+
+
+def doc_exact_dedup(sf_dir: str):
+    from migration_pair_ray.stages.dedup import exact_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id", "text"]).sort("doc_id")
+
+
+def doc_langid(sf_dir: str):
+    """Rows-only check (heuristic model, not SQL-expressible)."""
+    from migration_pair_ray.functions.text import LangId
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return (ds.map_batches(LangId, batch_format="pyarrow",
+                           concurrency=2, num_cpus=1)
+            .select_columns(["doc_id", "lang", "lang_pred"]).sort("doc_id"))
+
+
+def doc_near_dedup_minhash(sf_dir: str):
+    """Rows-only check (probabilistic sketch)."""
+    from migration_pair_ray.stages.dedup import minhash_lsh_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, threshold=0.8).select_columns(["doc_id"]).sort("doc_id")
+
+
+def doc_near_dedup_simhash(sf_dir: str):
+    """Rows-only check (probabilistic sketch)."""
+    from migration_pair_ray.stages.dedup import simhash_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=3).select_columns(["doc_id"]).sort("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Embeddings / multimodal
+# --------------------------------------------------------------------------
+
+def embed_topk_bruteforce(sf_dir: str):
+    """Exact cosine top-10 of corpus vectors 0 and 1 against the corpus,
+    rounded to 4 decimals (float-portable vs the SQL oracle)."""
+    from migration_pair_ray.stages.similarity import brute_force_topk
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    queries = np.array(q.column("embedding").to_pylist(), dtype=np.float32)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = brute_force_topk(ds, queries, k=10, round_to=4)
+    return t
+
+
+def embed_knn_ivf(sf_dir: str):
+    """Rows-only check (approximate)."""
+    from migration_pair_ray.stages.similarity import ivf_topk
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    queries = np.array(q.column("embedding").to_pylist(), dtype=np.float32)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(ds, queries, k=10, n_clusters=16, n_probe=4, round_to=4)
+
+
+def media_byte_stats_q(sf_dir: str):
+    from migration_pair_ray.stages.multimodal import fake_payload_from_text, media_byte_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (ds.map_batches(fake_payload_from_text, batch_format="pyarrow")
+            .map_batches(media_byte_stats, batch_format="pyarrow")
+            .sort("media_id"))

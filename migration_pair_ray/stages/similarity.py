@@ -58,7 +58,10 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         cos = q @ m.T                                      # (nq, n)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         nq, n = cos.shape
-        kk = min(k, n)
+        # margin over k: the global selection re-ranks on ROUNDED cosine
+        # (tie-broken by id), so near-boundary candidates must survive the
+        # local unrounded cut
+        kk = min(3 * k, n)
         part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
         rows = np.repeat(np.arange(nq), kk)
         cols = part.reshape(-1)
