@@ -43,6 +43,7 @@ def generate_change_log(
     update_frac: float = 0.35,
     dup_frac: float = 0.05,
     shuffle_window: int = 0,
+    burst_max: int = 1,
     seed: int = 42,
 ) -> list[str]:
     """Write ``n_files`` Parquet change-batch files under ``out_dir``;
@@ -51,45 +52,69 @@ def generate_change_log(
     ``shuffle_window``: if > 0, events are shuffled within windows of that
     many rows before being split into files, so arrival order across file
     boundaries is out of order w.r.t. ``(ts, lsn)``.
+
+    ``burst_max``: if > 1, each logical turn write arrives as a burst of
+    1..burst_max consecutive events for the SAME key (a turn being
+    streamed/edited emits several updates at adjacent LSNs) — the realistic
+    update-density case the per-batch combiner exists for.
     """
     rng = np.random.default_rng(seed)
     n = int(n_events)
 
     lsn = np.arange(n, dtype=np.int64)
 
-    # conversation assignment: one hot conv (index 0) gets ``hot_frac``.
-    conv = rng.integers(1, max(2, n_convs), size=n, dtype=np.int64)
-    hot_mask = rng.random(n) < hot_frac
-    conv[hot_mask] = 0
-    turn = rng.integers(0, turns_per_conv, size=n, dtype=np.int32)
+    # base (per-burst) key assignment: one hot conv (index 0) gets hot_frac.
+    m = n if burst_max <= 1 else max(1, int(n / ((1 + burst_max) / 2)))
+    conv_b = rng.integers(1, max(2, n_convs), size=m, dtype=np.int64)
+    hot_mask_b = rng.random(m) < hot_frac
+    conv_b[hot_mask_b] = 0
+    turn_b = rng.integers(0, turns_per_conv, size=m, dtype=np.int32)
     # the hot conversation gets a larger turn space so it holds many keys
     hot_turns = max(turns_per_conv * 4, 1)
-    turn[hot_mask] = rng.integers(0, hot_turns, size=int(hot_mask.sum()), dtype=np.int32)
+    turn_b[hot_mask_b] = rng.integers(0, hot_turns, size=int(hot_mask_b.sum()), dtype=np.int32)
+    if burst_max <= 1:
+        conv, turn = conv_b, turn_b
+    else:
+        counts = rng.integers(1, burst_max + 1, size=m)
+        conv = np.repeat(conv_b, counts)
+        turn = np.repeat(turn_b, counts)
+        while len(conv) < n:  # pad with fresh singles if bursts fell short
+            conv = np.concatenate([conv, conv_b]);  turn = np.concatenate([turn, turn_b])
+        conv, turn = conv[:n], turn[:n]
 
     # event time: mostly increasing with jitter; quantized so ties occur.
     ts_us = _BASE_TS_US + lsn * 1_000_000 + rng.integers(-5, 5, size=n) * 1_000_000
     ts_us = (ts_us // 2_000_000) * 2_000_000  # 2s quantization → (ts) ties
 
     r = rng.random(n)
-    op = np.where(r < delete_frac, "D", np.where(r < delete_frac + update_frac, "U", "I"))
+    op_codes = np.where(r < delete_frac, 0, np.where(r < delete_frac + update_frac, 1, 2))
+    op = pa.DictionaryArray.from_arrays(
+        pa.array(op_codes, pa.int8()), pa.array(["D", "U", "I"])).cast(pa.string())
 
-    role = _ROLES[turn % 4]
-    conv_id = np.char.add("conv-", conv.astype("U12"))
-    text = np.char.add(
-        np.char.add(np.char.add("turn text c", conv.astype("U12")), "/t"),
-        np.char.add(np.char.add(turn.astype("U12"), "#"), lsn.astype("U20")),
-    )
-    tool = np.where(role == "tool", np.char.add("tool-", (turn % 7).astype("U4")), None)
+    # all string building via Arrow kernels (np.char is ~20x slower at 10^7)
+    import pyarrow.compute as _pc
+    conv_str = _pc.cast(pa.array(conv), pa.string())
+    turn_str = _pc.cast(pa.array(turn), pa.string())
+    lsn_str = _pc.cast(pa.array(lsn), pa.string())
+    conv_id = _pc.binary_join_element_wise(pa.scalar("conv-"), conv_str, "")
+    text = _pc.binary_join_element_wise(
+        pa.scalar("turn text c"), conv_str, pa.scalar("/t"), turn_str,
+        pa.scalar("#"), lsn_str, "")
+    role_codes = pa.array((turn % 4).astype(np.int8))
+    role = pa.DictionaryArray.from_arrays(role_codes, pa.array(_ROLES.tolist())).cast(pa.string())
+    tool_val = _pc.binary_join_element_wise(
+        pa.scalar("tool-"), _pc.cast(pa.array((turn % 7).astype(np.int32)), pa.string()), "")
+    tool = _pc.if_else(_pc.equal(role, "tool"), tool_val, pa.scalar(None, pa.string()))
 
     table = pa.table(
         {
-            "conv_id": pa.array(conv_id, pa.string()),
+            "conv_id": conv_id,
             "turn_idx": pa.array(turn, pa.int32()),
-            "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
-            "tool": pa.array(tool.tolist(), pa.string()),
+            "role": role,
+            "text": text,
+            "tool": tool,
             "ts": pa.array(ts_us, pa.timestamp("us")),
-            "op": pa.array(op, pa.string()),
+            "op": op,
             "lsn": pa.array(lsn, pa.int64()),
         }
     )

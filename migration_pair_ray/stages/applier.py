@@ -101,9 +101,10 @@ class Applier:
         if prev:
             existing = pq.read_table(str(Path(self.lake_dir) / prev["data_file"]))
 
+        # merge_tables sorts by (conv_id, turn_idx, ts, lsn) and keeps one
+        # row per key — its output is therefore already in the deterministic
+        # (conv_id, turn_idx) file order; no second sort needed
         merged = merge_tables(existing, changes)
-        # deterministic file content: stable sort by the merge keys
-        merged = merged.sort_by([(k, "ascending") for k in MERGE_KEYS])
 
         lsn_lo = int(pc.min(changes.column("lsn")).as_py())
         lsn_hi = int(pc.max(changes.column("lsn")).as_py())

@@ -56,6 +56,24 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 # ------------------------------------------------ candidate-pair machinery
 
+# An LSH bucket larger than this is degenerate (near-constant content across
+# the corpus): its pairs carry no dedup signal and the quadratic blows up.
+# Skipped buckets are simply not candidates — precision is unaffected.
+_BUCKET_CAP = 1024
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _pairs_df(rows_a, rows_b, sims) -> pd.DataFrame:
+    if not rows_a:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    return pd.DataFrame({"a": np.concatenate(rows_a).astype(np.int64),
+                         "b": np.concatenate(rows_b).astype(np.int64),
+                         "sim": np.concatenate(sims).astype(np.float64)})
+
+
 def _pairs_from_buckets(bucket: pd.DataFrame, verify) -> pd.DataFrame:
     """All-pairs verification inside one LSH bucket. ``verify(i, j) ->
     similarity`` on positional indices; emits rows (a, b, sim) with a < b.
@@ -184,18 +202,28 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
         _MinHashStage, fn_constructor_args=(n_perm, k, n_bands),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
-    def verify(bucket: pd.DataFrame, i: int, j: int):
-        sa = np.asarray(bucket["sig"].iloc[i], dtype=np.int64)
-        sb = np.asarray(bucket["sig"].iloc[j], dtype=np.int64)
-        est = float((sa == sb).mean())
-        return est if est >= threshold else None
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per BAND (16 groups, not 10^5 tiny bucket groups —
+        # per-group dispatch overhead dominates otherwise); buckets within
+        # the band are a local pandas groupby, pair extraction is a
+        # vectorized signature-equality matrix per bucket
+        rows_a, rows_b, sims = [], [], []
+        for _, bucket in g.groupby("band_hash", sort=False):
+            bucket = bucket.drop_duplicates(subset="doc_id")
+            n = len(bucket)
+            if n < 2 or n > _BUCKET_CAP:   # degenerate bucket: no signal
+                continue
+            sig = np.stack([np.asarray(s, dtype=np.int64) for s in bucket["sig"]])
+            est = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(n, 1)
+            hit = est[iu, ju] >= threshold
+            ids = bucket["doc_id"].to_numpy()
+            a, b = ids[iu[hit]], ids[ju[hit]]
+            rows_a.append(np.minimum(a, b)); rows_b.append(np.maximum(a, b))
+            sims.append(est[iu, ju][hit])
+        return _pairs_df(rows_a, rows_b, sims)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset="doc_id")
-        return _pairs_from_buckets(g, verify)
-
-    pairs = (cand.groupby(["band_id", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    pairs = cand.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
     # a pair can surface from several bands — dedup on (a, b)
     return (pairs.groupby(["a", "b"]).max("sim")
             .map_batches(lambda t: t.rename_columns(["a", "b", "sim"]),
@@ -234,18 +262,27 @@ def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     cand = ds.select_columns(["doc_id", "text"]).map_batches(
         fingerprint, batch_format="pyarrow")
 
-    def verify(bucket: pd.DataFrame, i: int, j: int):
-        a = np.array([bucket["sh"].iloc[i]]).view(np.uint64)
-        b = np.array([bucket["sh"].iloc[j]]).view(np.uint64)
-        d = int(hamming64(a, b)[0])
-        return float(64 - d) / 64.0 if d <= max_hamming else None
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per 16-bit block (4 groups); buckets inside are a
+        # local pandas groupby; hamming distance via vectorized xor-popcount
+        rows_a, rows_b, sims = [], [], []
+        for _, bucket in g.groupby("block_val", sort=False):
+            bucket = bucket.drop_duplicates(subset="doc_id")
+            n = len(bucket)
+            if n < 2 or n > _BUCKET_CAP:   # degenerate bucket: no signal
+                continue
+            sh = bucket["sh"].to_numpy().astype(np.int64).view(np.uint64)
+            xor = sh[:, None] ^ sh[None, :]
+            dist = _POPCOUNT8[xor.view(np.uint8).reshape(n, n, 8)].sum(axis=2)
+            iu, ju = np.triu_indices(n, 1)
+            hit = dist[iu, ju] <= max_hamming
+            ids = bucket["doc_id"].to_numpy()
+            a, b = ids[iu[hit]], ids[ju[hit]]
+            rows_a.append(np.minimum(a, b)); rows_b.append(np.maximum(a, b))
+            sims.append((64.0 - dist[iu, ju][hit]) / 64.0)
+        return _pairs_df(rows_a, rows_b, sims)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset="doc_id")
-        return _pairs_from_buckets(g, verify)
-
-    pairs = (cand.groupby(["block_id", "block_val"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    pairs = cand.groupby("block_id").map_groups(block_pairs, batch_format="pandas")
     return (pairs.groupby(["a", "b"]).max("sim")
             .map_batches(lambda t: t.rename_columns(["a", "b", "sim"]),
                          batch_format="pyarrow"))
