@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_highvalue_orders": q.filter_highvalue_orders,
         "join_orders_customer_segment": q.join_orders_customer_segment,
         "join_lineitem_part_type": q.join_lineitem_part_type,
+        "join_orders_lineitem_priority": q.join_orders_lineitem_priority,
+        "events_hot_users": q.events_hot_users,
         "topk_orders_by_price": q.topk_orders_by_price,
         "distinct_event_types": q.distinct_event_types,
         "events_hourly_windows": q.events_hourly_windows,
@@ -109,6 +111,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_type, SUM(l_quantity) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_type ORDER BY p_type""",
+        "join_orders_lineitem_priority": """
+            SELECT o_orderpriority,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "events_hot_users": """
+            WITH h AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+            t AS (SELECT SUM(cnt) AS total FROM h)
+            SELECT user_id, cnt FROM h, t WHERE cnt * 130.0 > total
+            ORDER BY cnt DESC, user_id""",
         "topk_orders_by_price": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC LIMIT 10""",

@@ -1,0 +1,54 @@
+"""CLI entry point: ``python -m migration_pair_ray <task> --config job.json``.
+
+The ``ray job submit`` shape of the reference's ``Program.Main``
+(``Program.cs:17-34``): read config, dispatch one task, print its summary.
+Owns the Ray session (guarded — the external driver imports the library
+with Ray already initialised and never goes through here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.tasks import TASKS, run_task
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="migration_pair_ray")
+    p.add_argument("task", choices=sorted(TASKS))
+    p.add_argument("--config", required=True, help="JobConfig JSON file")
+    p.add_argument("--input", default="", help="bulk_load input path")
+    p.add_argument("--out", default="", help="snapshot output dir")
+    p.add_argument("--fmt", default="", help="snapshot/bulk_load format")
+    p.add_argument("--num-cpus", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = JobConfig.from_json(args.config)
+    kw: dict = {}
+    if args.input:
+        kw["input_path"] = args.input
+    if args.out:
+        kw["out_dir"] = args.out
+    if args.fmt:
+        kw["fmt"] = args.fmt
+
+    import ray
+    if not ray.is_initialized():
+        init_kw = dict(address="local", include_dashboard=False,
+                       ignore_reinit_error=True, logging_level="ERROR")
+        if args.num_cpus:
+            init_kw["num_cpus"] = args.num_cpus
+        ray.init(**init_kw)
+    try:
+        summary = run_task(args.task, cfg, **kw)
+        print(json.dumps(summary, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -447,3 +447,58 @@ def media_byte_stats_q(sf_dir: str):
     return (ds.map_batches(fake_payload_from_text, batch_format="pyarrow")
             .map_batches(media_byte_stats, batch_format="pyarrow")
             .sort("media_id"))
+
+
+def join_orders_lineitem_priority(sf_dir: str):
+    """Large-large partitioned hash join (stages/join.py): orders x
+    lineitem on orderkey, revenue by order priority — both sides shuffle
+    once into key-hash buckets, pandas merge inside each bucket."""
+    from migration_pair_ray.stages.join import hash_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    items = items.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "rev": pc.multiply(t.column("l_extendedprice"),
+                               pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+        }), batch_format="pyarrow")
+    joined = hash_join(orders, items, on="o_orderkey", num_buckets=32)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "count"))
+        return out
+
+    from ray.data.aggregate import Sum
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_items", alias_name="n_items")))
+    return out.sort("o_orderpriority").map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.cast(pc.round(t.column("revenue"), ndigits=0), pa.int64())),
+        batch_format="pyarrow")
+
+
+def events_hot_users(sf_dir: str):
+    """Skew probe as a query: users holding > 1/130 of all events (the
+    hot-key histogram of stages/partition.py, user_id standing in for
+    conv_id), computed from per-batch partial counts — raw events never
+    shuffle."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("user_id").aggregate([("user_id", "count")])
+                .rename_columns(["user_id", "cnt"]))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("cnt", alias_name="cnt")))
+    t = pa.Table.from_pylist(hist.take_all())
+    total = int(pc.sum(t.column("cnt")).as_py())
+    t = t.filter(pc.greater(pc.multiply(pc.cast(t.column("cnt"), pa.float64()), 130.0),
+                            float(total)))
+    return t.sort_by([("cnt", "descending"), ("user_id", "ascending")])

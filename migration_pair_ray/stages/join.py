@@ -1,0 +1,119 @@
+"""Distributed joins.
+
+The reference has no data-level joins (SURVEY.md §2.4 — its only "join" is
+the O(n²) schema-compliance match in ``Tasks/EndToEnd.cs:64-75``).  A
+complete engine needs them, in two shapes:
+
+* ``broadcast_join`` — small side shipped once via ``ray.put``, lookup per
+  batch (no shuffle of the big side).  Used by the conformance queries.
+* ``hash_join`` — both sides large: tag each side, bucket both by a
+  deterministic hash of the key, union, ONE shuffle groups each bucket's
+  rows from both sides together, and a pandas merge joins inside the
+  bucket.  This is the portable partitioned hash join (Ray 2.49's native
+  ``Dataset.join`` crashes on empty hash partitions, so the engine carries
+  its own).
+
+Partitioning assumption: ``num_buckets`` should be >= cluster parallelism;
+hot keys can be salted by joining on (key, salt) when one key's rows
+exceed a bucket (not needed for equi-joins whose key groups fit memory).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from migration_pair_ray.functions.hashing import stable_hash64
+
+_SIDE_COL = "__side"
+_BUCKET_COL = "__bucket"
+
+
+def _add_bucket(batch: pa.Table, on: list[str], num_buckets: int, side: int) -> pa.Table:
+    if batch.num_rows == 0:
+        return (batch.append_column(_BUCKET_COL, pa.array([], pa.int64()))
+                     .append_column(_SIDE_COL, pa.array([], pa.int8())))
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for col in on:
+        c = batch.column(col)
+        if pa.types.is_integer(c.type):
+            vals = c.to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x9E3779B97F4A7C15) + vals
+        else:
+            h = h ^ stable_hash64(c.to_pylist())
+    bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+    return (batch.append_column(_BUCKET_COL, pa.array(bucket))
+                 .append_column(_SIDE_COL, pa.array(np.full(batch.num_rows, side, np.int8))))
+
+
+def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              on: list[str] | str, how: str = "inner",
+              num_buckets: int = 32) -> "ray.data.Dataset":
+    """Partitioned hash join of two large Datasets on equality of ``on``.
+
+    Both sides shuffle once (bucketed by key hash); each bucket joins
+    locally with a pandas merge.  Column name collisions (outside the key)
+    get pandas' _x/_y suffixes.
+    """
+    if isinstance(on, str):
+        on = [on]
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = lschema.names, rschema.names
+    l_only = [c for c in lcols if c not in on]
+    r_only = [c for c in rcols if c not in on]
+
+    # union schema: both sides conform (other side's columns = typed nulls)
+    # so the union's blocks are homogeneous and groups see every column
+    def _arrow_types(schema) -> dict:
+        out = {}
+        for n, t in zip(schema.names, schema.types):
+            if not isinstance(t, pa.DataType):   # pandas-block dataset: numpy dtype
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
+            out[n] = t
+        return out
+
+    ltypes = _arrow_types(lschema)
+    rtypes = _arrow_types(rschema)
+    union_schema = pa.schema(
+        [pa.field(c, ltypes[c]) for c in on]
+        + [pa.field(c, ltypes[c]) for c in l_only]
+        + [pa.field(c, rtypes[c]) for c in r_only])
+    from migration_pair_ray.schemas import conform_batch
+
+    lt = left.map_batches(
+        lambda b: _add_bucket(conform_batch(b, union_schema), on, num_buckets, 0),
+        batch_format="pyarrow")
+    rt = right.map_batches(
+        lambda b: _add_bucket(conform_batch(b, union_schema), on, num_buckets, 1),
+        batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g[_SIDE_COL] == 0][on + l_only]
+        rg = g[g[_SIDE_COL] == 1][on + r_only]
+        out = lg.merge(rg, on=on, how=how)
+        return out
+
+    return both.groupby(_BUCKET_COL).map_groups(join_bucket, batch_format="pandas")
+
+
+def broadcast_join(big: "ray.data.Dataset", small: pa.Table,
+                   on: list[str] | str, how: str = "inner") -> "ray.data.Dataset":
+    """Broadcast hash join: the small side is ``ray.put`` once and merged
+    into every batch of the big side with pandas — no shuffle."""
+    if isinstance(on, str):
+        on = [on]
+    ref = ray.put(small.to_pandas())
+
+    def join_batch(g: pd.DataFrame) -> pd.DataFrame:
+        return g.merge(ray.get(ref), on=on, how=how)
+
+    return big.map_batches(join_batch, batch_format="pandas")

@@ -56,3 +56,26 @@ def key_histogram(batch: pa.Table) -> pa.Table:
     """
     counts = batch.group_by("conv_id").aggregate([("conv_id", "count")])
     return counts.rename_columns(["conv_id", "cnt"])
+
+
+def detect_hot_keys(ds, hot_frac: float = 0.05) -> "pa.Table":
+    """Global conv histogram (via per-batch partials — the raw events never
+    shuffle) → conversations holding more than ``hot_frac`` of all events.
+    The skew probe behind the choice of ``partition_mode="key"``: if this
+    returns rows, mode "conv" would bottleneck one partition on one
+    conversation and the salted layout should be used.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    hist = (ds.map_batches(key_histogram, batch_format="pyarrow")
+            .groupby("conv_id").aggregate(Sum("cnt", alias_name="cnt")))
+    t = pa.Table.from_pylist(hist.take_all())
+    if t.num_rows == 0:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "frac": pa.array([], pa.float64())})
+    total = int(pc.sum(t.column("cnt")).as_py())
+    frac = pc.divide(pc.cast(t.column("cnt"), pa.float64()), float(total))
+    t = t.append_column("frac", frac)
+    t = t.filter(pc.greater(t.column("frac"), hot_frac))
+    return t.sort_by([("cnt", "descending")])

@@ -1,0 +1,74 @@
+"""Task registry + dispatch — the reference's enum-switch entry point
+(``Models/TaskToExecute.cs:3-9``, dispatch ``Program.cs:53-59``, DI
+registration ``Program.cs:38-48``) as a plain dict of callables.
+
+Reference mode → engine task:
+  Extraction → "snapshot"   (lake → sorted parquet/csv export)
+  Insertion  → "bulk_load"  (csv/parquet file → upsert sink)
+  EndToEnd   → "replay"     (change log → compliance gate → upsert sink)
+
+Users extend by registering a callable (the §2.10 extension surface);
+``python -m migration_pair_ray <task> --config job.json`` is the
+``ray job submit`` entry point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from migration_pair_ray.config import JobConfig
+
+
+def task_replay(cfg: JobConfig, **kw) -> dict:
+    from migration_pair_ray.pipelines.replay import replay
+    return replay(cfg)
+
+
+def task_snapshot(cfg: JobConfig, out_dir: str = "", fmt: str = "parquet",
+                  unix_ms_ts: bool = False, **kw) -> dict:
+    from migration_pair_ray.pipelines.snapshot import snapshot
+    rows = snapshot(cfg, out_dir or f"{cfg.lake_dir}/_snapshot",
+                    fmt=fmt, unix_ms_ts=unix_ms_ts)
+    return {"rows": rows, "out_dir": out_dir or f"{cfg.lake_dir}/_snapshot"}
+
+
+def task_bulk_load(cfg: JobConfig, input_path: str = "", fmt: str = "csv",
+                   **kw) -> dict:
+    from migration_pair_ray.pipelines.bulk_load import bulk_load
+    return bulk_load(cfg, input_path, fmt=fmt)
+
+
+def task_compliance(cfg: JobConfig, **kw) -> dict:
+    """Standalone schema gate: change-log unified schema vs lake schema."""
+    import dataclasses
+    from migration_pair_ray.pipelines.compliance import check_compliance
+    from migration_pair_ray.sources.changelog import discover, unified_schema
+    from migration_pair_ray.schemas import CHANGE_SCHEMA
+    files = discover(cfg.changelog_dir)
+    src = unified_schema(files) if files else CHANGE_SCHEMA
+    report = check_compliance(src, CHANGE_SCHEMA, mode=cfg.compliance)
+    return dataclasses.asdict(report)
+
+
+def task_lineage(cfg: JobConfig, **kw) -> dict:
+    from migration_pair_ray.state.lineage import lineage_summary
+    return lineage_summary(cfg)
+
+
+TASKS: dict[str, Callable[..., dict]] = {
+    "replay": task_replay,
+    "snapshot": task_snapshot,
+    "bulk_load": task_bulk_load,
+    "compliance": task_compliance,
+    "lineage": task_lineage,
+}
+
+
+def register_task(name: str, fn: Callable[..., dict]) -> None:
+    TASKS[name] = fn
+
+
+def run_task(name: str, cfg: JobConfig, **kw) -> dict:
+    if name not in TASKS:
+        raise KeyError(f"unknown task {name!r}; known: {sorted(TASKS)}")
+    return TASKS[name](cfg, **kw)

@@ -1,0 +1,115 @@
+"""hash_join / broadcast_join, task registry, CLI, lineage, skew probe."""
+
+import json
+import subprocess
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from migration_pair_ray.changegen import generate_change_log
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.stages.join import broadcast_join, hash_join
+from migration_pair_ray.stages.partition import detect_hot_keys
+from migration_pair_ray.state.lineage import lineage_summary, read_lineage
+from migration_pair_ray.tasks import run_task
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_matches_duckdb():
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    items = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                                  columns=["l_orderkey", "l_quantity"])
+    items = items.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
+        batch_format="pyarrow")
+    joined = hash_join(orders, items, on="o_orderkey").to_pandas()
+    want = duckdb.sql(f"""
+        SELECT COUNT(*) n, CAST(SUM(l_quantity) AS BIGINT) s
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/lineitem.parquet') l ON o_orderkey = l_orderkey
+    """).fetchone()
+    assert len(joined) == want[0]
+    assert int(joined["l_quantity"].sum()) == want[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_left_outer():
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": ["x", "y", "z"]}))
+    right = ray.data.from_pandas(pd.DataFrame({"k": [2, 3, 4], "b": [20, 30, 40]}))
+    out = hash_join(left, right, on="k", how="left").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["b"].isna().tolist() == [True, False, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_join():
+    big = ray.data.read_parquet(f"{SF}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    small = pq.read_table(f"{SF}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"]).rename_columns(
+        ["o_custkey", "c_mktsegment"])
+    out = broadcast_join(big, small, on="o_custkey").to_pandas()
+    want = duckdb.sql(f"""
+        SELECT COUNT(*) FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c ON o_custkey = c_custkey
+    """).fetchone()[0]
+    assert len(out) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_task_registry_and_lineage(tmp_lake):
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=400, n_convs=6, n_files=2, tool_epoch=1, seed=9)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4)
+    rep = run_task("compliance", cfg)
+    assert rep["compliant"]
+    s = run_task("replay", cfg)
+    assert s["events_in"] > 0
+    lin = read_lineage(cfg)
+    assert lin.num_rows == s["partitions"]
+    summ = run_task("lineage", cfg)
+    assert summ["rows_in"] > 0 and summ["passes"] == 1
+    snap = run_task("snapshot", cfg, out_dir=f"{lake}/_snap")
+    assert snap["rows"] > 0
+    with pytest.raises(KeyError):
+        run_task("nope", cfg)
+
+
+def test_cli_end_to_end(tmp_path):
+    """Drive the real CLI in a subprocess (owns its own Ray session)."""
+    log = tmp_path / "log"
+    generate_change_log(str(log), n_events=300, n_convs=5, n_files=2, seed=4)
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4)
+    cfg_path = tmp_path / "job.json"
+    cfg.to_json(cfg_path)
+    out = subprocess.run(
+        [sys.executable, "-m", "migration_pair_ray", "replay",
+         "--config", str(cfg_path), "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["events_in"] >= 300 and not summary["up_to_date"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_detect_hot_keys(tmp_lake):
+    log, _ = tmp_lake
+    generate_change_log(log, n_events=2000, n_convs=30, hot_frac=0.4,
+                        n_files=2, seed=13)
+    from migration_pair_ray.sources.changelog import discover, read_changes, unified_schema
+    files = discover(log)
+    ds = read_changes(files, unified_schema(files))
+    hot = detect_hot_keys(ds, hot_frac=0.2)
+    assert hot.num_rows >= 1
+    assert hot.column("conv_id")[0].as_py() == "conv-0"  # the planted hot conv
+    assert hot.column("frac")[0].as_py() > 0.3
