@@ -123,3 +123,24 @@ def test_salted_key_mode_same_state(tmp_lake):
         replay(cfg)
         out[mode] = final_state(cfg).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(out["conv"], out["key"], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lost_partition_manifest_recovers(tmp_lake):
+    """A partition whose manifest never landed (crash before its commit)
+    is re-merged from the change files on the next replay; committed
+    partitions are skipped; final state still matches the oracle."""
+    import pathlib
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=600, n_convs=10, n_files=2,
+                        tool_epoch=1, seed=31)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=5)
+    replay(cfg)
+    # simulate: partition 2's commit was lost, pass checkpoint never written
+    manifests = sorted(pathlib.Path(lake).glob("_manifest/part-*.json"))
+    manifests[2].unlink()
+    for ck in pathlib.Path(lake).glob("_checkpoint/pass-*.json"):
+        ck.unlink()
+    s = replay(cfg)
+    assert s["skipped_partitions"] == s["partitions"] - 1
+    assert_matches_oracle(cfg, log)
