@@ -51,10 +51,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q.doc_langid,                      # rows-only
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,  # rows-only
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,  # rows-only
+        "doc_quality": q.doc_quality,
+        "events_value_stats": q.events_value_stats,
         # embeddings / multimodal
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
         "embed_knn_ivf": q.embed_knn_ivf,                # rows-only
+        "embed_near_dedup": q.embed_near_dedup,          # rows-only
         "media_byte_stats": q.media_byte_stats_q,
+        "media_features": q.media_features,              # rows-only
     }
 
 
@@ -154,6 +158,29 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_chars) AS sum_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang""",
+        "doc_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   length(replace(text, ' ', '')) AS chars_nospace,
+                   CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END AS n_tokens,
+                   CAST(
+                     (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' in ', ''))) / 4
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' is ', ''))) / 4
+                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' it ', ''))) / 4
+                   AS BIGINT) AS stop_hits
+            FROM documents ORDER BY doc_id""",
+        "events_value_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum_cents,
+                   CAST(ROUND(AVG(value) * 100, 0) AS BIGINT) AS avg_value_cents
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
         "doc_exact_dedup": """

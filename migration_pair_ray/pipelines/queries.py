@@ -502,3 +502,73 @@ def events_hot_users(sf_dir: str):
     t = t.filter(pc.greater(pc.multiply(pc.cast(t.column("cnt"), pa.float64()), 130.0),
                             float(total)))
     return t.sort_by([("cnt", "descending"), ("user_id", "ascending")])
+
+
+def doc_quality(sf_dir: str):
+    """Quality features with exact integer outputs (no float division in
+    the comparison surface): chars, chars-without-spaces, tokens — the
+    mean-token-length is the exact ratio chars_nospace/n_tokens."""
+    from migration_pair_ray.functions.text import quality_features
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: quality_features(t), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        spaces = pc.cast(pc.count_substring(t.column("text"), " "), pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars_m": t.column("n_chars_m"),
+            "chars_nospace": pc.subtract(t.column("n_chars_m"), spaces),
+            "n_tokens": t.column("n_tokens"),
+            "stop_hits": t.column("stop_hits"),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def events_value_stats(sf_dir: str):
+    """Mean/“Std”-family aggregate coverage: per event_type count, total
+    and average value in integer cents."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "count")])
+            .rename_columns(["event_type", "vsum", "n"]))
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Sum("vsum", alias_name="vsum"),
+                                            Sum("n", alias_name="n")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t.column("vsum"), pc.cast(t.column("n"), pa.float64()))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": t.column("n"),
+            "value_sum_cents": pc.cast(pc.round(pc.multiply(t.column("vsum"), 100.0),
+                                                ndigits=0), pa.int64()),
+            "avg_value_cents": pc.cast(pc.round(pc.multiply(avg, 100.0),
+                                                ndigits=0), pa.int64()),
+        })
+
+    return out.sort("event_type").map_batches(finalize, batch_format="pyarrow")
+
+
+def media_features(sf_dir: str):
+    """Rows-only: the multimodal actor-pool feature extraction pipeline
+    (stubbed deterministic decode) — text → binary payload → per-payload
+    feature vector; small batch_size per the large-binary discipline."""
+    from migration_pair_ray.stages.multimodal import (
+        MediaFeatureExtractor, fake_payload_from_text)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(fake_payload_from_text, batch_format="pyarrow")
+    return media.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                             batch_size=128, concurrency=2, num_cpus=1).sort("media_id")
+
+
+def embed_near_dedup(sf_dir: str):
+    """Rows-only: cosine near-duplicate removal over the embeddings table."""
+    from migration_pair_ray.stages.similarity import embedding_dedup
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return (embedding_dedup(ds, threshold=0.995)
+            .select_columns(["vec_id"]).sort("vec_id"))

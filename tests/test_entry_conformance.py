@@ -59,11 +59,12 @@ ALL = sorted(entry_mod.queries().keys())
 @pytest.mark.parametrize("name", ALL)
 def test_query_vs_oracle(name, con, ray_session):
     q = entry_mod.queries()[name]
-    got = normalize(to_df(q(SF)))
+    raw = to_df(q(SF))
     oracle = entry_mod.oracle_sql().get(name)
     if oracle is None:
-        assert len(got) >= 0 and len(got.columns) > 0  # rows-only contract
+        assert len(raw) >= 0 and len(raw.columns) > 0  # rows-only contract
         return
+    got = normalize(raw)
     want = normalize(con.sql(oracle).df())
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
