@@ -562,8 +562,21 @@ def media_features(sf_dir: str):
         MediaFeatureExtractor, fake_payload_from_text)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = ds.map_batches(fake_payload_from_text, batch_format="pyarrow")
-    return media.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                             batch_size=128, concurrency=2, num_cpus=1).sort("media_id")
+    feats = media.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+                              batch_size=128, concurrency=2, num_cpus=1)
+
+    def digest(t: pa.Table) -> pa.Table:
+        # scalar digest of the feature vector (list columns don't survive
+        # every downstream hasher): sum of the 8 features in micro-units
+        import numpy as np
+        f = np.array(t.column("features").to_pylist(), dtype=np.float64)
+        d = np.round(f.sum(axis=1) * 1e6).astype(np.int64) if len(f) else np.array([], np.int64)
+        return pa.table({"media_id": t.column("media_id"),
+                         "media_type": t.column("media_type"),
+                         "n_bytes": t.column("n_bytes"),
+                         "feature_digest": pa.array(d)})
+
+    return feats.map_batches(digest, batch_format="pyarrow").sort("media_id")
 
 
 def embed_near_dedup(sf_dir: str):
