@@ -77,7 +77,10 @@ def _events_lake(sf_dir: str) -> JobConfig:
     """Build (or reuse) a lake under /tmp by replaying the change log
     derived from ``<sf_dir>/events.parquet`` through the full pipeline.
     Reuse is safe: replay is idempotent and keyed to the change files."""
-    tag = Path(sf_dir).name
+    # cache key includes the source file's size so a regenerated testdata
+    # tree can never hit a stale derived lake
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = f"{Path(sf_dir).name}-{st.st_size}"
     root = Path("/tmp/mpr_queries") / tag
     log_dir, lake_dir = str(root / "log"), str(root / "lake")
     os.makedirs(log_dir, exist_ok=True)

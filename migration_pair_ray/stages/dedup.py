@@ -24,7 +24,6 @@ import ray.data
 from migration_pair_ray.functions.hashing import (
     MinHasher,
     band_hashes,
-    hamming64,
     ngram_jaccard,
     simhash64,
     stable_hash64,
@@ -297,23 +296,55 @@ def simhash_dedup(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dat
 # ----------------------------------------------------------- ngram-jaccard
 
 def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
-                        n: int = 3, n_perm: int = 64, n_bands: int = 16
+                        n: int = 5, n_perm: int = 64, n_bands: int = 16
                         ) -> "ray.data.Dataset":
-    """MinHash-LSH recall, EXACT n-gram Jaccard precision: candidates come
-    from LSH banding, but the similarity that decides a merge is the true
-    n-gram Jaccard computed on the two texts (broadcast text lookup)."""
-    pairs = minhash_candidate_pairs(ds, threshold=threshold * 0.7,
+    """MinHash-LSH recall, EXACT n-gram Jaccard precision.
+
+    Candidates come from LSH banding with the minhash-estimate prefilter a
+    little BELOW the target threshold (estimate noise ~1/sqrt(n_perm));
+    the similarity that decides a merge is the true n-gram Jaccard,
+    computed as a sorted-intersection of shingle-hash sets.  Only the
+    candidate docs' shingle sets are broadcast — never the whole corpus.
+
+    ``n`` defaults to 5: shingles shorter than ~5 chars are degenerate on
+    natural text (nearly all documents share nearly all 3-grams, making
+    every pair a "candidate" and the pair set quadratic).
+    """
+    prefilter = max(0.5, threshold - 2.0 / np.sqrt(n_perm))
+    pairs = minhash_candidate_pairs(ds, threshold=prefilter,
                                     n_perm=n_perm, k=n, n_bands=n_bands)
-    id_text = {r["doc_id"]: r["text"]
-               for r in ds.select_columns(["doc_id", "text"]).take_all()}
-    ref = ray.put(id_text)
+    cand_rows = pairs.select_columns(["a", "b"]).take_all()
+    cand_ids = {r["a"] for r in cand_rows} | {r["b"] for r in cand_rows}
+    ids_ref = ray.put(cand_ids)
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array([i in wanted for i in ids]))
+
+    # candidate docs → UNIQUE shingle-hash sets (sorted uint64 arrays),
+    # computed with the batched shingle machinery; per-pair verification is
+    # then a fast sorted-array intersection, not Python set algebra
+    from migration_pair_ray.functions.hashing import _batch_shingles
+    id_shingles: dict[int, np.ndarray] = {}
+    for r in (ds.select_columns(["doc_id", "text"])
+                .map_batches(only_candidates, batch_format="pyarrow").take_all()):
+        h, _ = _batch_shingles([r["text"] or ""], n)
+        id_shingles[r["doc_id"]] = np.unique(h)
+    ref = ray.put(id_shingles)
 
     def exact_verify(batch: pa.Table) -> pa.Table:
         lookup = ray.get(ref)
         a = batch.column("a").to_pylist()
         b = batch.column("b").to_pylist()
-        sims = [ngram_jaccard(lookup.get(x, ""), lookup.get(y, ""), n)
-                for x, y in zip(a, b)]
+        sims = []
+        for x, y in zip(a, b):
+            sa, sb = lookup.get(x), lookup.get(y)
+            if sa is None or sb is None:
+                sims.append(0.0)
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            sims.append(inter / max(1, len(sa) + len(sb) - inter))
         out = batch.set_column(batch.schema.get_field_index("sim"), "sim",
                                pa.array(sims, pa.float64()))
         return out.filter(pa.compute.greater_equal(out.column("sim"), threshold))
