@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": q.distinct_event_types,
         "events_hourly_windows": q.events_hourly_windows,
         "events_sessionize": q.events_sessionize,
+        "events_sliding_windows": q.events_sliding_windows,
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # text / documents (training-data ops)
         "doc_token_stats": q.doc_token_stats,
@@ -137,6 +138,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,
                    COUNT(*) AS n
             FROM events GROUP BY 1 ORDER BY 1""",
+        "events_sliding_windows": """
+            WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, value
+                       FROM events),
+            x AS (SELECT (t // 1800) * 1800 AS window_start, value FROM e
+                  UNION ALL
+                  SELECT (t // 1800) * 1800 - 1800 AS window_start, value FROM e)
+            SELECT window_start,
+                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,
+                   COUNT(*) AS n
+            FROM x GROUP BY window_start ORDER BY window_start""",
         "events_sessionize": """
             WITH d AS (
               SELECT user_id, ts,

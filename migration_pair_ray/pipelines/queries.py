@@ -588,3 +588,17 @@ def embed_near_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return (embedding_dedup(ds, threshold=0.995)
             .select_columns(["vec_id"]).sort("vec_id"))
+
+
+def events_sliding_windows(sf_dir: str):
+    """1h windows sliding by 30min over event time (stages/windows.py):
+    with length = 2*step every event lands in exactly two windows, which
+    the SQL oracle mirrors as a union of two shifted tumbling groupbys."""
+    from migration_pair_ray.stages.windows import sliding_window
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = sliding_window(ds, "ts", "value", length_s=3600, step_s=1800)
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("value_sum"), "value_sum",
+                               pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0),
+                                                ndigits=0), pa.int64())),
+        batch_format="pyarrow")
