@@ -22,40 +22,40 @@ from migration_pair_ray.schemas import MERGE_KEYS, ORDER_COLS
 _SORT_KEYS = [(k, "ascending") for k in MERGE_KEYS + ORDER_COLS]
 
 
-def _group_last_mask(table: pa.Table, keys: list[str]) -> pa.Array:
-    """Boolean mask selecting the LAST row of each consecutive key group.
+def _boundary(table: pa.Table, keys: list[str]) -> pa.Array:
+    """Element i is True iff rows i and i+1 belong to DIFFERENT key groups.
 
-    ``table`` must already be sorted by ``keys`` (plus any order columns).
-    Vectorized: row i is a group end iff any key column differs at i+1.
+    Null-safe: two nulls are the SAME group member (``not_equal(null,null)``
+    is null, which must not read as a boundary — a null key would otherwise
+    never merge); a null next to a non-null IS a boundary.
+    ``table`` must already be sorted by ``keys`` (nulls grouped together).
     """
     n = table.num_rows
-    if n == 0:
-        return pa.array([], type=pa.bool_())
     mask = None
     for k in keys:
         col = table.column(k).combine_chunks()
-        neq = pc.fill_null(
-            pc.not_equal(col.slice(0, n - 1), col.slice(1, n - 1)), True
-        )
-        mask = neq if mask is None else pc.or_(mask, neq)
-    return pa.concat_arrays([mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask,
+        a, b = col.slice(0, n - 1), col.slice(1, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), False)
+        null_diff = pc.xor(pc.is_null(a), pc.is_null(b))
+        diff = pc.or_(neq, null_diff)
+        mask = diff if mask is None else pc.or_(mask, diff)
+    return mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask
+
+
+def _group_last_mask(table: pa.Table, keys: list[str]) -> pa.Array:
+    """Boolean mask selecting the LAST row of each consecutive key group."""
+    if table.num_rows == 0:
+        return pa.array([], type=pa.bool_())
+    return pa.concat_arrays([_boundary(table, keys),
                              pa.array([True], type=pa.bool_())])
 
 
 def _group_first_mask(table: pa.Table, keys: list[str]) -> pa.Array:
     """Boolean mask selecting the FIRST row of each consecutive key group."""
-    n = table.num_rows
-    if n == 0:
+    if table.num_rows == 0:
         return pa.array([], type=pa.bool_())
-    mask = None
-    for k in keys:
-        col = table.column(k).combine_chunks()
-        neq = pc.fill_null(
-            pc.not_equal(col.slice(0, n - 1), col.slice(1, n - 1)), True
-        )
-        mask = neq if mask is None else pc.or_(mask, neq)
     return pa.concat_arrays([pa.array([True], type=pa.bool_()),
-                             mask.combine_chunks() if isinstance(mask, pa.ChunkedArray) else mask])
+                             _boundary(table, keys)])
 
 
 def lww_reduce(table: pa.Table) -> pa.Table:

@@ -50,6 +50,12 @@ def bulk_load(cfg: JobConfig, input_path: str, fmt: str = "csv",
               pass_tag: str = "bulkload") -> dict:
     """Load a CSV/Parquet snapshot into the lake via the upsert sink.
     Returns a summary dict. Idempotent per (input content, pass_tag)."""
+    from migration_pair_ray.pipelines.replay import _push_shuffle
+    with _push_shuffle():
+        return _bulk_load(cfg, input_path, fmt, pass_tag)
+
+
+def _bulk_load(cfg: JobConfig, input_path: str, fmt: str, pass_tag: str) -> dict:
     if fmt == "csv":
         ds = ray.data.read_csv(input_path)
     elif fmt == "parquet":
@@ -70,13 +76,19 @@ def bulk_load(cfg: JobConfig, input_path: str, fmt: str = "csv",
 
     if fmt == "csv":
         from migration_pair_ray.functions.normalize import empty_strings_to_null
-        ds = ds.map_batches(empty_strings_to_null, batch_format="pyarrow",
-                            batch_size=cfg.batch_size)
-    ds = ds.map_batches(_synthesize_envelope, batch_format="pyarrow",
-                        batch_size=cfg.batch_size)
-    from migration_pair_ray.state.manifest import compute_pass_id
+        ds = ds.map_batches(empty_strings_to_null, batch_format="pyarrow")
+    ds = ds.map_batches(_synthesize_envelope, batch_format="pyarrow")
+    # pass identity covers the input CONTENT (file names + sizes), not just
+    # the path — re-loading a modified file at the same path must re-apply,
+    # not silently skip
     import hashlib
-    pass_id = hashlib.sha256(f"{pass_tag}:{input_path}".encode()).hexdigest()[:16]
+    from pathlib import Path as _P
+    from migration_pair_ray.state.manifest import compute_pass_id
+    p = _P(input_path)
+    in_files = sorted(str(f) for f in (p.glob("**/*") if p.is_dir() else [p])
+                      if _P(f).is_file())
+    pass_id = hashlib.sha256(
+        f"{pass_tag}:{compute_pass_id(in_files)}".encode()).hexdigest()[:16]
     lineage = apply_changes_ds(ds, cfg, pass_id)
     import pyarrow.compute as pc
     return {

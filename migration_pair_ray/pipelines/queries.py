@@ -84,7 +84,12 @@ def _events_lake(sf_dir: str) -> JobConfig:
     root = Path("/tmp/mpr_queries") / tag
     log_dir, lake_dir = str(root / "log"), str(root / "lake")
     os.makedirs(log_dir, exist_ok=True)
-    if not any(Path(log_dir).glob("batch-*.parquet")):
+    done_marker = Path(log_dir) / "_COMPLETE"
+    if not done_marker.exists():
+        # a crash mid-generation must not leave a truncated log that later
+        # runs silently reuse: write everything, then the marker
+        for stale in Path(log_dir).glob("batch-*.parquet"):
+            stale.unlink()
         ev = pq.read_table(f"{sf_dir}/events.parquet")
         changes = _derive_changes(ev)
         n = changes.num_rows
@@ -99,6 +104,7 @@ def _events_lake(sf_dir: str) -> JobConfig:
             if i == 0:
                 part = part.drop_columns(["tool"])  # schema-evolution file
             pq.write_table(part, f"{log_dir}/batch-{i:05d}-{lo:012d}-{hi:012d}.parquet")
+        done_marker.touch()
     cfg = JobConfig(changelog_dir=log_dir, lake_dir=lake_dir, num_partitions=16)
     replay(cfg)  # no-op when already up to date
     return cfg

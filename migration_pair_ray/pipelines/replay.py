@@ -51,18 +51,26 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str) -> pa
         concurrency=conc,
         num_cpus=1,
     )
-    # push-based sort shuffle: ~5x faster than the default pull-based
-    # strategy for this key-partitioned exchange (measured 12.6s vs 61-88s
-    # on a 20M-event log at 32 CPUs); restored after execution
-    from ray.data.context import DataContext, ShuffleStrategy
-    ctx = DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-    try:
-        out = lineage.take_all()  # tiny: one record per partition
-    finally:
-        ctx.shuffle_strategy = prev
+    out = lineage.take_all()  # tiny: one record per partition
     return pa.Table.from_pylist(out, schema=LINEAGE_SCHEMA)
+
+
+class _push_shuffle:
+    """Context manager selecting the push-based sort shuffle for every
+    Dataset CREATED inside the block (Ray snapshots the DataContext into a
+    Dataset's plan at creation — setting the strategy after building the
+    pipeline is a silent no-op).  Measured ~5x on the replay exchange
+    (12.6s vs 61-88s, 20M events, 32 CPUs)."""
+
+    def __enter__(self):
+        from ray.data.context import DataContext, ShuffleStrategy
+        self.ctx = DataContext.get_current()
+        self.prev = self.ctx.shuffle_strategy
+        self.ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    def __exit__(self, *exc):
+        self.ctx.shuffle_strategy = self.prev
+        return False
 
 
 def _write_lineage(cfg: JobConfig, pass_id: str, lineage: pa.Table) -> None:
@@ -84,8 +92,9 @@ def replay(cfg: JobConfig) -> dict:
 
     pass_id = compute_pass_id(files)
     schema = unified_schema(files)
-    ds = read_changes(files, schema)
-    lineage = apply_changes_ds(ds, cfg, pass_id)
+    with _push_shuffle():
+        ds = read_changes(files, schema)
+        lineage = apply_changes_ds(ds, cfg, pass_id)
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq

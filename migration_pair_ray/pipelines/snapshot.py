@@ -40,6 +40,9 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
     ds = final_state(cfg, sort=sort)
     if unix_ms_ts:
         ds = ds.map_batches(_ts_to_unix_ms, batch_format="pyarrow")
+    # materialize once: write + count would otherwise each re-execute the
+    # whole lazy pipeline (lake scan, filter, global sort)
+    ds = ds.materialize()
     if fmt == "parquet":
         ds.write_parquet(out_dir)
     elif fmt == "csv":

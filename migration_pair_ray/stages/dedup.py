@@ -310,7 +310,9 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
     natural text (nearly all documents share nearly all 3-grams, making
     every pair a "candidate" and the pair set quadratic).
     """
-    prefilter = max(0.5, threshold - 2.0 / np.sqrt(n_perm))
+    # a little below the target (estimator noise ~1/sqrt(n_perm)) but never
+    # ABOVE it — that would silently drop genuine candidates
+    prefilter = max(0.0, threshold - 2.0 / np.sqrt(n_perm))
     pairs = minhash_candidate_pairs(ds, threshold=prefilter,
                                     n_perm=n_perm, k=n, n_bands=n_bands)
     cand_rows = pairs.select_columns(["a", "b"]).take_all()

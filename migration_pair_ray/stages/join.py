@@ -31,6 +31,7 @@ from migration_pair_ray.functions.hashing import stable_hash64
 
 _SIDE_COL = "__side"
 _BUCKET_COL = "__bucket"
+right_suffix_default = "_r"
 
 
 def _add_bucket(batch: pa.Table, on: list[str], num_buckets: int, side: int) -> pa.Table:
@@ -62,13 +63,7 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """
     if isinstance(on, str):
         on = [on]
-    lschema, rschema = left.schema(), right.schema()
-    lcols, rcols = lschema.names, rschema.names
-    l_only = [c for c in lcols if c not in on]
-    r_only = [c for c in rcols if c not in on]
 
-    # union schema: both sides conform (other side's columns = typed nulls)
-    # so the union's blocks are homogeneous and groups see every column
     def _arrow_types(schema) -> dict:
         out = {}
         for n, t in zip(schema.names, schema.types):
@@ -80,8 +75,22 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             out[n] = t
         return out
 
-    ltypes = _arrow_types(lschema)
-    rtypes = _arrow_types(rschema)
+    ltypes = _arrow_types(left.schema())
+    rtypes = _arrow_types(right.schema())
+    l_only = [c for c in ltypes if c not in on]
+    r_only = [c for c in rtypes if c not in on]
+
+    # shared non-key names would duplicate fields in the union schema and
+    # corrupt the in-bucket merge — suffix the right side up front
+    collisions = set(l_only) & set(r_only)
+    if collisions:
+        new_names = [c + right_suffix_default if c in collisions else c
+                     for c in rtypes]
+        right = right.map_batches(
+            lambda b, names=tuple(new_names): b.rename_columns(list(names)),
+            batch_format="pyarrow")
+        rtypes = dict(zip(new_names, rtypes.values()))
+        r_only = [c for c in rtypes if c not in on]
     union_schema = pa.schema(
         [pa.field(c, ltypes[c]) for c in on]
         + [pa.field(c, ltypes[c]) for c in l_only]

@@ -28,15 +28,23 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def hash_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Deterministic 64-bit hash of a string column (vectorized)."""
-    np_arr = np.asarray(arr.to_pandas(), dtype=object)
+    """Deterministic 64-bit hash of a string column (vectorized).
+    Nulls hash as empty string (stable everywhere)."""
+    import pyarrow.compute as pc
+    filled = pc.fill_null(arr, "")
+    np_arr = np.asarray(filled.to_pandas(), dtype=object)
     return pd.util.hash_array(np_arr, categorize=False)
 
 
 def partition_ids(batch: pa.Table, num_partitions: int, mode: str = "conv") -> np.ndarray:
     h = hash_strings(batch.column("conv_id"))
     if mode == "key":
-        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # null turn_idx → sentinel BEFORE the numpy cast (a null would go
+        # through float NaN, whose uint64 conversion is architecture-
+        # dependent — every node must hash a key identically)
+        import pyarrow.compute as pc
+        turn_arr = pc.fill_null(pc.cast(batch.column("turn_idx"), pa.int64()), -1)
+        turn = turn_arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         h = (h ^ (turn * _GOLDEN)) * _GOLDEN
     return (h % np.uint64(num_partitions)).astype(np.int32)
 

@@ -74,7 +74,12 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
     # per-batch top-k shrinks each block to nq*k rows; the driver-side merge
     # touches only those partials (never the corpus)
     partials = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
-    t = pa.Table.from_pylist(partials)
+    empty_schema = pa.schema([pa.field("query_id", pa.int64()),
+                              pa.field(id_col, pa.int64()),
+                              pa.field("cos", pa.float64())])
+    if not partials:   # empty corpus / empty IVF shortlist
+        return empty_schema.empty_table()
+    t = pa.Table.from_pylist(partials, schema=empty_schema)
     import pyarrow.compute as pc
     if round_to is not None:
         t = t.set_column(t.schema.get_field_index("cos"), "cos",

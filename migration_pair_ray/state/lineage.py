@@ -35,12 +35,20 @@ def lineage_summary(cfg: JobConfig) -> dict:
     if t.num_rows == 0:
         return {"passes": 0, "partitions": 0, "rows_in": 0}
     applied = t.filter(pc.equal(t.column("skipped"), False))
+    # current-state figures come from the MANIFESTS (each partition's
+    # committed latest), never by summing lineage across passes — that
+    # would double-count state rows
+    from migration_pair_ray.state.manifest import ManifestStore
+    store = ManifestStore(cfg.manifest_dir)
+    manifests = [m for m in (store.read(pid) for pid in range(cfg.num_partitions)) if m]
+    rows_state_now = sum(m.get("row_count", 0) for m in manifests)
+    tombstones_now = sum(m.get("tombstones", 0) for m in manifests)
     return {
         "passes": len(set(t.column("pass_id").to_pylist())),
-        "partitions": t.num_rows,
+        "partitions": len(manifests),
         "rows_in": int(pc.sum(t.column("rows_in")).as_py() or 0),
-        "rows_state_last": int(pc.sum(applied.column("rows_state")).as_py() or 0),
-        "tombstones": int(pc.sum(applied.column("tombstones")).as_py() or 0),
+        "rows_state_last": rows_state_now,
+        "tombstones": tombstones_now,
         "bytes_written": int(pc.sum(applied.column("bytes")).as_py() or 0),
         "applier_seconds": float(pc.sum(t.column("seconds")).as_py() or 0.0),
         "lsn_lo": int(pc.min(applied.column("lsn_lo")).as_py() or 0),
