@@ -171,20 +171,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang ORDER BY lang""",
         "doc_quality": """
             SELECT doc_id,
-                   length(text) AS n_chars_m,
-                   length(replace(text, ' ', '')) AS chars_nospace,
+                   length(COALESCE(text, '')) AS n_chars_m,
+                   length(replace(COALESCE(text, ''), ' ', '')) AS chars_nospace,
                    CASE WHEN text IS NULL OR length(text) = 0 THEN 0
                         ELSE length(text) - length(replace(text, ' ', '')) + 1
                    END AS n_tokens,
                    CAST(
-                     (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
-                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
-                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5
-                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4
-                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4
-                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' in ', ''))) / 4
-                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' is ', ''))) / 4
-                   + (length(' '||text||' ') - length(replace(' '||text||' ', ' it ', ''))) / 4
+                     (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' the ', ''))) / 5
+                   + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' a ', ''))) / 3
+                   + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' and ', ''))) / 5
+                   + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' of ', ''))) / 4
+                   + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' to ', ''))) / 4
+                   + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' in ', ''))) / 4
+                   + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' is ', ''))) / 4
+                   + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' it ', ''))) / 4
                    AS BIGINT) AS stop_hits
             FROM documents ORDER BY doc_id""",
         "events_value_stats": """
@@ -193,7 +193,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(AVG(value) * 100, 0) AS BIGINT) AS avg_value_cents
             FROM events GROUP BY event_type ORDER BY event_type""",
         "doc_fingerprints": """
-            SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+            SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents ORDER BY doc_id""",
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, text
             FROM documents GROUP BY text ORDER BY doc_id""",
@@ -212,7 +212,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, cos DESC, vec_id""",
         "media_byte_stats": """
             SELECT doc_id AS media_id, 'image' AS media_type,
-                   octet_length(encode(text)) AS n_bytes
+                   octet_length(encode(COALESCE(text, ''))) AS n_bytes
             FROM documents ORDER BY media_id""",
         # doc_langid / doc_near_dedup_minhash / doc_near_dedup_simhash /
         # embed_knn_ivf: intentionally no oracle (heuristic / probabilistic)

@@ -6,13 +6,13 @@ Default: run the headline CDC replay (generated change log, cached under
 /root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32),
 and print ONE JSON line:
 
-    {"metric": "cdc_replay_events_per_sec", "value": <headline sec>,
+    {"metric": "cdc_replay_seconds", "value": <headline sec>,
      "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N,
      "events_per_sec": ...}
 
 --scaling: run the identical replay job in two FRESH processes at
-num_cpus=8 and num_cpus=32 on the same (pre-generated, warmed) input and
-print throughput at both plus efficiency = (thr_32 / thr_8) / 4 —
+num_cpus=4 and num_cpus=16 on the same (pre-generated, warmed) input and
+print throughput at both plus efficiency = (thr_hi / thr_lo) / 4 —
 the sandbox evidence for the north rule's N→4N criterion (BASELINE.md).
 """
 
@@ -48,13 +48,19 @@ def ensure_change_log() -> str:
     one hot conversation with ~10% of events, 64 files, schema evolution,
     out-of-order arrival, replayed duplicates."""
     from migration_pair_ray.changegen import generate_change_log
-    if not os.path.isdir(BENCH_LOG) or not os.listdir(BENCH_LOG):
-        os.makedirs(os.path.dirname(BENCH_LOG), exist_ok=True)
+    marker = os.path.join(BENCH_LOG, "_COMPLETE")
+    if not os.path.exists(marker):
+        # no completion marker → (re)generate from scratch; a crash midway
+        # through the 64-file write must not leave a truncated log that
+        # later runs silently benchmark
+        shutil.rmtree(BENCH_LOG, ignore_errors=True)
+        os.makedirs(BENCH_LOG, exist_ok=True)
         generate_change_log(
             BENCH_LOG, n_events=BENCH_EVENTS, n_convs=50_000,
             turns_per_conv=400, n_files=64, tool_epoch=8, hot_frac=0.1,
             delete_frac=0.05, update_frac=0.35, dup_frac=0.03,
             shuffle_window=500_000, burst_max=6, seed=1234)
+        open(marker, "w").close()
     return BENCH_LOG
 
 
@@ -118,7 +124,6 @@ def main() -> None:
     queries_sec["cdc_replay"] = round(headline, 3)
     events_per_sec = summary["events_in"] / headline
 
-    from migration_pair_ray.pipelines import queries as qlib
     import __ray_entry__ as em
     qmap = em.queries()
     for name in QUERY_NAMES:
@@ -127,7 +132,7 @@ def main() -> None:
         queries_sec[name] = round(time.perf_counter() - t0, 3)
 
     out = {
-        "metric": "cdc_replay_events_per_sec",
+        "metric": "cdc_replay_seconds",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries_sec,
@@ -184,7 +189,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
-    elif os.environ.get("GRAFT_BENCH_ONLY_REPLAY"):
+    elif os.environ.get("GRAFT_BENCH_ONLY_REPLAY", "").lower() in ("1", "true", "yes"):
         # child mode for --scaling: replay only, one JSON line
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         import ray
@@ -199,7 +204,7 @@ if __name__ == "__main__":
         dt = time.perf_counter() - t0
         ray.shutdown()
         print(json.dumps({
-            "metric": "cdc_replay_events_per_sec", "value": round(dt, 3),
+            "metric": "cdc_replay_seconds", "value": round(dt, 3),
             "unit": "sec", "num_cpus": num_cpus,
             "bench_events": summary["events_in"],
             "events_per_sec": round(summary["events_in"] / dt, 1),

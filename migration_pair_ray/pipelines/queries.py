@@ -191,7 +191,7 @@ def agg_pricing_summary(sf_dir: str):
         # 0.5 rounding boundary, so Ray and the SQL oracle agree exactly
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
             t = t.set_column(t.schema.get_field_index(c), c,
-                             pc.cast(pc.round(t.column(c), ndigits=0), pa.int64()))
+                             pc.cast(pc.round(t.column(c), ndigits=0, round_mode="half_towards_infinity"), pa.int64()))
         return t
     return out.sort(["l_returnflag", "l_linestatus"]).map_batches(
         integerize, batch_format="pyarrow")
@@ -206,7 +206,7 @@ def filter_highvalue_orders(sf_dir: str):
         return pa.table({
             "o_orderkey": t.column("o_orderkey"),
             "o_totalprice": t.column("o_totalprice"),
-            "price_cents": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0), ndigits=0), pa.int64()),
+            "price_cents": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0), ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
         })
     return ds.map_batches(fn, batch_format="pyarrow").sort("o_orderkey")
 
@@ -250,7 +250,7 @@ def join_orders_customer_segment(sf_dir: str):
                       Sum("n_orders", alias_name="n_orders")))
     return out.sort("c_mktsegment").map_batches(
         lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
-                               pc.cast(pc.round(t.column("revenue"), ndigits=0), pa.int64())),
+                               pc.cast(pc.round(t.column("revenue"), ndigits=0, round_mode="half_towards_infinity"), pa.int64())),
         batch_format="pyarrow")
 
 
@@ -319,7 +319,7 @@ def events_hourly_windows(sf_dir: str):
     return out.sort("hour").map_batches(
         lambda t: t.set_column(t.schema.get_field_index("value_sum"), "value_sum",
                                pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0),
-                                                ndigits=0), pa.int64())),
+                                                ndigits=0, round_mode="half_towards_infinity"), pa.int64())),
         batch_format="pyarrow")
 
 
@@ -359,7 +359,7 @@ def events_csv_roundtrip(sf_dir: str):
     return out.sort("event_type").map_batches(
         lambda t: t.set_column(t.schema.get_field_index("value_sum"), "value_sum",
                                pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0),
-                                                ndigits=0), pa.int64())),
+                                                ndigits=0, round_mode="half_towards_infinity"), pa.int64())),
         batch_format="pyarrow")
 
 
@@ -488,7 +488,7 @@ def join_orders_lineitem_priority(sf_dir: str):
                       Sum("n_items", alias_name="n_items")))
     return out.sort("o_orderpriority").map_batches(
         lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
-                               pc.cast(pc.round(t.column("revenue"), ndigits=0), pa.int64())),
+                               pc.cast(pc.round(t.column("revenue"), ndigits=0, round_mode="half_towards_infinity"), pa.int64())),
         batch_format="pyarrow")
 
 
@@ -555,9 +555,9 @@ def events_value_stats(sf_dir: str):
             "event_type": t.column("event_type"),
             "n": t.column("n"),
             "value_sum_cents": pc.cast(pc.round(pc.multiply(t.column("vsum"), 100.0),
-                                                ndigits=0), pa.int64()),
+                                                ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
             "avg_value_cents": pc.cast(pc.round(pc.multiply(avg, 100.0),
-                                                ndigits=0), pa.int64()),
+                                                ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
         })
 
     return out.sort("event_type").map_batches(finalize, batch_format="pyarrow")
@@ -606,5 +606,5 @@ def events_sliding_windows(sf_dir: str):
     return out.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("value_sum"), "value_sum",
                                pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0),
-                                                ndigits=0), pa.int64())),
+                                                ndigits=0, round_mode="half_towards_infinity"), pa.int64())),
         batch_format="pyarrow")

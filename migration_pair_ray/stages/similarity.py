@@ -83,7 +83,7 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
     import pyarrow.compute as pc
     if round_to is not None:
         t = t.set_column(t.schema.get_field_index("cos"), "cos",
-                         pc.round(t.column("cos"), ndigits=round_to))
+                         pc.round(t.column("cos"), ndigits=round_to, round_mode="half_towards_infinity"))
     t = t.sort_by([("query_id", "ascending"), ("cos", "descending"),
                    (id_col, "ascending")])
     # keep k per query
