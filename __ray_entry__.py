@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q.doc_token_stats,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_exact_dedup": q.doc_exact_dedup,
-        "doc_langid": q.doc_langid,                      # rows-only
+        "doc_langid": q.doc_langid,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,  # rows-only
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,  # rows-only
         "doc_quality": q.doc_quality,
@@ -61,6 +61,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_stats": q.media_byte_stats_q,
         "media_features": q.media_features,              # rows-only
     }
+
+
+def _langid_oracle() -> str:
+    """SQL mirror of functions.text.LangId: per-language substring-count
+    scores over the space-padded text, argmax with first-wins ties in
+    profile order, 'und' when every score is zero."""
+    from migration_pair_ray.functions.text import LangId
+    langs = list(LangId.PROFILES)
+
+    def score(lang: str) -> str:
+        terms = []
+        for m in LangId.PROFILES[lang]:
+            esc = m.replace("'", "''")
+            terms.append(
+                f"(length(p) - length(replace(p, '{esc}', ''))) / {len(m)}")
+        return " + ".join(terms)
+
+    cases = " ".join(
+        f"WHEN s_{l} >= " + " AND s_{0} >= ".format(l).join(
+            [f"s_{o}" for o in langs if o != l]) + f" THEN '{l}'"
+        for l in langs)
+    scores = ", ".join(f"CAST({score(l)} AS BIGINT) AS s_{l}" for l in langs)
+    zero = " AND ".join(f"s_{l} = 0" for l in langs)
+    return f"""
+        WITH padded AS (
+          SELECT doc_id, lang, ' ' || COALESCE(text, '') || ' ' AS p
+          FROM documents),
+        scored AS (SELECT doc_id, lang, {scores} FROM padded)
+        SELECT doc_id, lang,
+               CASE WHEN {zero} THEN 'und' {cases} END AS lang_pred
+        FROM scored ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -192,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum_cents,
                    CAST(ROUND(AVG(value) * 100, 0) AS BIGINT) AS avg_value_cents
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "doc_langid": _langid_oracle(),
         "doc_fingerprints": """
             SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents ORDER BY doc_id""",
         "doc_exact_dedup": """
@@ -214,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS media_type,
                    octet_length(encode(COALESCE(text, ''))) AS n_bytes
             FROM documents ORDER BY media_id""",
-        # doc_langid / doc_near_dedup_minhash / doc_near_dedup_simhash /
-        # embed_knn_ivf: intentionally no oracle (heuristic / probabilistic)
+        # doc_near_dedup_minhash / doc_near_dedup_simhash / embed_knn_ivf /
+        # embed_near_dedup / media_features: intentionally no oracle
+        # (probabilistic sketches / stubbed model)
     }
