@@ -185,7 +185,8 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
               FROM events)
-            SELECT user_id, SUM(new_s) + 1 AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
             FROM d GROUP BY user_id ORDER BY user_id""",
         "events_csv_roundtrip": """
             SELECT event_type,
@@ -194,10 +195,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type""",
         "doc_token_stats": """
             SELECT lang,
-                   SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                   CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
                         ELSE length(text) - length(replace(text, ' ', '')) + 1
-                       END) AS sum_tokens,
-                   SUM(n_chars) AS sum_chars,
+                       END) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang""",
         "doc_quality": """

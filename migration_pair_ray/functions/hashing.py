@@ -38,6 +38,8 @@ def _batch_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     shingle (for ``np.minimum.reduceat`` segment reductions).  Docs shorter
     than k are zero-padded to k so every doc has ≥ 1 shingle.
     """
+    if len(texts) == 0:   # an upstream filter can empty a block
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
     bs = [(t or "").encode("utf-8") for t in texts]
     bs = [b if len(b) >= k else b.ljust(k, b"\0") for b in bs]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))

@@ -522,7 +522,8 @@ def doc_quality(sf_dir: str):
     out = ds.map_batches(lambda t: quality_features(t), batch_format="pyarrow")
 
     def project(t: pa.Table) -> pa.Table:
-        spaces = pc.cast(pc.count_substring(t.column("text"), " "), pa.int64())
+        spaces = pc.cast(pc.count_substring(
+            pc.fill_null(t.column("text"), ""), " "), pa.int64())
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_chars_m": t.column("n_chars_m"),

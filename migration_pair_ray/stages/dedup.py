@@ -151,15 +151,16 @@ def drop_cluster_losers(ds: "ray.data.Dataset", clusters: "ray.data.Dataset",
     losers_tbl = clusters.map_batches(
         lambda t: t.filter(pa.compute.not_equal(t.column("doc_id"), t.column("cluster"))),
         batch_format="pyarrow").select_columns(["doc_id"]).take_all()
-    loser_ids = {r["doc_id"] for r in losers_tbl}
+    loser_ids = np.sort(np.fromiter((r["doc_id"] for r in losers_tbl),
+                                    dtype=np.int64, count=len(losers_tbl)))
     ref = ray.put(loser_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
         bad = ray.get(ref)
-        if not bad:
+        if len(bad) == 0:
             return batch
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.array([i not in bad for i in ids])
+        mask = np.isin(ids, bad, invert=True)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
