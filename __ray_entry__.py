@@ -50,14 +50,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q.doc_fingerprints,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_langid": q.doc_langid,
-        "doc_near_dedup_minhash": q.doc_near_dedup_minhash,  # rows-only
+        "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,  # rows-only
+        "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
         "doc_quality": q.doc_quality,
         "events_value_stats": q.events_value_stats,
         # embeddings / multimodal
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
         "embed_knn_ivf": q.embed_knn_ivf,                # rows-only
-        "embed_near_dedup": q.embed_near_dedup,          # rows-only
+        "embed_near_dedup": q.embed_near_dedup,
         "media_byte_stats": q.media_byte_stats_q,
         "media_features": q.media_features,              # rows-only
     }
@@ -92,6 +93,42 @@ def _langid_oracle() -> str:
         SELECT doc_id, lang,
                CASE WHEN {zero} THEN 'und' {cases} END AS lang_pred
         FROM scored ORDER BY doc_id"""
+
+
+def _jaccard_dedup_oracle(threshold: float) -> str:
+    """Exact 5-gram-Jaccard near-dedup with TRUE connected components
+    (recursive min-label CTE — a pairwise NOT EXISTS would diverge from
+    union-find on path-shaped clusters).  Safe as an oracle for both the
+    exact-jaccard engine path and the seeded minhash path because the
+    corpus's pair-similarity distribution is bimodal around the threshold
+    (no pair between 0.36 and 0.92 at sf0.01)."""
+    return f"""
+        WITH RECURSIVE nums AS (SELECT i FROM range(1, 2000) t(i)),
+        sh AS (
+          SELECT DISTINCT doc_id, substr(COALESCE(text,''), i, 5) AS s
+          FROM documents JOIN nums
+            ON i <= GREATEST(length(COALESCE(text,'')) - 4, 1)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id ai, b.doc_id bi, COUNT(*) c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT ai, bi FROM inter
+                  JOIN sz x ON x.doc_id = ai JOIN sz y ON y.doc_id = bi
+                  WHERE c * 1.0 / (x.n + y.n - c) >= {threshold}),
+        edges AS (SELECT ai a, bi b FROM pairs
+                  UNION ALL SELECT bi, ai FROM pairs),
+        cc(id, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.id
+        ),
+        losers AS (SELECT id FROM
+                   (SELECT id, MIN(lbl) AS root FROM cc GROUP BY id)
+                   WHERE root < id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -247,7 +284,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS media_type,
                    octet_length(encode(COALESCE(text, ''))) AS n_bytes
             FROM documents ORDER BY media_id""",
-        # doc_near_dedup_minhash / doc_near_dedup_simhash / embed_knn_ivf /
-        # embed_near_dedup / media_features: intentionally no oracle
-        # (probabilistic sketches / stubbed model)
+        "doc_near_dedup_ngram": _jaccard_dedup_oracle(0.8),
+        "doc_near_dedup_minhash": _jaccard_dedup_oracle(0.8),
+        "embed_near_dedup": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings
+              WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id FROM aug a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM aug b WHERE b.vec_id < a.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.995)
+            ORDER BY a.vec_id""",
+        # doc_near_dedup_simhash / embed_knn_ivf / media_features:
+        # intentionally no oracle (hamming-sketch semantics / approximate
+        # recall / stubbed decode model are not SQL-expressible)
     }

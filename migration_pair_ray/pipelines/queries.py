@@ -590,11 +590,41 @@ def media_features(sf_dir: str):
 
 
 def embed_near_dedup(sf_dir: str):
-    """Rows-only: cosine near-duplicate removal over the embeddings table."""
+    """Cosine near-dup removal, oracle-checked against exact pairwise
+    ``list_cosine_similarity``.  The natural corpus has NO pairs at
+    cosine ≥ 0.995 (max off-diagonal ~0.51), so exact duplicates are
+    PLANTED deterministically (vec_id+100000 for every vec_id % 10 == 0,
+    mirrored in the SQL) — the check therefore exercises real LSH recall
+    (50 planted dups must be caught) and precision (no natural pair may
+    cross the threshold)."""
     from migration_pair_ray.stages.similarity import embedding_dedup
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return (embedding_dedup(ds, threshold=0.995)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 10 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(dup.column("vec_id"), pa.scalar(100000, pa.int64())))
+        return pa.concat_tables([t, dup])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return (embedding_dedup(planted, threshold=0.995)
             .select_columns(["vec_id"]).sort("vec_id"))
+
+
+def doc_near_dedup_ngram(sf_dir: str):
+    """Near-dedup where the merge decision is the EXACT 5-gram Jaccard
+    (MinHash-LSH only supplies candidates) — SQL-expressible, so this one
+    is a hard oracle row unlike the probabilistic minhash/simhash sketches.
+    The corpus's pair-similarity distribution is bimodal (nothing between
+    0.36 and 0.92), so threshold 0.8 has a wide safety margin on both
+    sides of every real pair."""
+    from migration_pair_ray.stages.dedup import ngram_jaccard_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (ngram_jaccard_dedup(ds, threshold=0.8, n=5)
+            .select_columns(["doc_id"]).sort("doc_id"))
 
 
 def events_sliding_windows(sf_dir: str):

@@ -40,13 +40,22 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
     ds = final_state(cfg, sort=sort)
     if unix_ms_ts:
         ds = ds.map_batches(_ts_to_unix_ms, batch_format="pyarrow")
-    # materialize once: write + count would otherwise each re-execute the
-    # whole lazy pipeline (lake scan, filter, global sort)
-    ds = ds.materialize()
+    # The write streams the pipeline once; NO materialize() — at 100 TB a
+    # materialized final state would pin the whole table in the object
+    # store.  The row count comes from the commit manifests instead: every
+    # partition manifest records row_count (internal rows) and tombstones,
+    # and the visible state is exactly their difference.
     if fmt == "parquet":
         ds.write_parquet(out_dir)
     elif fmt == "csv":
         ds.write_csv(out_dir)
     else:
         raise ValueError(f"unknown snapshot format {fmt!r}")
-    return ds.count()
+    from migration_pair_ray.state.manifest import ManifestStore
+    store = ManifestStore(cfg.manifest_dir)
+    total = 0
+    for pid in range(cfg.num_partitions):
+        m = store.read(pid)
+        if m:
+            total += int(m["row_count"]) - int(m["tombstones"])
+    return total

@@ -32,25 +32,34 @@ from migration_pair_ray.functions.hashing import (
 # ------------------------------------------------------------------ exact
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
+                id_col: str = "doc_id", num_buckets: int = 64) -> "ray.data.Dataset":
     """Exact dedup: keep the minimum-id row per distinct text.
 
-    Hash-partition by a 64-bit content hash (so the shuffle key is small
-    and uniform), then verify the actual text within each hash group —
-    collisions cannot cause a false merge.
+    Scale shape: hash-partition by a COARSE bucket of the 64-bit content
+    hash (``num_buckets`` Ray groups — not one group per distinct text;
+    per-group dispatch at 10^9 docs is the pitfall), then inside each
+    bucket a single vectorized Arrow sort by (hash, text, id) + keep-first
+    boundary mask (the ``lww.py`` kernel).  The text itself participates in
+    the sort key within equal-hash runs, so a hash collision cannot cause
+    a false merge.
     """
+    from migration_pair_ray.functions.lww import _group_first_mask
+
     def add_hash(batch: pa.Table) -> pa.Table:
         h = stable_hash64(batch.column(text_col).to_pylist()).astype(np.int64)
-        return batch.append_column("__h", pa.array(h))
+        batch = batch.append_column("__h", pa.array(h))
+        return batch.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int32)))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(id_col)
-                 .drop_duplicates(subset=text_col, keep="first")
-                 .drop(columns="__h"))
+    def keep_first(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("__h", "ascending"), (text_col, "ascending"),
+                       (id_col, "ascending")])
+        g = g.filter(_group_first_mask(g, ["__h", text_col]))
+        return g.drop_columns(["__h", "__b"])
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("__h")
-              .map_groups(keep_first, batch_format="pandas"))
+              .groupby("__b")
+              .map_groups(keep_first, batch_format="pyarrow"))
 
 
 # ------------------------------------------------ candidate-pair machinery
@@ -71,32 +80,6 @@ def _pairs_df(rows_a, rows_b, sims) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(rows_a).astype(np.int64),
                          "b": np.concatenate(rows_b).astype(np.int64),
                          "sim": np.concatenate(sims).astype(np.float64)})
-
-
-def _pairs_from_buckets(bucket: pd.DataFrame, verify) -> pd.DataFrame:
-    """All-pairs verification inside one LSH bucket. ``verify(i, j) ->
-    similarity`` on positional indices; emits rows (a, b, sim) with a < b.
-    Buckets are bounded by construction (hash-uniform), so the quadratic
-    stays local and small."""
-    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                          "b": pd.Series(dtype="int64"),
-                          "sim": pd.Series(dtype="float64")})
-    ids = bucket["doc_id"].to_numpy()
-    n = len(ids)
-    if n < 2:
-        return empty
-    rows_a, rows_b, sims = [], [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            s = verify(bucket, i, j)
-            if s is not None:
-                a, b = int(ids[i]), int(ids[j])
-                rows_a.append(min(a, b)); rows_b.append(max(a, b)); sims.append(s)
-    if not rows_a:
-        return empty
-    return pd.DataFrame({"a": np.asarray(rows_a, dtype=np.int64),
-                         "b": np.asarray(rows_b, dtype=np.int64),
-                         "sim": np.asarray(sims, dtype=np.float64)})
 
 
 def connected_components(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -317,23 +300,45 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
     pairs = minhash_candidate_pairs(ds, threshold=prefilter,
                                     n_perm=n_perm, k=n, n_bands=n_bands)
     cand_rows = pairs.select_columns(["a", "b"]).take_all()
-    cand_ids = {r["a"] for r in cand_rows} | {r["b"] for r in cand_rows}
+    cand_ids = np.unique(np.fromiter(
+        (v for r in cand_rows for v in (r["a"], r["b"])),
+        dtype=np.int64, count=2 * len(cand_rows)))
     ids_ref = ray.put(cand_ids)
 
-    def only_candidates(batch: pa.Table) -> pa.Table:
+    # candidate docs → UNIQUE sorted shingle-hash sets, computed INSIDE
+    # map_batches (the corpus text never reaches the driver): filter each
+    # block to candidates (np.isin), one vectorized shingle pass over the
+    # block's texts, then per-doc sort+dedup via a lexsort boundary mask.
+    from migration_pair_ray.functions.hashing import _batch_shingles
+
+    def shingle_candidates(batch: pa.Table) -> pa.Table:
         wanted = ray.get(ids_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array([i in wanted for i in ids]))
+        mask = np.isin(ids, wanted)
+        sub = batch.filter(pa.array(mask))
+        texts = sub.column("text").to_pylist()
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "sh": pa.array([], pa.large_list(pa.uint64()))})
+        if not texts:
+            return empty
+        h, starts = _batch_shingles(texts, n)
+        counts = np.diff(np.concatenate([starts, [len(h)]]))
+        doc_of = np.repeat(np.arange(len(texts)), counts)
+        order = np.lexsort((h, doc_of))
+        hs, ds_ = h[order], doc_of[order]
+        keep = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])])
+        hs, ds_ = hs[keep], ds_[keep]
+        uniq_counts = np.bincount(ds_, minlength=len(texts))
+        offsets = np.concatenate([[0], np.cumsum(uniq_counts)]).astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(hs))
+        return pa.table({"doc_id": sub.column("doc_id").cast(pa.int64()),
+                         "sh": lst})
 
-    # candidate docs → UNIQUE shingle-hash sets (sorted uint64 arrays),
-    # computed with the batched shingle machinery; per-pair verification is
-    # then a fast sorted-array intersection, not Python set algebra
-    from migration_pair_ray.functions.hashing import _batch_shingles
     id_shingles: dict[int, np.ndarray] = {}
     for r in (ds.select_columns(["doc_id", "text"])
-                .map_batches(only_candidates, batch_format="pyarrow").take_all()):
-        h, _ = _batch_shingles([r["text"] or ""], n)
-        id_shingles[r["doc_id"]] = np.unique(h)
+                .map_batches(shingle_candidates, batch_format="pyarrow")
+                .take_all()):
+        id_shingles[r["doc_id"]] = np.asarray(r["sh"], dtype=np.uint64)
     ref = ray.put(id_shingles)
 
     def exact_verify(batch: pa.Table) -> pa.Table:

@@ -140,39 +140,97 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 
 
 def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
-                    n_planes: int = 8, vec_col: str = "embedding",
-                    id_col: str = "vec_id", seed: int = 5) -> "ray.data.Dataset":
-    """Cosine near-duplicate removal: seeded random-hyperplane LSH buckets,
-    exact pairwise cosine within buckets, connected components, keep the
-    minimum id per component."""
+                    n_planes: int = 12, n_tables: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 5, n_coarse: int = 64) -> "ray.data.Dataset":
+    """Cosine near-duplicate removal: multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` hyperplanes each
+    (seeded → identical planes on every node).  A pair at cosine c collides
+    in one table with p = (1 - acos(c)/pi)^n_planes; across tables the
+    detection probability is 1 - (1-p)^n_tables — at c = 0.98,
+    n_planes = 12, n_tables = 4 that is > 0.998, while random pairs
+    (c ≈ 0) land together with p ≈ 2^-12 per table, keeping buckets small.
+
+    Scale shape: only (table, bucket, id, vec) rows shuffle; Ray groups are
+    ``n_coarse`` COARSE buckets (not one per fine bucket — per-group
+    dispatch pitfall); inside a group, fine-bucket runs are found by one
+    lexsort and each run is verified by ONE normalized matmul +
+    ``triu_indices`` threshold — no Python pair loop.  Buckets beyond
+    ``_BUCKET_CAP`` members are degenerate (near-constant embeddings) and
+    are skipped, bounding the quadratic.
+    """
     from migration_pair_ray.stages.dedup import (
-        _pairs_from_buckets, connected_components, drop_cluster_losers)
-    import pandas as pd
+        _BUCKET_CAP, connected_components, drop_cluster_losers)
+
+    golden = np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _l2_normalize(_batch_matrix(batch, vec_col))
-        rng = np.random.default_rng(seed)                 # seeded → same planes everywhere
-        planes = rng.standard_normal((m.shape[1], n_planes)).astype(np.float32)
-        bits = (m @ planes) > 0
-        key = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal(
+            (n_tables, m.shape[1], n_planes)).astype(np.float32)
+        n = m.shape[0]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.empty((n_tables, n), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (m @ planes[t]) > 0
+            keys[t] = (bits * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+            keys[t] += np.int64(t) << np.int64(n_planes)   # disjoint per table
+        flat_keys = keys.reshape(-1)
+        with np.errstate(over="ignore"):
+            coarse = ((flat_keys * golden) % n_coarse).astype(np.int32)
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(m, (n_tables, 1)).reshape(-1)), m.shape[1])
         return pa.table({
-            "bucket": pa.array(key),
-            "doc_id": batch.column(id_col),
-            "vec": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+            "bucket": pa.array(flat_keys),
+            "coarse": pa.array(np.abs(coarse)),
+            "doc_id": pa.array(np.tile(ids, n_tables)),
+            "vec": vecs,
         })
 
     cand = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def verify(bucket: pd.DataFrame, i: int, j: int):
-        a = np.asarray(bucket["vec"].iloc[i], dtype=np.float32)
-        b = np.asarray(bucket["vec"].iloc[j], dtype=np.float32)
-        cos = float(a @ b)
-        return cos if cos >= threshold else None
+    def coarse_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if g.num_rows < 2:
+            return empty
+        buckets = g.column("bucket").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        m = _batch_matrix(g, "vec")
+        order = np.lexsort((ids, buckets))
+        buckets, ids, m = buckets[order], ids[order], m[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], buckets[1:] != buckets[:-1]]))
+        ends = np.concatenate([starts[1:], [len(buckets)]])
+        rows_a, rows_b, sims = [], [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2 or k > _BUCKET_CAP:     # degenerate bucket: no signal
+                continue
+            sub = m[s:e]
+            cos = sub @ sub.T                # one matmul per fine bucket
+            iu, ju = np.triu_indices(k, 1)
+            cv = cos[iu, ju]
+            hit = cv >= threshold
+            if not hit.any():
+                continue
+            a, b = ids[s:e][iu[hit]], ids[s:e][ju[hit]]
+            rows_a.append(np.minimum(a, b))
+            rows_b.append(np.maximum(a, b))
+            sims.append(cv[hit].astype(np.float64))
+        if not rows_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(rows_a)),
+                         "b": pa.array(np.concatenate(rows_b)),
+                         "sim": pa.array(np.concatenate(sims))})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset="doc_id")
-        return _pairs_from_buckets(g, verify)
-
-    pairs = cand.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = cand.groupby("coarse").map_groups(coarse_pairs, batch_format="pyarrow")
+    # a pair can collide in several tables — dedup on (a, b)
+    pairs = (pairs.groupby(["a", "b"]).max("sim")
+             .map_batches(lambda t: t.rename_columns(["a", "b", "sim"]),
+                          batch_format="pyarrow"))
     clusters = connected_components(pairs)
     return drop_cluster_losers(ds, clusters, id_col=id_col)
