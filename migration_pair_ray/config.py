@@ -40,6 +40,19 @@ class JobConfig:
     # sha256 the committed state files into the manifest (audit trail).
     # Costs one extra read of every written byte — benchmarks turn it off.
     hash_state: bool = True
+    # CSV wire-format parity with the reference (Models/SettingsModel.cs
+    # Delimiter / HasHeaderRecord; read side Tasks/Insertion.cs:107-112,
+    # write side Tasks/Extraction.cs:57,92): field delimiter and whether
+    # files carry a header row.  With csv_has_header=False, columns bind
+    # POSITIONALLY to the target schema order (csv_columns overrides) —
+    # the reference's Insertion.cs:101-102 contract.
+    csv_delimiter: str = ","
+    csv_has_header: bool = True
+    csv_columns: list[str] | None = None
+    # Ray task retries for the merge/apply stage (reference retries write
+    # timeouts with backoff, Policies/RetryPolicy.cs:18-23; here a retried
+    # task is safe because commits are manifest-gated and idempotent).
+    apply_max_retries: int = 3
 
     def __post_init__(self) -> None:
         if self.batch_size <= 0:  # reference behavior: <=0 falls back to default

@@ -30,6 +30,33 @@ class SchemaComplianceError(ValueError):
     pass
 
 
+def _csv_read_args(cfg: JobConfig, input_path: str) -> dict:
+    """pyarrow CSV options mirroring the reference's configurable delimiter
+    and header flag (``Tasks/Insertion.cs:107-112``).  Headerless files
+    bind columns positionally to the target schema order — explicitly via
+    ``cfg.csv_columns`` or by sniffing the field count of the first line
+    and taking the leading CHANGE_SCHEMA names (conv_id..ts[,op,lsn]),
+    which is the reference's ``preparedRow[i] by columns[i]`` contract."""
+    from pathlib import Path
+    from pyarrow import csv as pacsv
+
+    args: dict = {"parse_options": pacsv.ParseOptions(delimiter=cfg.csv_delimiter)}
+    if not cfg.csv_has_header:
+        names = cfg.csv_columns
+        if names is None:
+            p = Path(input_path)
+            first = sorted(f for f in (p.glob("**/*") if p.is_dir() else [p])
+                           if Path(f).is_file())[0]
+            import csv as _csv
+            with open(first, encoding="utf-8") as f:
+                # quote-aware field count (a delimiter inside a quoted
+                # text field must not inflate the sniffed column count)
+                n_fields = len(next(_csv.reader(f, delimiter=cfg.csv_delimiter)))
+            names = list(CHANGE_SCHEMA.names[:n_fields])
+        args["read_options"] = pacsv.ReadOptions(column_names=list(names))
+    return args
+
+
 def _synthesize_envelope(batch: pa.Table) -> pa.Table:
     """Rows → insert change events.  lsn: taken from the input when present;
     otherwise 0 for every row — a snapshot holds at most one row per
@@ -56,8 +83,10 @@ def bulk_load(cfg: JobConfig, input_path: str, fmt: str = "csv",
 
 
 def _bulk_load(cfg: JobConfig, input_path: str, fmt: str, pass_tag: str) -> dict:
+    from migration_pair_ray.state.manifest import LakeMeta
+    LakeMeta(cfg.lake_dir).ensure(cfg.num_partitions, cfg.partition_mode)
     if fmt == "csv":
-        ds = ray.data.read_csv(input_path)
+        ds = ray.data.read_csv(input_path, **_csv_read_args(cfg, input_path))
     elif fmt == "parquet":
         ds = ray.data.read_parquet(input_path)
     else:

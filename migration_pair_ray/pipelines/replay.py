@@ -32,9 +32,16 @@ from migration_pair_ray.stages.partition import PART_COL, add_partition_column
 from migration_pair_ray.state.manifest import CheckpointStore, compute_pass_id
 
 
-def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str) -> pa.Table:
+def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
+                     applier_cls: type = Applier) -> pa.Table:
     """Run the partition→merge→commit tail of the pipeline on a normalized
-    change Dataset; returns the lineage table (one row per partition)."""
+    change Dataset; returns the lineage table (one row per partition).
+
+    The merge stage carries EXPLICIT retry semantics (the analog of the
+    reference's write-timeout retry policy, ``Policies/RetryPolicy.cs:18-23``):
+    a failed/retried merge task is safe because every effect is gated on
+    the idempotent manifest commit — the retry rewrites identical bytes.
+    """
     # whole-block batches (batch_size=None): zero-copy through the fused
     # map stages; an explicit batch_size would re-slice and copy each block
     ds = ds.map_batches(lww_reduce, batch_format="pyarrow")
@@ -44,12 +51,16 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str) -> pa
     )
     conc = cfg.apply_concurrency or (1, min(cfg.num_partitions, 16))
     lineage = ds.groupby(PART_COL).map_groups(
-        Applier,
+        applier_cls,
         fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id,
                              cfg.hash_state),
         batch_format="pyarrow",
         concurrency=conc,
         num_cpus=1,
+        # a merge actor that dies mid-task is restarted and the task
+        # retried; safe because commits are manifest-gated + idempotent
+        max_restarts=-1,
+        max_task_retries=cfg.apply_max_retries,
     )
     out = lineage.take_all()  # tiny: one record per partition
     return pa.Table.from_pylist(out, schema=LINEAGE_SCHEMA)
@@ -89,6 +100,11 @@ def replay(cfg: JobConfig) -> dict:
     if not files:
         return {"pass_id": None, "files": 0, "events_in": 0, "partitions": 0,
                 "seconds": 0.0, "events_per_sec": 0.0, "up_to_date": True}
+
+    # layout gate: replaying into a lake built with a different partition
+    # count/mode would route keys away from their existing state
+    from migration_pair_ray.state.manifest import LakeMeta
+    LakeMeta(cfg.lake_dir).ensure(cfg.num_partitions, cfg.partition_mode)
 
     pass_id = compute_pass_id(files)
     schema = unified_schema(files)

@@ -48,7 +48,18 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
     if fmt == "parquet":
         ds.write_parquet(out_dir)
     elif fmt == "csv":
-        ds.write_csv(out_dir)
+        # reference wire-format parity: configured delimiter + optional
+        # header row (Tasks/Extraction.cs:55-59,92; SettingsModel.cs)
+        delim, header = cfg.csv_delimiter, cfg.csv_has_header
+
+        def _csv_args():
+            # WriteOptions is not picklable; the _fn form builds it on the
+            # writing worker instead of shipping it
+            from pyarrow import csv as pacsv
+            return {"write_options": pacsv.WriteOptions(
+                delimiter=delim, include_header=header)}
+
+        ds.write_csv(out_dir, arrow_csv_args_fn=_csv_args)
     else:
         raise ValueError(f"unknown snapshot format {fmt!r}")
     from migration_pair_ray.state.manifest import ManifestStore

@@ -12,6 +12,7 @@ heterogeneous files (schema evolution: early files lack ``tool``).
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import pyarrow as pa
@@ -24,10 +25,26 @@ from migration_pair_ray.state.manifest import CheckpointStore
 
 
 def discover(changelog_dir: str, checkpoint_dir: str | None = None) -> list[str]:
-    """Change files not yet consumed by a committed pass, in epoch order."""
+    """Change files not yet consumed by a committed pass, in epoch order.
+
+    The change log is APPEND-ONLY: a committed file must never change in
+    place.  Resume enforces that contract — a committed basename that
+    reappears with a different size raises instead of being silently
+    skipped (which would drop its new events from the bit-for-bit replay).
+    """
     files = sorted(str(p) for p in Path(changelog_dir).glob("batch-*.parquet"))
     if checkpoint_dir is not None and Path(checkpoint_dir).exists():
-        done = CheckpointStore(checkpoint_dir).committed_files()
+        store = CheckpointStore(checkpoint_dir)
+        done = store.committed_files()
+        sizes = store.committed_sizes()
+        for f in files:
+            name = Path(f).name
+            if name in done and name in sizes and os.path.getsize(f) != sizes[name]:
+                raise RuntimeError(
+                    f"change file {name} was already committed with size "
+                    f"{sizes[name]} but now has size {os.path.getsize(f)}: "
+                    f"the change log is append-only; a committed file must "
+                    f"not be modified in place")
         files = [f for f in files if Path(f).name not in done]
     return files
 

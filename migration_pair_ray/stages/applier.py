@@ -47,11 +47,13 @@ LINEAGE_SCHEMA = pa.schema(
 
 
 def _fsync_write_parquet(table: pa.Table, path: str) -> int:
+    from migration_pair_ray.state.manifest import _fsync_dir
     tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
     with open(tmp, "rb+") as f:
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(path)   # make the rename durable before the manifest commit
     return os.path.getsize(path)
 
 

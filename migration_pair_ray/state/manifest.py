@@ -25,6 +25,18 @@ import os
 from pathlib import Path
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync the directory so the ``os.replace`` rename itself is durable —
+    without this a power loss can lose the rename while surviving a later
+    unlink of the file it superseded, leaving a manifest that points at a
+    deleted data file."""
+    fd = os.open(str(Path(path).parent), os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write(path: str, data: bytes) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
@@ -32,6 +44,7 @@ def _atomic_write(path: str, data: bytes) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(path)
 
 
 def compute_pass_id(change_files: list[str]) -> str:
@@ -89,10 +102,70 @@ class CheckpointStore:
                 done.update(json.load(f)["files"])
         return done
 
+    def committed_sizes(self) -> dict[str, int]:
+        """basename → recorded size for every committed change file (empty
+        entries for checkpoints written before sizes were recorded)."""
+        sizes: dict[str, int] = {}
+        for p in sorted(self.dir.glob("pass-*.json")):
+            with open(p) as f:
+                sizes.update(json.load(f).get("file_sizes", {}))
+        return sizes
+
     def commit_pass(self, pass_id: str, change_files: list[str], stats: dict | None = None) -> None:
         rec = {
             "pass_id": pass_id,
             "files": sorted(Path(p).name for p in change_files),
+            # per-file sizes: resume validates that a committed basename
+            # never reappears with different content (append-only contract)
+            "file_sizes": {Path(p).name: os.path.getsize(p)
+                           for p in change_files if os.path.exists(p)},
             "stats": stats or {},
         }
         _atomic_write(str(self.dir / f"pass-{pass_id}.json"), json.dumps(rec, indent=1).encode())
+
+
+class LakeLayoutError(RuntimeError):
+    """The lake on disk was created with a different partition layout."""
+
+
+class LakeMeta:
+    """Lake-level layout metadata (``<lake>/_lake_meta.json``).
+
+    ``num_partitions`` and ``partition_mode`` decide which partition a key's
+    events route to; replaying into an existing lake with a DIFFERENT
+    layout would route new events away from their prior state — silently
+    yielding duplicate/stale winners and resurrected deletes.  The layout
+    is therefore persisted on first commit and asserted on every
+    subsequent write pass.
+    """
+
+    FILE = "_lake_meta.json"
+
+    def __init__(self, lake_dir: str):
+        self.path = Path(lake_dir) / self.FILE
+
+    def read(self) -> dict | None:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def ensure(self, num_partitions: int, partition_mode: str) -> None:
+        """First writer records the layout; later writers must match it."""
+        cur = self.read()
+        want = {"num_partitions": num_partitions, "partition_mode": partition_mode}
+        if cur is None:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            _atomic_write(str(self.path), json.dumps(want, indent=1).encode())
+            return
+        if (cur.get("num_partitions") != num_partitions
+                or cur.get("partition_mode") != partition_mode):
+            raise LakeLayoutError(
+                f"lake at {self.path.parent} was created with "
+                f"num_partitions={cur.get('num_partitions')} "
+                f"partition_mode={cur.get('partition_mode')!r}; this job is "
+                f"configured with num_partitions={num_partitions} "
+                f"partition_mode={partition_mode!r}. Changing the layout of "
+                f"an existing lake requires an explicit repartition/compact "
+                f"job, not a config change.")

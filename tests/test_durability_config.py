@@ -1,0 +1,119 @@
+"""Durability / configuration-contract tests:
+
+* lake layout metadata: a replay or bulk load into an existing lake with a
+  different num_partitions/partition_mode must abort (silent key-routing
+  corruption otherwise);
+* append-only change log: a committed file modified in place must raise on
+  resume, not be silently skipped;
+* CSV delimiter/header parity (reference SettingsModel Delimiter /
+  HasHeaderRecord): headerless ';'-delimited snapshot → bulk-load round trip;
+* mid-task applier retry: an injected one-shot task failure must be
+  retried by Ray and yield a bit-identical lake (manifest-gated
+  exactly-once under retries).
+"""
+
+import hashlib
+import pathlib
+
+import pandas as pd
+import pytest
+
+from migration_pair_ray.changegen import generate_change_log
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.pipelines.bulk_load import bulk_load
+from migration_pair_ray.pipelines.replay import (
+    apply_changes_ds, final_state, replay)
+from migration_pair_ray.pipelines.snapshot import snapshot
+from migration_pair_ray.state.manifest import LakeLayoutError, compute_pass_id
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lake_layout_change_aborts(tmp_lake, tmp_path):
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=300, n_convs=6, n_files=2, seed=51)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4)
+    replay(cfg)
+    # more change files arrive; the operator "helpfully" bumps partitions
+    generate_change_log(str(tmp_path / "extra"), n_events=100, n_convs=6,
+                        n_files=1, seed=52)
+    src = next(pathlib.Path(str(tmp_path / "extra")).glob("batch-*.parquet"))
+    src.rename(pathlib.Path(log) / f"batch-99999-{src.name.split('-', 2)[2]}")
+    bad = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=8)
+    with pytest.raises(LakeLayoutError):
+        replay(bad)
+    bad_mode = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                         partition_mode="key")
+    with pytest.raises(LakeLayoutError):
+        replay(bad_mode)
+    with pytest.raises(LakeLayoutError):
+        bulk_load(bad, str(tmp_path / "whatever.parquet"), fmt="parquet")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_modified_committed_file_raises(tmp_lake):
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=300, n_convs=6, n_files=2, seed=53)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4)
+    replay(cfg)
+    committed = sorted(pathlib.Path(log).glob("batch-*.parquet"))[0]
+    with open(committed, "ab") as f:     # in-place mutation (size change)
+        f.write(b"garbage")
+    with pytest.raises(RuntimeError, match="append-only"):
+        replay(cfg)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_headerless_semicolon_csv_roundtrip(tmp_lake, tmp_path):
+    """Reference bread-and-butter wire format: delimiter=';', no header
+    (Models/SettingsModel.cs Delimiter/HasHeaderRecord; positional binding
+    Tasks/Insertion.cs:101-102 — here by schema-order name assignment)."""
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=400, n_convs=6, n_files=2,
+                        tool_epoch=1, seed=54)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    csv_delimiter=";", csv_has_header=False)
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    csv_dir = str(tmp_path / "wire")
+    snapshot(cfg, csv_dir, fmt="csv", unix_ms_ts=True)
+    # really headerless ';' files
+    first = sorted(pathlib.Path(csv_dir).glob("*.csv"))[0].read_text().splitlines()[0]
+    assert ";" in first and "conv_id" not in first
+
+    cfg2 = JobConfig(changelog_dir=str(tmp_path / "nolog"),
+                     lake_dir=str(tmp_path / "lake2"), num_partitions=4,
+                     csv_delimiter=";", csv_has_header=False)
+    pathlib.Path(cfg2.changelog_dir).mkdir(parents=True, exist_ok=True)
+    bulk_load(cfg2, f"{csv_dir}/", fmt="csv")
+    got = final_state(cfg2).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _state_hashes(lake: str) -> dict:
+    return {p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+            for p in sorted(pathlib.Path(lake).glob("part=*/state-*.parquet"))}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_applier_midtask_retry_bit_identical(tmp_lake, tmp_path):
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=400, n_convs=8, n_files=2,
+                        tool_epoch=1, seed=55)
+    from migration_pair_ray.sources.changelog import discover, read_changes, unified_schema
+    files = discover(log)
+    pass_id = compute_pass_id(files)
+    schema = unified_schema(files)
+
+    lake2 = str(tmp_path / "undisturbed")
+    cfg_flaky = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4)
+    cfg_clean = JobConfig(changelog_dir=log, lake_dir=lake2, num_partitions=4)
+
+    from migration_pair_ray.testing import FaultInjectingApplier
+    lineage = apply_changes_ds(read_changes(files, schema), cfg_flaky,
+                               pass_id, applier_cls=FaultInjectingApplier)
+    # the injected crash did fire
+    assert (pathlib.Path(lake) / "_fault_injected_once").exists()
+    assert lineage.num_rows == 4
+    apply_changes_ds(read_changes(files, schema), cfg_clean, pass_id)
+    assert _state_hashes(lake) == _state_hashes(lake2)
