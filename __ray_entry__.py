@@ -51,7 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_langid": q.doc_langid,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
-        "doc_near_dedup_simhash": q.doc_near_dedup_simhash,  # rows-only
+        "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
         "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
         "doc_quality": q.doc_quality,
         "events_value_stats": q.events_value_stats,
@@ -116,6 +116,58 @@ def _jaccard_dedup_oracle(threshold: float) -> str:
         pairs AS (SELECT ai, bi FROM inter
                   JOIN sz x ON x.doc_id = ai JOIN sz y ON y.doc_id = bi
                   WHERE c * 1.0 / (x.n + y.n - c) >= {threshold}),
+        edges AS (SELECT ai a, bi b FROM pairs
+                  UNION ALL SELECT bi, ai FROM pairs),
+        cc(id, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.id
+        ),
+        losers AS (SELECT id FROM
+                   (SELECT id, MIN(lbl) AS root FROM cc GROUP BY id)
+                   WHERE root < id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id"""
+
+
+def _simhash_dedup_oracle(max_hamming: int = 3) -> str:
+    """Bit-exact SQL mirror of functions.hashing.simhash64 (k=4 byte
+    shingles, polynomial rolling hash base 1099511628211 with uint64
+    wraparound, multiplicity-weighted bit votes) — verified fingerprint-
+    identical to the engine on the test corpora (ASCII text, so ord() ==
+    utf-8 byte).  Pairs = exact 64-bit hamming ≤ max_hamming over ALL
+    pairs; the engine's 16-bit-block bucketing finds exactly these by
+    pigeonhole (3 differing bits cannot touch all 4 blocks).  Components
+    via recursive min-label propagation, keep the minimum doc_id."""
+    return f"""
+        WITH RECURSIVE nums AS (SELECT i FROM range(1, 2000) t(i)),
+        sh AS (
+          SELECT doc_id,
+            CAST((((((CAST(ord(substr(text,i,1)) AS HUGEINT) * 1099511628211
+                + ord(substr(text,i+1,1))) % 18446744073709551616) * 1099511628211
+                + ord(substr(text,i+2,1))) % 18446744073709551616) * 1099511628211
+                + ord(substr(text,i+3,1))) % 18446744073709551616 AS UBIGINT) AS h
+          FROM documents JOIN nums ON i <= length(text) - 3
+        ),
+        bb AS (SELECT CAST(i AS UBIGINT) AS bit FROM range(0, 64) t(i)),
+        bits AS (
+          SELECT doc_id, bit,
+                 SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+          FROM sh CROSS JOIN bb GROUP BY 1, 2
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN votes > 0
+                          THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+                          ELSE 0 END) AS UBIGINT) AS f
+          FROM bits GROUP BY doc_id
+        ),
+        pairs AS (
+          SELECT a.doc_id ai, b.doc_id bi
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+        ),
         edges AS (SELECT ai a, bi b FROM pairs
                   UNION ALL SELECT bi, ai FROM pairs),
         cc(id, lbl) AS (
@@ -286,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY media_id""",
         "doc_near_dedup_ngram": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_minhash": _jaccard_dedup_oracle(0.8),
+        "doc_near_dedup_simhash": _simhash_dedup_oracle(3),
         "embed_near_dedup": """
             WITH aug AS (
               SELECT vec_id, embedding FROM embeddings
@@ -298,7 +351,6 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM aug b WHERE b.vec_id < a.vec_id
                 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.995)
             ORDER BY a.vec_id""",
-        # doc_near_dedup_simhash / embed_knn_ivf / media_features:
-        # intentionally no oracle (hamming-sketch semantics / approximate
-        # recall / stubbed decode model are not SQL-expressible)
+        # embed_knn_ivf / media_features: intentionally no oracle
+        # (approximate recall by design / stubbed decode model)
     }

@@ -53,6 +53,10 @@ class JobConfig:
     # timeouts with backoff, Policies/RetryPolicy.cs:18-23; here a retried
     # task is safe because commits are manifest-gated and idempotent).
     apply_max_retries: int = 3
+    # Partition-size guard: merges bigger than this run key-range by
+    # key-range (bounded transient memory) instead of one whole-partition
+    # sort — see functions/lww.py merge_tables_chunked and COMPACTION.md.
+    merge_chunk_rows: int = 4_000_000
 
     def __post_init__(self) -> None:
         if self.batch_size <= 0:  # reference behavior: <=0 falls back to default

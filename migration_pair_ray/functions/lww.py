@@ -105,3 +105,53 @@ def merge_tables(existing: pa.Table | None, changes: pa.Table) -> pa.Table:
         return lww_reduce(changes)
     both = pa.concat_tables([existing, changes], promote_options="permissive")
     return lww_reduce(both)
+
+
+def merge_tables_chunked(existing: pa.Table | None, changes: pa.Table,
+                         chunk_rows: int) -> pa.Table:
+    """``merge_tables`` with a bounded transient working set — the
+    partition-size guard for skewed lakes (one conversation holding a
+    large share of a partition).
+
+    Both sides are key-sorted (``merge_tables`` output is; ``lww_reduce``
+    sorts the change side), so the merge can proceed key-range by
+    key-range: the change side is cut at ``chunk_rows`` boundaries aligned
+    to key-group edges, the existing state is sliced to each chunk's key
+    range by binary search, and per-range merges concatenate into the
+    (still fully sorted) result.  Peak extra memory is one chunk's sort +
+    concat instead of the whole partition's.
+    """
+    if (existing is None or existing.num_rows == 0
+            or changes.num_rows + existing.num_rows <= chunk_rows):
+        return merge_tables(existing, changes)
+
+    import numpy as np
+    changes = lww_reduce(changes)
+    conv_c = np.asarray(changes.column("conv_id").to_pandas())
+    turn_c = changes.column("turn_idx").to_numpy(zero_copy_only=False)
+    conv_e = np.asarray(existing.column("conv_id").to_pandas())
+    turn_e = existing.column("turn_idx").to_numpy(zero_copy_only=False)
+
+    def existing_pos(c, t) -> int:
+        """First index in existing with key >= (c, t)."""
+        lo = int(np.searchsorted(conv_e, c, side="left"))
+        hi = int(np.searchsorted(conv_e, c, side="right"))
+        return lo + int(np.searchsorted(turn_e[lo:hi], t, side="left"))
+
+    out, c_lo, e_lo = [], 0, 0
+    n = changes.num_rows
+    while c_lo < n:
+        c_hi = min(c_lo + max(chunk_rows, 1), n)
+        if c_hi < n:
+            # advance to a key-group edge so one key never spans chunks
+            while c_hi < n and (conv_c[c_hi] == conv_c[c_hi - 1]
+                                and turn_c[c_hi] == turn_c[c_hi - 1]):
+                c_hi += 1
+        e_hi = (existing.num_rows if c_hi >= n
+                else existing_pos(conv_c[c_hi], turn_c[c_hi]))
+        out.append(merge_tables(existing.slice(e_lo, e_hi - e_lo),
+                                changes.slice(c_lo, c_hi - c_lo)))
+        c_lo, e_lo = c_hi, e_hi
+    if e_lo < existing.num_rows:   # tail of existing past the last change key
+        out.append(existing.slice(e_lo))
+    return pa.concat_tables(out, promote_options="permissive")

@@ -442,12 +442,21 @@ def embed_topk_bruteforce(sf_dir: str):
 
 
 def embed_knn_ivf(sf_dir: str):
-    """Rows-only check (approximate)."""
-    from migration_pair_ray.stages.similarity import ivf_topk
+    """Rows-only check (approximate recall by design).  Exercises the
+    PERSISTED IVF layout: the corpus is written bucket-partitioned once
+    (cached under /tmp keyed by source size), then the query reads only
+    the probed buckets' files — the 10^10-row scale path."""
+    from migration_pair_ray.stages.similarity import ivf_build, ivf_probe
     q = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
     queries = np.array(q.column("embedding").to_pylist(), dtype=np.float32)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(ds, queries, k=10, n_clusters=16, n_probe=4, round_to=4)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(Path("/tmp/mpr_queries") / f"ivf-{Path(sf_dir).name}-{st.st_size}")
+    if not Path(index_dir, "centroids.npy").exists():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        ivf_build(ds, index_dir, n_clusters=16)
+    return ivf_probe(index_dir, queries, k=10, n_probe=4, round_to=4)
 
 
 def media_byte_stats_q(sf_dir: str):

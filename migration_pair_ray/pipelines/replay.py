@@ -53,7 +53,7 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
     lineage = ds.groupby(PART_COL).map_groups(
         applier_cls,
         fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id,
-                             cfg.hash_state),
+                             cfg.hash_state, cfg.merge_chunk_rows),
         batch_format="pyarrow",
         concurrency=conc,
         num_cpus=1,

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from migration_pair_ray.functions.lww import merge_tables
+from migration_pair_ray.functions.lww import merge_tables_chunked
 from migration_pair_ray.schemas import MERGE_KEYS
 from migration_pair_ray.stages.partition import PART_COL
 from migration_pair_ray.state.manifest import ManifestStore
@@ -65,10 +65,11 @@ class Applier:
     """
 
     def __init__(self, lake_dir: str, manifest_dir: str, pass_id: str,
-                 hash_state: bool = True):
+                 hash_state: bool = True, merge_chunk_rows: int = 4_000_000):
         self.lake_dir = lake_dir
         self.pass_id = pass_id
         self.hash_state = hash_state
+        self.merge_chunk_rows = merge_chunk_rows
         self.manifests = ManifestStore(manifest_dir)  # once per actor
 
     def _state_file(self, pid: int) -> str:
@@ -103,10 +104,12 @@ class Applier:
         if prev:
             existing = pq.read_table(str(Path(self.lake_dir) / prev["data_file"]))
 
-        # merge_tables sorts by (conv_id, turn_idx, ts, lsn) and keeps one
-        # row per key — its output is therefore already in the deterministic
-        # (conv_id, turn_idx) file order; no second sort needed
-        merged = merge_tables(existing, changes)
+        # merge sorts by (conv_id, turn_idx, ts, lsn) and keeps one row per
+        # key — its output is therefore already in the deterministic
+        # (conv_id, turn_idx) file order; no second sort needed.  The
+        # chunked variant bounds the transient sort/concat working set when
+        # a skewed partition outgrows merge_chunk_rows.
+        merged = merge_tables_chunked(existing, changes, self.merge_chunk_rows)
 
         lsn_lo = int(pc.min(changes.column("lsn")).as_py())
         lsn_hi = int(pc.max(changes.column("lsn")).as_py())

