@@ -250,7 +250,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, user_id""",
         "topk_orders_by_price": """
             SELECT o_orderkey, o_custkey, o_totalprice
-            FROM orders ORDER BY o_totalprice DESC LIMIT 10""",
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type""",
         "events_hourly_windows": """

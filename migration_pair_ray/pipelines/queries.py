@@ -285,9 +285,24 @@ def join_lineitem_part_type(sf_dir: str):
 
 
 def topk_orders_by_price(sf_dir: str):
+    """Top-k WITHOUT a global sort: each block keeps its local top-10
+    (one vectorized sort_indices per block), the driver merges the tiny
+    partials — the brute_force_topk pattern applied to a scalar key.
+    Tie-break on o_orderkey keeps engine and oracle deterministic."""
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort("o_totalprice", descending=True).limit(10)
+    keys = [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=keys)
+        return t.take(idx.slice(0, 10))
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts, schema=pa.schema([
+        pa.field("o_orderkey", pa.int64()),
+        pa.field("o_custkey", pa.int64()),
+        pa.field("o_totalprice", pa.float64())]))
+    return merged.sort_by(keys).slice(0, 10)
 
 
 def distinct_event_types(sf_dir: str):
@@ -329,12 +344,14 @@ def events_sessionize(sf_dir: str):
     within-group sort by ts, done inside the group fn)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def sessions(g: pd.DataFrame) -> pa.Table:
+        # Arrow output: pandas-block schemas are unhashable for Ray's
+        # schema dedup (warning noise) and cost a conversion downstream
         g = g.sort_values("ts")
         gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "n_sessions": [int(gaps.sum()) + 1],
-                             "n_events": [len(g)]})
+        return pa.table({"user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+                         "n_sessions": pa.array([int(gaps.sum()) + 1], pa.int64()),
+                         "n_events": pa.array([len(g)], pa.int64())})
 
     return (ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
             .sort("user_id"))
@@ -485,13 +502,13 @@ def join_orders_lineitem_priority(sf_dir: str):
         }), batch_format="pyarrow")
     joined = hash_join(orders, items, on="o_orderkey", num_buckets=32)
 
-    def partial(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("o_orderpriority", as_index=False).agg(
-            revenue=("rev", "sum"), n_items=("rev", "count"))
-        return out
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("o_orderpriority")
+                .aggregate([("rev", "sum"), ("rev", "count")])
+                .rename_columns(["o_orderpriority", "revenue", "n_items"]))
 
     from ray.data.aggregate import Sum
-    out = (joined.map_batches(partial, batch_format="pandas")
+    out = (joined.map_batches(partial, batch_format="pyarrow")
            .groupby("o_orderpriority")
            .aggregate(Sum("revenue", alias_name="revenue"),
                       Sum("n_items", alias_name="n_items")))

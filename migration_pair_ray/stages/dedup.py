@@ -72,14 +72,16 @@ _BUCKET_CAP = 1024
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
-def _pairs_df(rows_a, rows_b, sims) -> pd.DataFrame:
+def _pairs_table(rows_a, rows_b, sims) -> pa.Table:
+    """Arrow output (pandas-block schemas are unhashable for Ray's schema
+    dedup and cost a conversion on the next stage)."""
     if not rows_a:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "sim": pd.Series(dtype="float64")})
-    return pd.DataFrame({"a": np.concatenate(rows_a).astype(np.int64),
-                         "b": np.concatenate(rows_b).astype(np.int64),
-                         "sim": np.concatenate(sims).astype(np.float64)})
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return pa.table({"a": pa.array(np.concatenate(rows_a).astype(np.int64)),
+                     "b": pa.array(np.concatenate(rows_b).astype(np.int64)),
+                     "sim": pa.array(np.concatenate(sims).astype(np.float64))})
 
 
 def connected_components(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -185,7 +187,7 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
         _MinHashStage, fn_constructor_args=(n_perm, k, n_bands),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def band_pairs(g: pd.DataFrame) -> pa.Table:
         # one Ray group per BAND (16 groups, not 10^5 tiny bucket groups —
         # per-group dispatch overhead dominates otherwise); buckets within
         # the band are a local pandas groupby, pair extraction is a
@@ -204,7 +206,7 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
             a, b = ids[iu[hit]], ids[ju[hit]]
             rows_a.append(np.minimum(a, b)); rows_b.append(np.maximum(a, b))
             sims.append(est[iu, ju][hit])
-        return _pairs_df(rows_a, rows_b, sims)
+        return _pairs_table(rows_a, rows_b, sims)
 
     pairs = cand.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
     # a pair can surface from several bands — dedup on (a, b)
@@ -245,7 +247,7 @@ def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     cand = ds.select_columns(["doc_id", "text"]).map_batches(
         fingerprint, batch_format="pyarrow")
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def block_pairs(g: pd.DataFrame) -> pa.Table:
         # one Ray group per 16-bit block (4 groups); buckets inside are a
         # local pandas groupby; hamming distance via vectorized xor-popcount
         rows_a, rows_b, sims = [], [], []
@@ -263,7 +265,7 @@ def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
             a, b = ids[iu[hit]], ids[ju[hit]]
             rows_a.append(np.minimum(a, b)); rows_b.append(np.maximum(a, b))
             sims.append((64.0 - dist[iu, ju][hit]) / 64.0)
-        return _pairs_df(rows_a, rows_b, sims)
+        return _pairs_table(rows_a, rows_b, sims)
 
     pairs = cand.groupby("block_id").map_groups(block_pairs, batch_format="pandas")
     return (pairs.groupby(["a", "b"]).max("sim")

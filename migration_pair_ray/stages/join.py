@@ -21,7 +21,6 @@ exceed a bucket (not needed for equi-joins whose key groups fit memory).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -105,24 +104,32 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         batch_format="pyarrow")
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g[_SIDE_COL] == 0][on + l_only]
-        rg = g[g[_SIDE_COL] == 1][on + r_only]
-        out = lg.merge(rg, on=on, how=how)
-        return out
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
 
-    return both.groupby(_BUCKET_COL).map_groups(join_bucket, batch_format="pandas")
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lmask = pc.equal(g.column(_SIDE_COL), 0)
+        lg = g.filter(lmask).select(on + l_only)
+        rg = g.filter(pc.invert(lmask)).select(on + r_only)
+        # Acero hash join — vectorized C++, no pandas conversion
+        return lg.join(rg, keys=on, join_type=arrow_how)
+
+    return both.groupby(_BUCKET_COL).map_groups(join_bucket, batch_format="pyarrow")
 
 
 def broadcast_join(big: "ray.data.Dataset", small: pa.Table,
                    on: list[str] | str, how: str = "inner") -> "ray.data.Dataset":
-    """Broadcast hash join: the small side is ``ray.put`` once and merged
-    into every batch of the big side with pandas — no shuffle."""
+    """Broadcast hash join: the small side is ``ray.put`` once (zero-copy
+    Arrow in the object store) and Acero-joined into every batch of the
+    big side — no shuffle, no pandas conversion."""
     if isinstance(on, str):
         on = [on]
-    ref = ray.put(small.to_pandas())
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
+    ref = ray.put(small)
 
-    def join_batch(g: pd.DataFrame) -> pd.DataFrame:
-        return g.merge(ray.get(ref), on=on, how=how)
+    def join_batch(g: pa.Table) -> pa.Table:
+        return g.join(ray.get(ref), keys=on, join_type=arrow_how)
 
-    return big.map_batches(join_batch, batch_format="pandas")
+    return big.map_batches(join_batch, batch_format="pyarrow")
