@@ -90,10 +90,10 @@ def connected_components(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     The edge set is the *verified near-duplicate pairs* — orders of
     magnitude smaller than the corpus (LSH bucketing bounds it) — so the
     standard practice even at web scale applies: collect the edges and run
-    union-find with path compression on the driver.  If a corpus ever
-    produced a driver-breaking edge set, the drop-in replacement is
-    distributed min-label propagation (iterated groupby-min), at the cost
-    of one shuffle per round; the API would not change.
+    union-find with path compression on the driver.  For an adversarial
+    dup rate whose edge set would break the driver, use
+    ``connected_components_distributed`` (same output contract; one
+    shuffle per propagation round).
 
     Returns (doc_id, cluster) rows for every node that appears in an edge,
     with cluster = min doc_id of its component.
@@ -124,6 +124,60 @@ def connected_components(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
         "doc_id": pa.array(nodes, pa.int64()),
         "cluster": pa.array(clusters, pa.int64()),
     }))
+
+
+def connected_components_distributed(pairs: "ray.data.Dataset",
+                                     max_rounds: int = 50) -> "ray.data.Dataset":
+    """Distributed min-label propagation — the driver-free fallback for
+    edge sets too large for driver union-find.
+
+    Labels live in a Dataset ``(doc_id, cluster)``; each round ships every
+    node's current label across its edges (one hash-join shuffle + one
+    groupby-min) and stops when no label changed.  Round count is bounded
+    by the longest min-label propagation path (graph diameter), with a
+    hard ``max_rounds`` backstop.  The per-round change count is a tiny
+    scalar aggregate — the driver never holds edges or labels.
+    """
+    from migration_pair_ray.stages.join import hash_join
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([t.column("a").cast(pa.int64()).combine_chunks(),
+                                     t.column("b").cast(pa.int64()).combine_chunks()]),
+            "dst": pa.concat_arrays([t.column("b").cast(pa.int64()).combine_chunks(),
+                                     t.column("a").cast(pa.int64()).combine_chunks()]),
+        }), batch_format="pyarrow").materialize()  # reused every round; tiny rows
+
+    labels = edges.map_batches(
+        lambda t: (lambda g: g.group_by("src").aggregate([("src", "min")])
+                   .rename_columns(["doc_id", "cluster"]))(
+            pa.table({"src": t.column("src")})),
+        batch_format="pyarrow").groupby("doc_id").min("cluster").map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow")
+
+    labels = labels.materialize()
+    total = labels.sum("cluster")
+    for _ in range(max_rounds):
+        # candidate labels arriving over edges: src's label offered to dst
+        offered = hash_join(
+            edges,
+            labels.map_batches(lambda t: t.rename_columns(["src", "cand"]),
+                               batch_format="pyarrow"),
+            on="src", num_buckets=8,
+        ).map_batches(lambda t: pa.table({"doc_id": t.column("dst"),
+                                          "cluster": t.column("cand")}),
+                      batch_format="pyarrow")
+        labels = (labels.union(offered).groupby("doc_id").min("cluster")
+                  .map_batches(lambda t: t.rename_columns(["doc_id", "cluster"]),
+                               batch_format="pyarrow")).materialize()
+        # labels only ever decrease, so the label-sum is a monotone
+        # convergence witness: unchanged sum == fixpoint (one tiny scalar
+        # aggregate instead of an old-vs-new join)
+        new_total = labels.sum("cluster")
+        if new_total == total:
+            break
+        total = new_total
+    return labels
 
 
 def drop_cluster_losers(ds: "ray.data.Dataset", clusters: "ray.data.Dataset",

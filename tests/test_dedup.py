@@ -124,3 +124,33 @@ def test_simhash_hamming_properties():
     sh = simhash64(["aaaa bbbb cccc", "aaaa bbbb cccc", "zzzz yyyy xxxx"])
     assert hamming64(sh[:1], sh[1:2])[0] == 0          # identical text
     assert hamming64(sh[:1], sh[2:3])[0] > 10          # unrelated text
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_components_equal_union_find():
+    """connected_components_distributed must agree with driver union-find
+    on an adversarial edge set: chains (where a pairwise min rule would
+    diverge), a star, singleton pairs and a long path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from migration_pair_ray.stages.dedup import (
+        connected_components, connected_components_distributed)
+
+    rng = np.random.default_rng(8)
+    edges = [(1, 3), (2, 3),                 # star-ish: min label must reach 2
+             (10, 11), (11, 12), (12, 13),   # chain
+             (20, 21)]                       # simple pair
+    edges += [(100 + i, 100 + i + 1) for i in range(7)]  # path (several rounds)
+    extra = rng.integers(200, 240, size=(25, 2))
+    edges += [(int(a), int(b)) for a, b in extra if a != b]
+    pairs = pa.table({
+        "a": pa.array([min(e) for e in edges], pa.int64()),
+        "b": pa.array([max(e) for e in edges], pa.int64()),
+        "sim": pa.array([1.0] * len(edges)),
+    })
+    want = {r["doc_id"]: r["cluster"]
+            for r in connected_components(rd.from_arrow(pairs)).take_all()}
+    got = {r["doc_id"]: r["cluster"]
+           for r in connected_components_distributed(rd.from_arrow(pairs)).take_all()}
+    assert got == want
