@@ -531,11 +531,20 @@ def events_hot_users(sf_dir: str):
                 .rename_columns(["user_id", "cnt"]))
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("user_id").aggregate(Sum("cnt", alias_name="cnt")))
-    t = pa.Table.from_pylist(hist.take_all())
-    total = int(pc.sum(t.column("cnt")).as_py())
-    t = t.filter(pc.greater(pc.multiply(pc.cast(t.column("cnt"), pa.float64()), 130.0),
-                            float(total)))
+            .groupby("user_id").aggregate(Sum("cnt", alias_name="cnt"))
+            ).materialize()  # tiny: one row per distinct user
+    # threshold filter runs DISTRIBUTED, so the driver only ever receives
+    # the hot keys — at 10^9 distinct users a take_all() of the full
+    # histogram would be the bottleneck
+    total = int(hist.sum("cnt"))
+    hot = hist.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(pc.cast(t.column("cnt"), pa.float64()), 130.0),
+            float(total))),
+        batch_format="pyarrow")
+    t = pa.Table.from_pylist(hot.take_all(),
+                             schema=pa.schema([pa.field("user_id", pa.int64()),
+                                               pa.field("cnt", pa.int64())]))
     return t.sort_by([("cnt", "descending"), ("user_id", "ascending")])
 
 

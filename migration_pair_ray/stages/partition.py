@@ -75,15 +75,27 @@ def detect_hot_keys(ds, hot_frac: float = 0.05) -> "pa.Table":
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64()),
+                      "frac": pa.array([], pa.float64())})
     hist = (ds.map_batches(key_histogram, batch_format="pyarrow")
-            .groupby("conv_id").aggregate(Sum("cnt", alias_name="cnt")))
-    t = pa.Table.from_pylist(hist.take_all())
-    if t.num_rows == 0:
-        return pa.table({"conv_id": pa.array([], pa.string()),
-                         "cnt": pa.array([], pa.int64()),
-                         "frac": pa.array([], pa.float64())})
-    total = int(pc.sum(t.column("cnt")).as_py())
-    frac = pc.divide(pc.cast(t.column("cnt"), pa.float64()), float(total))
-    t = t.append_column("frac", frac)
-    t = t.filter(pc.greater(t.column("frac"), hot_frac))
+            .groupby("conv_id").aggregate(Sum("cnt", alias_name="cnt"))
+            ).materialize()
+    total = hist.sum("cnt")
+    if not total:
+        return empty
+    total = int(total)
+    # hot-key filter runs DISTRIBUTED: the driver receives only keys above
+    # the threshold, never the full distinct-key histogram
+    hot = hist.map_batches(
+        lambda t: (lambda frac: t.append_column("frac", frac)
+                   .filter(pc.greater(frac, hot_frac)))(
+            pc.divide(pc.cast(t.column("cnt"), pa.float64()), float(total))),
+        batch_format="pyarrow")
+    rows = hot.take_all()
+    if not rows:
+        return empty
+    t = pa.Table.from_pylist(rows, schema=pa.schema(
+        [pa.field("conv_id", pa.string()), pa.field("cnt", pa.int64()),
+         pa.field("frac", pa.float64())]))
     return t.sort_by([("cnt", "descending")])
