@@ -234,9 +234,14 @@ class _MinHashStage:
 
 def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                             n_perm: int = 64, k: int = 5, n_bands: int = 16,
-                            concurrency=(1, 8)) -> "ray.data.Dataset":
+                            concurrency=(1, 8),
+                            dedup_pairs: bool = True) -> "ray.data.Dataset":
     """docs(doc_id, text) → verified candidate pairs (a, b, sim) with
-    estimated Jaccard ≥ threshold.  Only (band, sig) rows shuffle."""
+    estimated Jaccard ≥ threshold.  Only (band, sig) rows shuffle.
+
+    ``dedup_pairs=False`` skips the (a, b) groupby (one whole shuffle):
+    a pair surfacing from several bands then appears several times, which
+    union-find/label-propagation consumers absorb for free."""
     cand = ds.select_columns(["doc_id", "text"]).map_batches(
         _MinHashStage, fn_constructor_args=(n_perm, k, n_bands),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
@@ -263,6 +268,8 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
         return _pairs_table(rows_a, rows_b, sims)
 
     pairs = cand.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
+    if not dedup_pairs:
+        return pairs
     # a pair can surface from several bands — dedup on (a, b)
     return (pairs.groupby(["a", "b"]).max("sim")
             .map_batches(lambda t: t.rename_columns(["a", "b", "sim"]),
@@ -272,7 +279,9 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
 def minhash_lsh_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
                       n_perm: int = 64, k: int = 5, n_bands: int = 16
                       ) -> "ray.data.Dataset":
-    pairs = minhash_candidate_pairs(ds, threshold, n_perm, k, n_bands)
+    # duplicate pairs are harmless to union-find → skip the dedup shuffle
+    pairs = minhash_candidate_pairs(ds, threshold, n_perm, k, n_bands,
+                                    dedup_pairs=False)
     clusters = connected_components(pairs)
     return drop_cluster_losers(ds, clusters)
 
@@ -280,7 +289,8 @@ def minhash_lsh_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
 # ---------------------------------------------------------------- simhash
 
 def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
-                            k: int = 4) -> "ray.data.Dataset":
+                            k: int = 4,
+                            dedup_pairs: bool = True) -> "ray.data.Dataset":
     """SimHash near-dup candidates: 64-bit fingerprints, bucketed by each of
     four 16-bit blocks (two fingerprints within hamming ≤ 3 share at least
     one block by pigeonhole), verified by exact hamming distance."""
@@ -322,13 +332,16 @@ def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         return _pairs_table(rows_a, rows_b, sims)
 
     pairs = cand.groupby("block_id").map_groups(block_pairs, batch_format="pandas")
+    if not dedup_pairs:
+        return pairs
     return (pairs.groupby(["a", "b"]).max("sim")
             .map_batches(lambda t: t.rename_columns(["a", "b", "sim"]),
                          batch_format="pyarrow"))
 
 
 def simhash_dedup(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dataset":
-    pairs = simhash_candidate_pairs(ds, max_hamming)
+    # duplicate pairs are harmless to union-find → skip the dedup shuffle
+    pairs = simhash_candidate_pairs(ds, max_hamming, dedup_pairs=False)
     clusters = connected_components(pairs)
     return drop_cluster_losers(ds, clusters)
 
