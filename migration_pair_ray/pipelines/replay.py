@@ -161,6 +161,60 @@ def read_lake(cfg: JobConfig) -> "ray.data.Dataset":
     return ds.map_batches(make_normalizer(schema), batch_format="pyarrow")
 
 
+def repartition_lake(cfg: JobConfig, new_cfg: JobConfig) -> dict:
+    """The COMPACTION.md re-layout job: rebuild the lake under a NEW
+    partition layout (num_partitions / partition_mode) in a fresh
+    directory.  A layout change is never a config edit (the LakeMeta gate
+    aborts that) — it is this explicit bulk job:
+
+        read_lake(old)  →  same partition→merge→commit tail, new layout
+
+    The internal state (one winner per key, tombstones + op/lsn intact)
+    flows as the change stream, so LWW semantics, ordering and manifests
+    come from the exact same code path as replay.  The old lake's pass
+    checkpoints are carried over, so change-log consumption resumes from
+    the same point against the new lake.  The old lake directory is left
+    untouched for rollback.
+    """
+    import shutil
+    import pyarrow.compute as pc
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+
+    t0 = time.perf_counter()
+    if Path(new_cfg.lake_dir).resolve() == Path(cfg.lake_dir).resolve():
+        raise ValueError("repartition_lake writes a NEW lake directory; "
+                         "in-place re-layout is not supported (rollback safety)")
+    LakeMeta(new_cfg.lake_dir).ensure(new_cfg.num_partitions,
+                                      new_cfg.partition_mode)
+
+    # pass identity derives from the SOURCE lake's committed content
+    import hashlib
+    h = hashlib.sha256(b"relayout")
+    store = ManifestStore(cfg.manifest_dir)
+    for pid in range(cfg.num_partitions):
+        m = store.read(pid)
+        if m:
+            h.update(f"{pid}:{m['pass_id']}:{m['row_count']}".encode())
+    pass_id = h.hexdigest()[:16]
+
+    with _push_shuffle():
+        lineage = apply_changes_ds(read_lake(cfg), new_cfg, pass_id)
+
+    # carry pass checkpoints over so discover() on the new lake skips the
+    # change files the old lake already consumed
+    src_ck, dst_ck = Path(cfg.checkpoint_dir), Path(new_cfg.checkpoint_dir)
+    dst_ck.mkdir(parents=True, exist_ok=True)
+    for p in sorted(src_ck.glob("pass-*.json")):
+        shutil.copy2(p, dst_ck / p.name)
+    _write_lineage(new_cfg, pass_id, lineage)
+    return {
+        "pass_id": pass_id,
+        "partitions": lineage.num_rows,
+        "rows_state": int(pc.sum(lineage.column("rows_state")).as_py() or 0),
+        "seconds": time.perf_counter() - t0,
+    }
+
+
 def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True) -> "ray.data.Dataset":
     """User-visible final table: tombstones filtered, stable
     ``(conv_id, turn_idx)`` ordering when ``sort`` (the acceptance-comparison

@@ -55,12 +55,26 @@ def task_lineage(cfg: JobConfig, **kw) -> dict:
     return lineage_summary(cfg)
 
 
+def task_repartition(cfg: JobConfig, new_lake_dir: str = "",
+                     new_partitions: int = 0, new_mode: str = "", **kw) -> dict:
+    """Bulk re-layout (COMPACTION.md): rebuild the lake under a new
+    partition count/mode in a fresh directory; see repartition_lake."""
+    import dataclasses
+    from migration_pair_ray.pipelines.replay import repartition_lake
+    new_cfg = dataclasses.replace(
+        cfg, lake_dir=new_lake_dir,
+        num_partitions=new_partitions or cfg.num_partitions,
+        partition_mode=new_mode or cfg.partition_mode)
+    return repartition_lake(cfg, new_cfg)
+
+
 TASKS: dict[str, Callable[..., dict]] = {
     "replay": task_replay,
     "snapshot": task_snapshot,
     "bulk_load": task_bulk_load,
     "compliance": task_compliance,
     "lineage": task_lineage,
+    "repartition": task_repartition,
 }
 
 

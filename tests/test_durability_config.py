@@ -141,3 +141,55 @@ def test_skewed_replay_with_chunked_merge(tmp_lake):
         FROM w WHERE rn = 1 AND op <> 'D'
         ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repartition_lake_relayout_and_resume(tmp_lake, tmp_path):
+    """COMPACTION.md re-layout job: rebuild a P=4/'conv' lake as
+    P=8/'key', final state identical; change-log consumption RESUMES
+    against the new lake (carried checkpoints skip consumed files, new
+    files apply) and the combined state still matches the full-log
+    oracle."""
+    import dataclasses
+    import duckdb
+    import glob
+    import os
+    from migration_pair_ray.pipelines.replay import repartition_lake
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=600, n_convs=10, n_files=2,
+                        tool_epoch=1, seed=57)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    partition_mode="conv")
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    new_cfg = dataclasses.replace(cfg, lake_dir=str(tmp_path / "lake8"),
+                                  num_partitions=8, partition_mode="key")
+    s = repartition_lake(cfg, new_cfg)
+    assert s["partitions"] >= 1
+    got = final_state(new_cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # in-place re-layout must refuse
+    with pytest.raises(ValueError, match="NEW lake directory"):
+        repartition_lake(cfg, dataclasses.replace(cfg, num_partitions=8))
+
+    # new change files arrive AFTER the re-layout → only they apply
+    extra = str(tmp_path / "extra")
+    generate_change_log(extra, n_events=300, n_convs=10, n_files=1,
+                        tool_epoch=0, seed=58)
+    for i, p in enumerate(sorted(glob.glob(f"{extra}/*.parquet"))):
+        os.rename(p, os.path.join(log, f"batch-{50 + i:05d}-"
+                                  + os.path.basename(p).split("-", 2)[2]))
+    s2 = replay(new_cfg)
+    assert s2["files"] == 1 and not s2["up_to_date"]
+    got2 = final_state(new_cfg).to_pandas().reset_index(drop=True)
+    oracle = duckdb.sql(f"""
+        WITH ch AS (SELECT * FROM read_parquet('{log}/*.parquet', union_by_name=true)),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn FROM ch)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM w WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, oracle, check_dtype=False)
