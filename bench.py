@@ -34,12 +34,20 @@ QUERY_NAMES = [
     "agg_pricing_summary",
     "join_orders_customer_segment",
     "join_lineitem_part_type",
+    "join_orders_lineitem_priority",
+    "topk_orders_by_price",
     "events_hourly_windows",
     "events_sessionize",
     "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
     "doc_exact_dedup",
     "doc_near_dedup_minhash",
+    "doc_near_dedup_simhash",
+    "doc_near_dedup_ngram",
     "embed_topk_bruteforce",
+    "embed_near_dedup",
+    "embed_knn_ivf",
 ]
 
 

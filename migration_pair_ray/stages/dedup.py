@@ -69,6 +69,11 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 # Skipped buckets are simply not candidates — precision is unaffected.
 _BUCKET_CAP = 1024
 
+# Residues per band/block for the coarse Ray-group key: group count =
+# n_bands (or 4 simhash blocks) × this, so pair-verify parallelism scales
+# past the raw band/block count while a bucket never spans two groups.
+_COARSE_PER_GROUP = 16
+
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
@@ -221,10 +226,17 @@ class _MinHashStage:
         bands = band_hashes(sigs, self.n_bands)               # (n, n_bands)
         n = len(texts)
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        # explode to (band_id, band_hash, doc_id, sig) candidate rows
+        band_id = np.repeat(np.arange(self.n_bands, dtype=np.int64), n)
+        band_hash = bands.T.reshape(-1).astype(np.int64)
+        # coarse Ray-group key: band_id × a residue of the bucket hash —
+        # n_bands × _COARSE_PER_GROUP groups (vs n_bands alone, which caps
+        # shuffle/verify parallelism at 16 tasks regardless of corpus
+        # size).  A whole (band, bucket) always maps into ONE group.
+        coarse = band_id * _COARSE_PER_GROUP + band_hash % _COARSE_PER_GROUP
+        # explode to (coarse, band_hash, doc_id, sig) candidate rows
         out = pa.table({
-            "band_id": pa.array(np.repeat(np.arange(self.n_bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bands.T.reshape(-1).astype(np.int64)),
+            "coarse": pa.array(coarse.astype(np.int32)),
+            "band_hash": pa.array(band_hash),
             "doc_id": pa.array(np.tile(doc_id, self.n_bands)),
             "sig": pa.array(list(np.tile(sigs.astype(np.int64), (self.n_bands, 1))),
                             type=pa.list_(pa.int64())),
@@ -247,10 +259,11 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
     def band_pairs(g: pd.DataFrame) -> pa.Table:
-        # one Ray group per BAND (16 groups, not 10^5 tiny bucket groups —
-        # per-group dispatch overhead dominates otherwise); buckets within
-        # the band are a local pandas groupby, pair extraction is a
-        # vectorized signature-equality matrix per bucket
+        # one Ray group per (band, hash-residue) — n_bands × 16 groups, not
+        # 10^5 tiny bucket groups (per-group dispatch overhead dominates)
+        # nor n_bands alone (parallelism cap); buckets within the group are
+        # a local pandas groupby, pair extraction is a vectorized
+        # signature-equality matrix per bucket
         rows_a, rows_b, sims = [], [], []
         for _, bucket in g.groupby("band_hash", sort=False):
             bucket = bucket.drop_duplicates(subset="doc_id")
@@ -267,7 +280,7 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
             sims.append(est[iu, ju][hit])
         return _pairs_table(rows_a, rows_b, sims)
 
-    pairs = cand.groupby("band_id").map_groups(band_pairs, batch_format="pandas")
+    pairs = cand.groupby("coarse").map_groups(band_pairs, batch_format="pandas")
     if not dedup_pairs:
         return pairs
     # a pair can surface from several bands — dedup on (a, b)
@@ -301,9 +314,16 @@ def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         n = len(doc_id)
         blocks = np.stack([(sh.view(np.uint64) >> np.uint64(16 * b)) & np.uint64(0xFFFF)
                            for b in range(4)])          # (4, n)
+        block_id = np.repeat(np.arange(4, dtype=np.int64), n)
+        block_val = blocks.reshape(-1).astype(np.int64)
+        # coarse group key: 4 blocks × 16 residues = 64 Ray groups (4 alone
+        # caps verify parallelism at 4 tasks); a (block, value) bucket
+        # never spans two groups
+        coarse = block_id * _COARSE_PER_GROUP + block_val % _COARSE_PER_GROUP
         return pa.table({
-            "block_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
-            "block_val": pa.array(blocks.reshape(-1).astype(np.int64)),
+            "coarse": pa.array(coarse.astype(np.int32)),
+            "block_id": pa.array(block_id.astype(np.int32)),
+            "block_val": pa.array(block_val),
             "doc_id": pa.array(np.tile(doc_id, 4)),
             "sh": pa.array(np.tile(sh, 4)),
         })
@@ -312,8 +332,8 @@ def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         fingerprint, batch_format="pyarrow")
 
     def block_pairs(g: pd.DataFrame) -> pa.Table:
-        # one Ray group per 16-bit block (4 groups); buckets inside are a
-        # local pandas groupby; hamming distance via vectorized xor-popcount
+        # one Ray group per (block, residue); buckets inside are a local
+        # pandas groupby; hamming distance via vectorized xor-popcount
         rows_a, rows_b, sims = [], [], []
         for _, bucket in g.groupby("block_val", sort=False):
             bucket = bucket.drop_duplicates(subset="doc_id")
@@ -331,7 +351,7 @@ def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
             sims.append((64.0 - dist[iu, ju][hit]) / 64.0)
         return _pairs_table(rows_a, rows_b, sims)
 
-    pairs = cand.groupby("block_id").map_groups(block_pairs, batch_format="pandas")
+    pairs = cand.groupby("coarse").map_groups(block_pairs, batch_format="pandas")
     if not dedup_pairs:
         return pairs
     return (pairs.groupby(["a", "b"]).max("sim")
