@@ -75,6 +75,86 @@ class MediaFeatureExtractor:
         })
 
 
+def _default_fake_resize(payload: bytes, media_type: str,
+                         width: int, height: int) -> bytes:
+    """STUB resize kernel: a real implementation would decode, resize
+    (``PIL.Image.resize((width, height))``), re-encode.  The fake is
+    deterministic and size-bounded: the payload is hashed into exactly
+    ``width * height // 64`` bytes so downstream size accounting is real."""
+    n_out = max(1, width * height // 64)
+    out = bytearray()
+    counter = 0
+    while len(out) < n_out:
+        out += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[:n_out])
+
+
+class MediaResizer:
+    """Actor-pool stage: re-encode payloads at a target size.  One row in,
+    one row out; ``meta`` gains the target dimensions.  A real codec
+    context loads once per actor in ``__init__``; payloads stay binary
+    Arrow end-to-end.  Use a SMALL batch_size — output batches hold
+    ``batch_size`` re-encoded blobs in memory at once."""
+
+    def __init__(self, width: int = 256, height: int = 256, resize=None):
+        self.width, self.height = width, height
+        self.resize = resize or _default_fake_resize   # codec init goes here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        out = [self.resize(p or b"", t, self.width, self.height)
+               for p, t in zip(payloads, types)]
+        metas = ['{"w": %d, "h": %d}' % (self.width, self.height)] * len(out)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "payload": pa.array(out, pa.binary()),
+            "media_type": batch.column("media_type"),
+            "meta": pa.array(metas, pa.string()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool stage: sample ``n_frames`` frames per video payload —
+    one input row fans out to ``n_frames`` image rows (flat-map shape, so
+    run it via ``map_batches``: Arrow tables may change row count).
+
+    STUB kernel: the payload is split into byte ranges standing in for
+    decoded frames; a real implementation seeks/decodes with ffmpeg in
+    ``__init__``-held codec state.  Output rows are ordered
+    (media_id, frame_idx) within each batch — deterministic regardless of
+    input batching."""
+
+    def __init__(self, n_frames: int = 4, sample=None):
+        self.n_frames = n_frames
+        self.sample = sample or self._default_fake_sample
+
+    @staticmethod
+    def _default_fake_sample(payload: bytes, n_frames: int) -> list[bytes]:
+        if not payload:
+            return [b""] * n_frames
+        step = max(1, len(payload) // n_frames)
+        return [payload[i * step:(i + 1) * step] or payload[-step:]
+                for i in range(n_frames)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ids, out_idx, out_frames = [], [], []
+        for mid, p in zip(ids, payloads):
+            frames = self.sample(p or b"", self.n_frames)
+            out_ids.extend([mid] * len(frames))
+            out_idx.extend(range(len(frames)))
+            out_frames.extend(frames)
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "payload": pa.array(out_frames, pa.binary()),
+            "media_type": pa.array(["image"] * len(out_ids), pa.string()),
+        })
+
+
 def media_byte_stats(batch: pa.Table) -> pa.Table:
     """Pure-Arrow metadata extraction (no decode): payload byte length —
     SQL-mirrorable via octet_length(...)."""
