@@ -65,33 +65,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _langid_oracle() -> str:
-    """SQL mirror of functions.text.LangId: per-language substring-count
-    scores over the space-padded text, argmax with first-wins ties in
-    profile order, 'und' when every score is zero."""
-    from migration_pair_ray.functions.text import LangId
-    langs = list(LangId.PROFILES)
+    """FROZEN SQL mirror of functions.text.LangId (per-language substring-
+    count scores over space-padded text, argmax with first-wins ties in
+    profile order, 'und' when every score is zero).
 
-    def score(lang: str) -> str:
-        terms = []
-        for m in LangId.PROFILES[lang]:
-            esc = m.replace("'", "''")
-            terms.append(
-                f"(length(p) - length(replace(p, '{esc}', ''))) / {len(m)}")
-        return " + ".join(terms)
-
-    cases = " ".join(
-        f"WHEN s_{l} >= " + " AND s_{0} >= ".format(l).join(
-            [f"s_{o}" for o in langs if o != l]) + f" THEN '{l}'"
-        for l in langs)
-    scores = ", ".join(f"CAST({score(l)} AS BIGINT) AS s_{l}" for l in langs)
-    zero = " AND ".join(f"s_{l} = 0" for l in langs)
-    return f"""
+    Frozen as a literal — NOT regenerated from the engine's PROFILES at
+    call time — so the oracle is independent of the code under test: if
+    the language profiles or scoring rule ever drift, this check fails
+    instead of silently following along."""
+    return """
         WITH padded AS (
           SELECT doc_id, lang, ' ' || COALESCE(text, '') || ' ' AS p
           FROM documents),
-        scored AS (SELECT doc_id, lang, {scores} FROM padded)
+        scored AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 + (length(p) - length(replace(p, ' and ', ''))) / 5 + (length(p) - length(replace(p, ' of ', ''))) / 4 + (length(p) - length(replace(p, ' to ', ''))) / 4 + (length(p) - length(replace(p, ' is ', ''))) / 4 AS BIGINT) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 + (length(p) - length(replace(p, ' und ', ''))) / 5 + (length(p) - length(replace(p, ' die ', ''))) / 5 + (length(p) - length(replace(p, ' ist ', ''))) / 5 + (length(p) - length(replace(p, ' das ', ''))) / 5 AS BIGINT) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 + (length(p) - length(replace(p, ' la ', ''))) / 4 + (length(p) - length(replace(p, ' et ', ''))) / 4 + (length(p) - length(replace(p, ' les ', ''))) / 5 + (length(p) - length(replace(p, ' est ', ''))) / 5 AS BIGINT) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 + (length(p) - length(replace(p, ' la ', ''))) / 4 + (length(p) - length(replace(p, ' los ', ''))) / 5 + (length(p) - length(replace(p, ' es ', ''))) / 4 + (length(p) - length(replace(p, ' y ', ''))) / 3 AS BIGINT) AS s_es, CAST((length(p) - length(replace(p, '的', ''))) / 1 + (length(p) - length(replace(p, '是', ''))) / 1 + (length(p) - length(replace(p, '了', ''))) / 1 + (length(p) - length(replace(p, '在', ''))) / 1 + (length(p) - length(replace(p, '我', ''))) / 1 AS BIGINT) AS s_zh FROM padded)
         SELECT doc_id, lang,
-               CASE WHEN {zero} THEN 'und' {cases} END AS lang_pred
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_zh = 0 THEN 'und' WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es' WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es THEN 'zh' END AS lang_pred
         FROM scored ORDER BY doc_id"""
 
 

@@ -420,7 +420,8 @@ def doc_exact_dedup(sf_dir: str):
 
 
 def doc_langid(sf_dir: str):
-    """Rows-only check (heuristic model, not SQL-expressible)."""
+    """Heuristic n-gram language ID (actor pool, vectorized substring
+    counts) — oracle-backed by a FROZEN SQL mirror of the scoring rule."""
     from migration_pair_ray.functions.text import LangId
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
