@@ -55,6 +55,29 @@ def task_lineage(cfg: JobConfig, **kw) -> dict:
     return lineage_summary(cfg)
 
 
+def task_tail(cfg: JobConfig, poll_s: float = 5.0, max_polls: int = 0,
+              **kw) -> dict:
+    """Continuous change-log tailer: poll ``discover`` → ``replay`` until
+    stopped — the long-running analog of the reference's one-shot
+    EndToEnd run (a binlog/WAL tail consumes batches forever; each poll
+    is one bounded LSN-range pass, SURVEY.md §2.9).  ``max_polls=0``
+    polls forever; tests set a small positive bound.  Idle polls are
+    no-ops (replay returns up_to_date)."""
+    import time as _time
+    from migration_pair_ray.pipelines.replay import replay
+    polls = applied = events = 0
+    while True:
+        s = replay(cfg)
+        polls += 1
+        if not s["up_to_date"]:
+            applied += 1
+            events += s["events_in"]
+        if max_polls and polls >= max_polls:
+            break
+        _time.sleep(poll_s)
+    return {"polls": polls, "passes_applied": applied, "events_in": events}
+
+
 def task_repartition(cfg: JobConfig, new_lake_dir: str = "",
                      new_partitions: int = 0, new_mode: str = "", **kw) -> dict:
     """Bulk re-layout (COMPACTION.md): rebuild the lake under a new
@@ -75,6 +98,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "compliance": task_compliance,
     "lineage": task_lineage,
     "repartition": task_repartition,
+    "tail": task_tail,
 }
 
 

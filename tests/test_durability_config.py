@@ -193,3 +193,42 @@ def test_repartition_lake_relayout_and_resume(tmp_lake, tmp_path):
         FROM w WHERE rn = 1 AND op <> 'D'
         ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, oracle, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_task_applies_arriving_batches(tmp_lake, tmp_path):
+    """Binlog-tail loop: first poll applies the initial files; a file
+    arriving between polls is applied by the next one; idle polls no-op."""
+    import glob
+    import os
+    import threading
+    import duckdb
+    from migration_pair_ray.tasks import run_task
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=300, n_convs=6, n_files=1, seed=60)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4)
+
+    extra = str(tmp_path / "late")
+    generate_change_log(extra, n_events=200, n_convs=6, n_files=1,
+                        tool_epoch=0, seed=61)
+
+    def drop_late_file():
+        p = sorted(glob.glob(f"{extra}/*.parquet"))[0]
+        os.rename(p, os.path.join(
+            log, "batch-00900-" + os.path.basename(p).split("-", 2)[2]))
+
+    t = threading.Timer(1.0, drop_late_file)
+    t.start()
+    s = run_task("tail", cfg, poll_s=0.6, max_polls=6)
+    t.join()
+    assert s["passes_applied"] == 2 and s["polls"] == 6
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH ch AS (SELECT * FROM read_parquet('{log}/*.parquet', union_by_name=true)),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn FROM ch)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM w WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
