@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
         "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
         "doc_quality": q.doc_quality,
+        "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
         # embeddings / multimodal
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
@@ -64,23 +65,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _langid_oracle() -> str:
-    """FROZEN SQL mirror of functions.text.LangId (per-language substring-
-    count scores over space-padded text, argmax with first-wins ties in
-    profile order, 'und' when every score is zero).
-
-    Frozen as a literal — NOT regenerated from the engine's PROFILES at
-    call time — so the oracle is independent of the code under test: if
-    the language profiles or scoring rule ever drift, this check fails
-    instead of silently following along."""
-    return """
-        WITH padded AS (
+# FROZEN langid scoring SQL (generated once from functions.text.LangId's
+# profiles, then frozen): shared by the doc_langid oracle and the composed
+# corpus_curation oracle.  Being a literal makes the oracles independent of
+# the code under test — profile/scoring drift FAILS the check.
+_LANGID_SCORED_CTES = """padded AS (
           SELECT doc_id, lang, ' ' || COALESCE(text, '') || ' ' AS p
           FROM documents),
-        scored AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 + (length(p) - length(replace(p, ' and ', ''))) / 5 + (length(p) - length(replace(p, ' of ', ''))) / 4 + (length(p) - length(replace(p, ' to ', ''))) / 4 + (length(p) - length(replace(p, ' is ', ''))) / 4 AS BIGINT) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 + (length(p) - length(replace(p, ' und ', ''))) / 5 + (length(p) - length(replace(p, ' die ', ''))) / 5 + (length(p) - length(replace(p, ' ist ', ''))) / 5 + (length(p) - length(replace(p, ' das ', ''))) / 5 AS BIGINT) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 + (length(p) - length(replace(p, ' la ', ''))) / 4 + (length(p) - length(replace(p, ' et ', ''))) / 4 + (length(p) - length(replace(p, ' les ', ''))) / 5 + (length(p) - length(replace(p, ' est ', ''))) / 5 AS BIGINT) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 + (length(p) - length(replace(p, ' la ', ''))) / 4 + (length(p) - length(replace(p, ' los ', ''))) / 5 + (length(p) - length(replace(p, ' es ', ''))) / 4 + (length(p) - length(replace(p, ' y ', ''))) / 3 AS BIGINT) AS s_es, CAST((length(p) - length(replace(p, '的', ''))) / 1 + (length(p) - length(replace(p, '是', ''))) / 1 + (length(p) - length(replace(p, '了', ''))) / 1 + (length(p) - length(replace(p, '在', ''))) / 1 + (length(p) - length(replace(p, '我', ''))) / 1 AS BIGINT) AS s_zh FROM padded)
-        SELECT doc_id, lang,
-               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_zh = 0 THEN 'und' WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es' WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es THEN 'zh' END AS lang_pred
+        scored AS (SELECT doc_id, lang, CAST((length(p) - length(replace(p, ' the ', ''))) / 5 + (length(p) - length(replace(p, ' and ', ''))) / 5 + (length(p) - length(replace(p, ' of ', ''))) / 4 + (length(p) - length(replace(p, ' to ', ''))) / 4 + (length(p) - length(replace(p, ' is ', ''))) / 4 AS BIGINT) AS s_en, CAST((length(p) - length(replace(p, ' der ', ''))) / 5 + (length(p) - length(replace(p, ' und ', ''))) / 5 + (length(p) - length(replace(p, ' die ', ''))) / 5 + (length(p) - length(replace(p, ' ist ', ''))) / 5 + (length(p) - length(replace(p, ' das ', ''))) / 5 AS BIGINT) AS s_de, CAST((length(p) - length(replace(p, ' le ', ''))) / 4 + (length(p) - length(replace(p, ' la ', ''))) / 4 + (length(p) - length(replace(p, ' et ', ''))) / 4 + (length(p) - length(replace(p, ' les ', ''))) / 5 + (length(p) - length(replace(p, ' est ', ''))) / 5 AS BIGINT) AS s_fr, CAST((length(p) - length(replace(p, ' el ', ''))) / 4 + (length(p) - length(replace(p, ' la ', ''))) / 4 + (length(p) - length(replace(p, ' los ', ''))) / 5 + (length(p) - length(replace(p, ' es ', ''))) / 4 + (length(p) - length(replace(p, ' y ', ''))) / 3 AS BIGINT) AS s_es, CAST((length(p) - length(replace(p, '的', ''))) / 1 + (length(p) - length(replace(p, '是', ''))) / 1 + (length(p) - length(replace(p, '了', ''))) / 1 + (length(p) - length(replace(p, '在', ''))) / 1 + (length(p) - length(replace(p, '我', ''))) / 1 AS BIGINT) AS s_zh FROM padded)"""
+
+_LANGID_PRED_CASE = """CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_zh = 0 THEN 'und' WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en' WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de' WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr' WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es' WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es THEN 'zh' END"""
+
+
+def _langid_oracle() -> str:
+    return f"""
+        WITH {_LANGID_SCORED_CTES}
+        SELECT doc_id, lang, {_LANGID_PRED_CASE} AS lang_pred
         FROM scored ORDER BY doc_id"""
+
+
+def _corpus_curation_oracle(min_tokens: int = 25, threshold: float = 0.8) -> str:
+    """Composed-pipeline oracle: frozen langid scoring -> token-count
+    quality gate -> exact dedup (min doc_id per text) -> exact 5-gram
+    Jaccard near-dedup with recursive-CTE components among the SURVIVORS
+    -> per-language stats.  Mirrors queries.corpus_curation stage for
+    stage."""
+    return f"""
+        WITH RECURSIVE {_LANGID_SCORED_CTES},
+        pred AS (SELECT doc_id, {_LANGID_PRED_CASE} AS lang_pred FROM scored),
+        base AS (SELECT d.doc_id, d.text, p.lang_pred,
+                        CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN 0
+                             ELSE length(d.text) - length(replace(d.text, ' ', '')) + 1
+                        END AS n_tokens
+                 FROM documents d JOIN pred p USING (doc_id)),
+        q AS (SELECT * FROM base WHERE n_tokens >= {min_tokens}),
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+        surv AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+        nums AS (SELECT i FROM range(1, 2000) t(i)),
+        sh AS (SELECT DISTINCT s0.doc_id, substr(COALESCE(s0.text,''), i, 5) AS s
+               FROM surv s0 JOIN nums
+                 ON i <= GREATEST(length(COALESCE(s0.text,'')) - 4, 1)),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id ai, b.doc_id bi, COUNT(*) c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT ai, bi FROM inter
+                  JOIN sz x ON x.doc_id = ai JOIN sz y ON y.doc_id = bi
+                  WHERE c * 1.0 / (x.n + y.n - c) >= {threshold}),
+        edges AS (SELECT ai a, bi b FROM pairs
+                  UNION ALL SELECT bi, ai FROM pairs),
+        cc(id, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.id
+        ),
+        losers AS (SELECT id FROM
+                   (SELECT id, MIN(lbl) AS root FROM cc GROUP BY id)
+                   WHERE root < id),
+        final AS (SELECT * FROM surv
+                  WHERE doc_id NOT IN (SELECT id FROM losers))
+        SELECT lang_pred, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               COUNT(*) AS n_docs
+        FROM final GROUP BY lang_pred ORDER BY lang_pred"""
 
 
 def _jaccard_dedup_oracle(threshold: float) -> str:
@@ -327,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dedup_ngram": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_minhash": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_simhash": _simhash_dedup_oracle(3),
+        "corpus_curation": _corpus_curation_oracle(25, 0.8),
         "embed_near_dedup": """
             WITH aug AS (
               SELECT vec_id, embedding FROM embeddings

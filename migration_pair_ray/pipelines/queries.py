@@ -198,9 +198,13 @@ def agg_pricing_summary(sf_dir: str):
 
 
 def filter_highvalue_orders(sf_dir: str):
-    """Filter + projection + computed column, column-pruned at the read."""
+    """Filter + projection + computed column.  The predicate is pushed to
+    the PARQUET SCAN (row-group statistics prune entire groups before any
+    byte leaves storage) in addition to column pruning; the in-batch
+    filter stays as the exact row-level residual."""
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                         columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+                         columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+                         filter=(pc.field("o_totalprice") > 400_000.0))
     def fn(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t.column("o_totalprice"), 400_000.0))
         return pa.table({
@@ -661,6 +665,39 @@ def doc_near_dedup_ngram(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return (ngram_jaccard_dedup(ds, threshold=0.8, n=5)
             .select_columns(["doc_id"]).sort("doc_id"))
+
+
+def corpus_curation(sf_dir: str):
+    """Training-corpus curation as ONE composed streaming pipeline —
+    language-ID (actor pool) → quality gate (n_tokens ≥ 25) → exact
+    dedup → MinHash-LSH near-dedup → per-language corpus stats.  Every
+    stage is the library operator; nothing is re-implemented for the
+    query, so the oracle checks the operators *composed*, not just in
+    isolation."""
+    from migration_pair_ray.functions.text import LangId, add_token_count
+    from migration_pair_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_tokens"), 25)),
+        batch_format="pyarrow")
+    ds = exact_dedup(ds)
+    ds = minhash_lsh_dedup(ds, threshold=0.8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"lang_pred": t.column("lang_pred"),
+                       "n_tokens": pc.cast(t.column("n_tokens"), pa.int64())})
+        return (t2.group_by("lang_pred")
+                .aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+                .rename_columns(["lang_pred", "sum_tokens", "n_docs"]))
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang_pred")
+           .aggregate(Sum("sum_tokens", alias_name="sum_tokens"),
+                      Sum("n_docs", alias_name="n_docs")))
+    return out.sort("lang_pred")
 
 
 def events_sliding_windows(sf_dir: str):
