@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "doc_near_dedup_minhash",
     "doc_near_dedup_simhash",
     "doc_near_dedup_ngram",
+    "corpus_curation",
     "embed_topk_bruteforce",
     "embed_near_dedup",
     "embed_knn_ivf",
