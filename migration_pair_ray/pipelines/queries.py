@@ -682,7 +682,12 @@ def corpus_curation(sf_dir: str):
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n_tokens"), 25)),
         batch_format="pyarrow")
-    ds = exact_dedup(ds)
+    # the near-dedup consumes its input TWICE (fingerprint pass + final
+    # keep-filter); materialize the curated set once so the upstream
+    # langid/filter/exact-dedup stages don't re-execute.  At 100 TB the
+    # equivalent is a parquet checkpoint of this intermediate, not an
+    # object-store pin.
+    ds = exact_dedup(ds).materialize()
     ds = minhash_lsh_dedup(ds, threshold=0.8)
 
     def partial(t: pa.Table) -> pa.Table:

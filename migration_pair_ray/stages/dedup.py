@@ -386,12 +386,20 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
     # a little below the target (estimator noise ~1/sqrt(n_perm)) but never
     # ABOVE it — that would silently drop genuine candidates
     prefilter = max(0.0, threshold - 2.0 / np.sqrt(n_perm))
+    # dedup_pairs=False + ONE take_all: the candidate pipeline executes
+    # exactly once (a lazy Dataset consumed twice re-executes end to end),
+    # and the cross-band pair dedup happens here on the bounded pair set
+    # instead of through a whole extra shuffle
     pairs = minhash_candidate_pairs(ds, threshold=prefilter,
-                                    n_perm=n_perm, k=n, n_bands=n_bands)
+                                    n_perm=n_perm, k=n, n_bands=n_bands,
+                                    dedup_pairs=False)
     cand_rows = pairs.select_columns(["a", "b"]).take_all()
-    cand_ids = np.unique(np.fromiter(
-        (v for r in cand_rows for v in (r["a"], r["b"])),
-        dtype=np.int64, count=2 * len(cand_rows)))
+    if cand_rows:
+        ab = np.unique(np.array([[r["a"], r["b"]] for r in cand_rows],
+                                dtype=np.int64), axis=0)
+    else:
+        ab = np.empty((0, 2), dtype=np.int64)
+    cand_ids = np.unique(ab.reshape(-1))
     ids_ref = ray.put(cand_ids)
 
     # candidate docs → UNIQUE sorted shingle-hash sets, computed INSIDE
@@ -446,6 +454,11 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
                                pa.array(sims, pa.float64()))
         return out.filter(pa.compute.greater_equal(out.column("sim"), threshold))
 
-    verified = pairs.map_batches(exact_verify, batch_format="pyarrow")
+    # verify from the already-collected, already-deduped pair table — the
+    # candidate pipeline is NOT re-executed
+    pairs_tbl = pa.table({"a": pa.array(ab[:, 0]), "b": pa.array(ab[:, 1]),
+                          "sim": pa.array(np.zeros(len(ab), dtype=np.float64))})
+    verified = ray.data.from_arrow(pairs_tbl).map_batches(
+        exact_verify, batch_format="pyarrow")
     clusters = connected_components(verified)
     return drop_cluster_losers(ds, clusters)
