@@ -53,15 +53,24 @@ def _add_bucket(batch: pa.Table, on: list[str], num_buckets: int, side: int) -> 
 
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: list[str] | str, how: str = "inner",
-              num_buckets: int = 32) -> "ray.data.Dataset":
+              num_buckets: int | None = None) -> "ray.data.Dataset":
     """Partitioned hash join of two large Datasets on equality of ``on``.
 
     Both sides shuffle once (bucketed by key hash); each bucket joins
-    locally with a pandas merge.  Column name collisions (outside the key)
-    get pandas' _x/_y suffixes.
+    locally with an Acero hash join.  Column name collisions (outside the
+    key) get a ``_r`` suffix on the right side.
+
+    ``num_buckets`` defaults to 2× the cluster's CPU count (min 32) so
+    join parallelism scales with cluster size instead of being pinned to
+    a constant.
     """
     if isinstance(on, str):
         on = [on]
+    if num_buckets is None:
+        try:
+            num_buckets = max(32, int(ray.cluster_resources().get("CPU", 16)) * 2)
+        except Exception:
+            num_buckets = 32
 
     def _arrow_types(schema) -> dict:
         out = {}
