@@ -16,7 +16,6 @@ skew-free even when the corpus is not.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -258,29 +257,46 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
         _MinHashStage, fn_constructor_args=(n_perm, k, n_bands),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
-    def band_pairs(g: pd.DataFrame) -> pa.Table:
+    def band_pairs(g: pa.Table) -> pa.Table:
         # one Ray group per (band, hash-residue) — n_bands × 16 groups, not
         # 10^5 tiny bucket groups (per-group dispatch overhead dominates)
-        # nor n_bands alone (parallelism cap); buckets within the group are
-        # a local pandas groupby, pair extraction is a vectorized
-        # signature-equality matrix per bucket
+        # nor n_bands alone (parallelism cap).  Fully vectorized: the sig
+        # list column flattens zero-copy to an (n, n_perm) matrix, ONE
+        # lexsort orders (bucket, doc) and finds bucket runs, and each run
+        # is verified by one signature-equality matrix.
+        ng = g.num_rows
+        if ng < 2:
+            return _pairs_table([], [], [])
+        hashes = g.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sig_col = g.column("sig").combine_chunks()
+        sig = np.asarray(sig_col.flatten(), dtype=np.int64).reshape(ng, -1)
+        order = np.lexsort((ids, hashes))
+        hashes, ids, sig = hashes[order], ids[order], sig[order]
+        # drop duplicate (bucket, doc) rows
+        keep = np.concatenate([[True], (hashes[1:] != hashes[:-1])
+                               | (ids[1:] != ids[:-1])])
+        hashes, ids, sig = hashes[keep], ids[keep], sig[keep]
+        starts = np.flatnonzero(
+            np.concatenate([[True], hashes[1:] != hashes[:-1]]))
+        ends = np.concatenate([starts[1:], [len(hashes)]])
         rows_a, rows_b, sims = [], [], []
-        for _, bucket in g.groupby("band_hash", sort=False):
-            bucket = bucket.drop_duplicates(subset="doc_id")
-            n = len(bucket)
+        for s, e2 in zip(starts, ends):
+            n = e2 - s
             if n < 2 or n > _BUCKET_CAP:   # degenerate bucket: no signal
                 continue
-            sig = np.stack([np.asarray(s, dtype=np.int64) for s in bucket["sig"]])
-            est = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+            sg = sig[s:e2]
+            est = (sg[:, None, :] == sg[None, :, :]).mean(axis=2)
             iu, ju = np.triu_indices(n, 1)
             hit = est[iu, ju] >= threshold
-            ids = bucket["doc_id"].to_numpy()
-            a, b = ids[iu[hit]], ids[ju[hit]]
+            if not hit.any():
+                continue
+            a, b = ids[s:e2][iu[hit]], ids[s:e2][ju[hit]]
             rows_a.append(np.minimum(a, b)); rows_b.append(np.maximum(a, b))
             sims.append(est[iu, ju][hit])
         return _pairs_table(rows_a, rows_b, sims)
 
-    pairs = cand.groupby("coarse").map_groups(band_pairs, batch_format="pandas")
+    pairs = cand.groupby("coarse").map_groups(band_pairs, batch_format="pyarrow")
     if not dedup_pairs:
         return pairs
     # a pair can surface from several bands — dedup on (a, b)
@@ -331,27 +347,41 @@ def simhash_candidate_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     cand = ds.select_columns(["doc_id", "text"]).map_batches(
         fingerprint, batch_format="pyarrow")
 
-    def block_pairs(g: pd.DataFrame) -> pa.Table:
-        # one Ray group per (block, residue); buckets inside are a local
-        # pandas groupby; hamming distance via vectorized xor-popcount
+    def block_pairs(g: pa.Table) -> pa.Table:
+        # one Ray group per (block, residue); one lexsort finds bucket
+        # runs; hamming distance via vectorized xor-popcount per run
+        ng = g.num_rows
+        if ng < 2:
+            return _pairs_table([], [], [])
+        vals = g.column("block_val").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sh_all = (g.column("sh").to_numpy(zero_copy_only=False)
+                  .astype(np.int64).view(np.uint64))
+        order = np.lexsort((ids, vals))
+        vals, ids, sh_all = vals[order], ids[order], sh_all[order]
+        keep = np.concatenate([[True], (vals[1:] != vals[:-1])
+                               | (ids[1:] != ids[:-1])])
+        vals, ids, sh_all = vals[keep], ids[keep], sh_all[keep]
+        starts = np.flatnonzero(np.concatenate([[True], vals[1:] != vals[:-1]]))
+        ends = np.concatenate([starts[1:], [len(vals)]])
         rows_a, rows_b, sims = [], [], []
-        for _, bucket in g.groupby("block_val", sort=False):
-            bucket = bucket.drop_duplicates(subset="doc_id")
-            n = len(bucket)
+        for s, e2 in zip(starts, ends):
+            n = e2 - s
             if n < 2 or n > _BUCKET_CAP:   # degenerate bucket: no signal
                 continue
-            sh = bucket["sh"].to_numpy().astype(np.int64).view(np.uint64)
+            sh = sh_all[s:e2]
             xor = sh[:, None] ^ sh[None, :]
             dist = _POPCOUNT8[xor.view(np.uint8).reshape(n, n, 8)].sum(axis=2)
             iu, ju = np.triu_indices(n, 1)
             hit = dist[iu, ju] <= max_hamming
-            ids = bucket["doc_id"].to_numpy()
-            a, b = ids[iu[hit]], ids[ju[hit]]
+            if not hit.any():
+                continue
+            a, b = ids[s:e2][iu[hit]], ids[s:e2][ju[hit]]
             rows_a.append(np.minimum(a, b)); rows_b.append(np.maximum(a, b))
             sims.append((64.0 - dist[iu, ju][hit]) / 64.0)
         return _pairs_table(rows_a, rows_b, sims)
 
-    pairs = cand.groupby("coarse").map_groups(block_pairs, batch_format="pandas")
+    pairs = cand.groupby("coarse").map_groups(block_pairs, batch_format="pyarrow")
     if not dedup_pairs:
         return pairs
     return (pairs.groupby(["a", "b"]).max("sim")
