@@ -144,3 +144,48 @@ def test_lost_partition_manifest_recovers(tmp_lake):
     s = replay(cfg)
     assert s["skipped_partitions"] == s["partitions"] - 1
     assert_matches_oracle(cfg, log)
+
+
+ADVERSARIAL = [
+    # heavy replayed duplicates + bursty arrival
+    dict(n_events=900, n_convs=8, n_files=5, dup_frac=0.4, burst_max=8,
+         shuffle_window=400, tool_epoch=1, seed=71),
+    # delete-heavy log (tombstone churn)
+    dict(n_events=900, n_convs=8, n_files=3, delete_frac=0.5,
+         update_frac=0.3, tool_epoch=2, seed=72),
+    # one conversation holds ~70% of events, salted layout
+    dict(n_events=1200, n_convs=6, n_files=4, hot_frac=0.7,
+         shuffle_window=600, seed=73),
+    # every file pre-evolution (tool column never arrives)
+    dict(n_events=600, n_convs=8, n_files=3, tool_epoch=99, seed=74),
+    # single key space: all events hit few keys, maximal LWW contention
+    dict(n_events=1000, n_convs=2, turns_per_conv=3, n_files=4,
+         dup_frac=0.2, shuffle_window=500, seed=75),
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("gen_kw", ADVERSARIAL,
+                         ids=["dup-burst", "delete-heavy", "hot-conv",
+                              "no-evolution", "tiny-keyspace"])
+def test_adversarial_generator_matrix(tmp_lake, gen_kw):
+    """Acceptance matrix over adversarial log shapes: heavy duplicates,
+    tombstone churn, extreme skew, missing schema evolution, and maximal
+    per-key contention — every shape must match the DuckDB LWW oracle."""
+    import duckdb as _duck
+    log, lake = tmp_lake
+    generate_change_log(log, **gen_kw)
+    mode = "key" if gen_kw.get("hot_frac", 0) > 0.5 else "conv"
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=5,
+                    partition_mode=mode, merge_chunk_rows=101)
+    replay(cfg)
+    if gen_kw.get("tool_epoch", 2) > gen_kw["n_files"]:
+        # no file ever carries `tool`: the engine (correctly) emits no such
+        # column, so the oracle must not select it either
+        got = final_state(cfg).to_pandas().reset_index(drop=True)
+        assert "tool" not in got.columns
+        want = _duck.sql(ORACLE.replace(", tool,", ",").format(log=log)
+                         ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    else:
+        assert_matches_oracle(cfg, log)
