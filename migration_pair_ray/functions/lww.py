@@ -125,6 +125,16 @@ def merge_tables_chunked(existing: pa.Table | None, changes: pa.Table,
             or changes.num_rows + existing.num_rows <= chunk_rows):
         return merge_tables(existing, changes)
 
+    def _null_keys(t: pa.Table) -> bool:
+        return any(t.column(k).null_count > 0 for k in MERGE_KEYS)
+
+    # Null merge keys break the binary-search slicing below (None is not
+    # orderable against str; null turn_idx surfaces as NaN whose self-
+    # equality is False, which would split a null-key group across chunks).
+    # Null-key events are degenerate; correctness beats chunking for them.
+    if _null_keys(changes) or _null_keys(existing):
+        return merge_tables(existing, changes)
+
     import numpy as np
     changes = lww_reduce(changes)
     conv_c = np.asarray(changes.column("conv_id").to_pandas())

@@ -123,3 +123,17 @@ def test_chunked_merge_equals_unchunked():
     for chunk in (1, 7, 50, 10_000):
         got = merge_tables_chunked(existing, changes, chunk)
         assert got.equals(want), f"chunk_rows={chunk}"
+
+
+def test_chunked_merge_null_keys_fall_back():
+    """Null merge keys must not corrupt the chunked path: the guard falls
+    back to the unchunked merge and the result stays identical."""
+    from migration_pair_ray.functions.lww import merge_tables_chunked
+    rows = [ev("a", 0, 10, 1), ev(None, 0, 11, 2), ev(None, None, 12, 3),
+            ev("b", 1, 13, 4), ev(None, 0, 14, 5)]
+    existing = merge_tables(None, tbl(rows[:2]))
+    changes = tbl(rows[2:])
+    want = merge_tables(existing, changes)
+    for chunk in (1, 2):
+        got = merge_tables_chunked(existing, changes, chunk)
+        assert got.equals(want), f"chunk_rows={chunk}"
