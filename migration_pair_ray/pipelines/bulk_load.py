@@ -45,13 +45,24 @@ def _csv_read_args(cfg: JobConfig, input_path: str) -> dict:
         names = cfg.csv_columns
         if names is None:
             p = Path(input_path)
-            first = sorted(f for f in (p.glob("**/*") if p.is_dir() else [p])
-                           if Path(f).is_file())[0]
+            files = sorted(f for f in (p.glob("**/*") if p.is_dir() else [p])
+                           if Path(f).is_file())
+            if not files:
+                raise FileNotFoundError(
+                    f"bulk_load: no input file under {input_path!r} to sniff "
+                    f"headerless CSV columns from (set cfg.csv_columns to "
+                    f"bind columns explicitly)")
             import csv as _csv
-            with open(first, encoding="utf-8") as f:
+            with open(files[0], encoding="utf-8") as f:
                 # quote-aware field count (a delimiter inside a quoted
                 # text field must not inflate the sniffed column count)
                 n_fields = len(next(_csv.reader(f, delimiter=cfg.csv_delimiter)))
+            if n_fields > len(CHANGE_SCHEMA.names):
+                raise SchemaComplianceError(
+                    f"headerless CSV {files[0]} has {n_fields} fields but the "
+                    f"change schema has only {len(CHANGE_SCHEMA.names)} "
+                    f"columns ({CHANGE_SCHEMA.names}); positional binding is "
+                    f"ambiguous — set cfg.csv_columns")
             names = list(CHANGE_SCHEMA.names[:n_fields])
         args["read_options"] = pacsv.ReadOptions(column_names=list(names))
     return args

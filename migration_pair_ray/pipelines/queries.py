@@ -77,10 +77,11 @@ def _events_lake(sf_dir: str) -> JobConfig:
     """Build (or reuse) a lake under /tmp by replaying the change log
     derived from ``<sf_dir>/events.parquet`` through the full pipeline.
     Reuse is safe: replay is idempotent and keyed to the change files."""
-    # cache key includes the source file's size so a regenerated testdata
-    # tree can never hit a stale derived lake
+    # cache key includes the source file's size AND mtime so a regenerated
+    # testdata tree can never hit a stale derived lake (same-size different
+    # content included)
     st = os.stat(f"{sf_dir}/events.parquet")
-    tag = f"{Path(sf_dir).name}-{st.st_size}"
+    tag = f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
     root = Path("/tmp/mpr_queries") / tag
     log_dir, lake_dir = str(root / "log"), str(root / "lake")
     os.makedirs(log_dir, exist_ok=True)
@@ -343,22 +344,13 @@ def events_hourly_windows(sf_dir: str):
 
 
 def events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user — the canonical
-    groupby(key).map_groups streaming-shaped operator (ordering assumption:
-    within-group sort by ts, done inside the group fn)."""
+    """Per-user session counts (30-min inactivity gap) — the vectorized
+    sessionize operator: ONE shuffle into ~64 coarse key-hash buckets,
+    one Arrow sort + boundary masks per bucket (zero per-key dispatch,
+    zero pandas — stages/windows.py sessionize_counts)."""
+    from migration_pair_ray.stages.windows import sessionize_counts
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pa.Table:
-        # Arrow output: pandas-block schemas are unhashable for Ray's
-        # schema dedup (warning noise) and cost a conversion downstream
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pa.table({"user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
-                         "n_sessions": pa.array([int(gaps.sum()) + 1], pa.int64()),
-                         "n_events": pa.array([len(g)], pa.int64())})
-
-    return (ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-            .sort("user_id"))
+    return sessionize_counts(ds, "user_id", "ts", gap_s=1800).sort("user_id")
 
 
 def events_csv_roundtrip(sf_dir: str):
@@ -472,7 +464,8 @@ def embed_knn_ivf(sf_dir: str):
     q = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
     queries = np.array(q.column("embedding").to_pylist(), dtype=np.float32)
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    index_dir = str(Path("/tmp/mpr_queries") / f"ivf-{Path(sf_dir).name}-{st.st_size}")
+    index_dir = str(Path("/tmp/mpr_queries")
+                    / f"ivf-{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}")
     if not Path(index_dir, "centroids.npy").exists():
         shutil.rmtree(index_dir, ignore_errors=True)
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",

@@ -88,20 +88,27 @@ def _pairs_table(rows_a, rows_b, sims) -> pa.Table:
                      "sim": pa.array(np.concatenate(sims).astype(np.float64))})
 
 
-def connected_components(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+def connected_components(pairs: "ray.data.Dataset",
+                         driver_max_edges: int = 2_000_000
+                         ) -> "ray.data.Dataset":
     """Exact connected components over the candidate-pair edge set.
 
     The edge set is the *verified near-duplicate pairs* — orders of
     magnitude smaller than the corpus (LSH bucketing bounds it) — so the
     standard practice even at web scale applies: collect the edges and run
-    union-find with path compression on the driver.  For an adversarial
-    dup rate whose edge set would break the driver, use
-    ``connected_components_distributed`` (same output contract; one
-    shuffle per propagation round).
+    union-find with path compression on the driver.  AUTO-ROUTING: the
+    pair set is materialized (it is consumed either way) and counted; an
+    adversarial dup rate whose edge set exceeds ``driver_max_edges`` is
+    handed to ``connected_components_distributed`` (same output contract;
+    one shuffle per propagation round) instead of being pulled onto the
+    driver.
 
     Returns (doc_id, cluster) rows for every node that appears in an edge,
     with cluster = min doc_id of its component.
     """
+    pairs = pairs.materialize()    # bounded by LSH bucketing; executed once
+    if pairs.count() > driver_max_edges:
+        return connected_components_distributed(pairs)
     rows = pairs.select_columns(["a", "b"]).take_all()
     parent: dict[int, int] = {}
 
@@ -139,10 +146,18 @@ def connected_components_distributed(pairs: "ray.data.Dataset",
     node's current label across its edges (one hash-join shuffle + one
     groupby-min) and stops when no label changed.  Round count is bounded
     by the longest min-label propagation path (graph diameter), with a
-    hard ``max_rounds`` backstop.  The per-round change count is a tiny
-    scalar aggregate — the driver never holds edges or labels.
+    hard ``max_rounds`` backstop.  The convergence witness is an exact
+    CHANGED-LABEL COUNT (old label rides the min-groupby as a second
+    column; changed = rows where new < old) — comparison-only, so no
+    int64-sum wraparound can ever fake a fixpoint.  The driver never holds
+    edges or labels; the join's bucket count scales with cluster CPUs
+    (``hash_join`` default).
     """
+    from ray.data.aggregate import Min
+
     from migration_pair_ray.stages.join import hash_join
+
+    _NO_OLD = np.int64(1) << np.int64(62)    # > any real doc_id label
 
     edges = pairs.map_batches(
         lambda t: pa.table({
@@ -160,27 +175,40 @@ def connected_components_distributed(pairs: "ray.data.Dataset",
         lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow")
 
     labels = labels.materialize()
-    total = labels.sum("cluster")
     for _ in range(max_rounds):
         # candidate labels arriving over edges: src's label offered to dst
         offered = hash_join(
             edges,
             labels.map_batches(lambda t: t.rename_columns(["src", "cand"]),
                                batch_format="pyarrow"),
-            on="src", num_buckets=8,
+            on="src",
         ).map_batches(lambda t: pa.table({"doc_id": t.column("dst"),
-                                          "cluster": t.column("cand")}),
+                                          "cand": t.column("cand"),
+                                          "old": pa.array(np.full(t.num_rows, int(_NO_OLD)), pa.int64())}),
                       batch_format="pyarrow")
-        labels = (labels.union(offered).groupby("doc_id").min("cluster")
-                  .map_batches(lambda t: t.rename_columns(["doc_id", "cluster"]),
-                               batch_format="pyarrow")).materialize()
-        # labels only ever decrease, so the label-sum is a monotone
-        # convergence witness: unchanged sum == fixpoint (one tiny scalar
-        # aggregate instead of an old-vs-new join)
-        new_total = labels.sum("cluster")
-        if new_total == total:
+        # old label rides along as a second min column: every doc appears
+        # exactly once on the "old" side with old=cluster, offered rows
+        # carry the _NO_OLD sentinel, so min(old) recovers the prior label
+        # in the SAME groupby that computes the new one.
+        old_tagged = labels.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "cand": t.column("cluster"),
+                                "old": t.column("cluster")}),
+            batch_format="pyarrow")
+        merged = (old_tagged.union(offered).groupby("doc_id")
+                  .aggregate(Min("cand", alias_name="cluster"),
+                             Min("old", alias_name="old"))).materialize()
+        # exact changed-label count, computed distributed (comparisons
+        # only — immune to the int64 label-sum wraparound)
+        changed = merged.map_batches(
+            lambda t: pa.table({"c": pa.array(
+                [int(pa.compute.sum(pa.compute.cast(
+                    pa.compute.less(t.column("cluster"), t.column("old")),
+                    pa.int64())).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").sum("c")
+        labels = merged.select_columns(["doc_id", "cluster"])
+        if not changed:
             break
-        total = new_total
     return labels
 
 

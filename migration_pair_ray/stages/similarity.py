@@ -86,12 +86,13 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
                          pc.round(t.column("cos"), ndigits=round_to, round_mode="half_towards_infinity"))
     t = t.sort_by([("query_id", "ascending"), ("cos", "descending"),
                    (id_col, "ascending")])
-    # keep k per query
-    out_chunks = []
-    for qid in range(int(pc.max(t.column("query_id")).as_py()) + 1):
-        sub = t.filter(pc.equal(t.column("query_id"), qid))
-        out_chunks.append(sub.slice(0, k))
-    return pa.concat_tables(out_chunks)
+    # keep k per query — vectorized rank-within-group (no per-query filter
+    # loop: that re-scans the merged table once per query id)
+    qids = t.column("query_id").to_numpy(zero_copy_only=False)
+    first = np.concatenate([[True], qids[1:] != qids[:-1]])
+    group_start = np.maximum.accumulate(np.where(first, np.arange(len(qids)), 0))
+    rank = np.arange(len(qids)) - group_start
+    return t.filter(pa.array(rank < k))
 
 
 def kmeans_centroids(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
@@ -150,7 +151,7 @@ def ivf_build(ds: "ray.data.Dataset", index_dir: str, n_clusters: int = 16,
     everything and filtering."""
     import os
     sample = [r[vec_col] for r in ds.take(sample_size)]
-    cent = kmeans_centroids(np.asarray(sample), n_clusters)
+    cent = kmeans_centroids(np.asarray(sample), n_clusters, seed=seed)
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -191,6 +192,23 @@ def ivf_probe(index_dir: str, queries: np.ndarray, k: int = 10,
                             id_col=id_col, round_to=round_to)
 
 
+_PLANE_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _lsh_planes(seed: int, n_tables: int, dim: int, n_planes: int) -> np.ndarray:
+    """Seeded hyperplane tensor, built ONCE per worker process (module-level
+    cache — the ST1 once-per-worker discipline).  Seeded RNG ⇒ identical
+    planes on every node, so bucketing stays globally consistent while the
+    per-batch ``standard_normal`` regeneration cost disappears."""
+    key = (seed, n_tables, dim, n_planes)
+    planes = _PLANE_CACHE.get(key)
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+        _PLANE_CACHE[key] = planes
+    return planes
+
+
 def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
                     n_planes: int = 12, n_tables: int = 4,
                     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -219,9 +237,7 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _l2_normalize(_batch_matrix(batch, vec_col))
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal(
-            (n_tables, m.shape[1], n_planes)).astype(np.float32)
+        planes = _lsh_planes(seed, n_tables, m.shape[1], n_planes)
         n = m.shape[0]
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         keys = np.empty((n_tables, n), dtype=np.int64)

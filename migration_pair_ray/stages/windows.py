@@ -70,22 +70,111 @@ def sliding_window(ds: "ray.data.Dataset", ts_col: str, value_col: str,
             .sort("window_start"))
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _coarse_key_bucket(col, n_buckets: int) -> np.ndarray:
+    """Deterministic coarse bucket of a key column (int or string) — the
+    Ray-group grain for sessionization.  ~``n_buckets`` groups regardless
+    of key cardinality: grouping by the raw key would dispatch one
+    ``map_groups`` call per key (the per-group-dispatch pitfall at 10^9
+    users); the fine per-key work happens vectorized inside each bucket."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(ca.type):
+        v = (pc.fill_null(pc.cast(ca, pa.int64()), -1)
+             .to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+        with np.errstate(over="ignore"):
+            h = v * _GOLDEN
+    else:
+        from migration_pair_ray.stages.partition import hash_strings
+        h = hash_strings(ca)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _session_start_mask(g: pa.Table, key_col: str, ts_col: str, gap_s: int
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ts_us, first_of_key, new_session) for a (key, ts)-sorted table:
+    row i starts a session iff it is the first row of its key OR the gap
+    to the previous row exceeds ``gap_s``.  Pure boundary masks
+    (``functions/lww.py`` kernel) — no per-key dispatch, no pandas."""
+    from migration_pair_ray.functions.lww import _group_first_mask
+    ts = (pc.cast(pc.cast(g.column(ts_col), pa.timestamp("us")), pa.int64())
+          .to_numpy(zero_copy_only=False))
+    first_of_key = _group_first_mask(g, [key_col]).to_numpy(zero_copy_only=False)
+    gap = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_s * 1_000_000])
+    return ts, first_of_key, (first_of_key | gap)
+
+
 def session_windows(ds: "ray.data.Dataset", key_col: str, ts_col: str,
-                    gap_s: int = 1800) -> "ray.data.Dataset":
+                    gap_s: int = 1800, n_coarse: int = 64) -> "ray.data.Dataset":
     """Session windows: per key, consecutive events closer than ``gap_s``
-    belong to one session.  The one shuffle groups each key; ordering is
-    established INSIDE the group (sort by ts), so arrival order is
-    irrelevant.  Emits (key, session_idx, start, end, n_events)."""
+    belong to one session.  Emits (key, session_idx, start, end, n_events).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        new = (g[ts_col].diff() > pd.Timedelta(seconds=gap_s)).cumsum()
-        agg = g.groupby(new).agg(start=(ts_col, "min"), end=(ts_col, "max"),
-                                 n_events=(ts_col, "count")).reset_index(drop=True)
-        agg.insert(0, "session_idx", np.arange(len(agg), dtype=np.int64))
-        agg.insert(0, key_col, g[key_col].iloc[0])
-        return agg
+    Scale shape: ONE shuffle into ``n_coarse`` hash buckets of the key
+    (NOT one Ray group per key — per-group dispatch plus a pandas
+    conversion per key is the 10^9-user scale-killer); inside each bucket
+    one Arrow sort by (key, ts) and numpy boundary masks find every
+    session of every key in the bucket at once.  Ordering is established
+    inside the bucket, so arrival order is irrelevant."""
 
-    return (ds.groupby(key_col)
-            .map_groups(sessions, batch_format="pandas")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(_coarse_key_bucket(t.column(key_col), n_coarse)))
+
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key_col).type
+        ts_type = g.schema.field(ts_col).type
+        out_ts = ts_type if pa.types.is_timestamp(ts_type) else pa.timestamp("us")
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_type),
+                             "session_idx": pa.array([], pa.int64()),
+                             "start": pa.array([], out_ts),
+                             "end": pa.array([], out_ts),
+                             "n_events": pa.array([], pa.int64())})
+        g = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        ts, first_of_key, new_s = _session_start_mask(g, key_col, ts_col, gap_s)
+        starts = np.flatnonzero(new_s)
+        ends = np.concatenate([starts[1:], [g.num_rows]])
+        # session ordinal within key: rank of the session among its key's
+        # sessions (sessions are key-sorted; same rank-within-group mask)
+        ks_first = first_of_key[starts]
+        idx = np.arange(len(starts))
+        grp_start = np.maximum.accumulate(np.where(ks_first, idx, 0))
+        return pa.table({
+            key_col: g.column(key_col).take(pa.array(starts)),
+            "session_idx": pa.array((idx - grp_start).astype(np.int64)),
+            "start": pc.cast(pa.array(ts[starts]).cast(pa.timestamp("us")), out_ts),
+            "end": pc.cast(pa.array(ts[ends - 1]).cast(pa.timestamp("us")), out_ts),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(sessions_bucket, batch_format="pyarrow")
             .sort([key_col, "session_idx"]))
+
+
+def sessionize_counts(ds: "ray.data.Dataset", key_col: str, ts_col: str,
+                      gap_s: int = 1800, n_coarse: int = 64) -> "ray.data.Dataset":
+    """Per-key session/event counts: (key, n_sessions, n_events).  Same
+    coarse-bucket vectorized skeleton as ``session_windows``; the per-key
+    rollup is one Arrow ``group_by`` inside the bucket (keys never span
+    buckets, so no second shuffle is needed)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(_coarse_key_bucket(t.column(key_col), n_coarse)))
+
+    def counts_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], g.schema.field(key_col).type),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        g = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        _, _, new_s = _session_start_mask(g, key_col, ts_col, gap_s)
+        t2 = pa.table({key_col: g.column(key_col),
+                       "ns": pa.array(new_s.astype(np.int64))})
+        return (t2.group_by(key_col).aggregate([("ns", "sum"), ("ns", "count")])
+                .rename_columns([key_col, "n_sessions", "n_events"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(counts_bucket, batch_format="pyarrow"))
