@@ -58,10 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": q.events_value_stats,
         # embeddings / multimodal
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
-        "embed_knn_ivf": q.embed_knn_ivf,                # rows-only
+        "embed_knn_ivf": q.embed_knn_ivf,
         "embed_near_dedup": q.embed_near_dedup,
         "media_byte_stats": q.media_byte_stats_q,
-        "media_features": q.media_features,              # rows-only
+        "media_features": q.media_features,
     }
 
 
@@ -374,6 +374,45 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dedup_minhash": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_simhash": _simhash_dedup_oracle(3),
         "corpus_curation": _corpus_curation_oracle(25, 0.8),
+        # exhaustive probe (n_probe = n_clusters) reads every IVF bucket,
+        # so the persisted-index path must equal the brute-force top-k
+        "embed_knn_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 2),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cos
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, vec_id) rn
+              FROM scored)
+            SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 10
+            ORDER BY query_id, cos DESC, vec_id""",
+        # bit-exact mirror of the sha256-derived stub decode digest:
+        # 8 little-endian uint32 words of sha256(utf8(text)), each word →
+        # float32(word)/2^32 (FLOAT cast = same IEEE round-to-nearest),
+        # digest = Σ floor(f * 1000) — see queries.media_features
+        "media_features": """
+            WITH b0 AS (SELECT doc_id AS media_id, 'image' AS media_type,
+                               octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+                               sha256(COALESCE(text, '')) AS hx
+                        FROM documents),
+            b AS (SELECT media_id, media_type, n_bytes, j, k,
+                    (strpos('0123456789abcdef', substr(hx, (4*j+k)*2+1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, (4*j+k)*2+2, 1)) - 1) AS byte
+                  FROM b0, range(0, 8) s(j), range(0, 4) r(k)),
+            w AS (SELECT media_id, media_type, n_bytes, j,
+                         CAST(SUM(byte * (256 ** k)) AS BIGINT) AS word
+                  FROM b GROUP BY media_id, media_type, n_bytes, j),
+            f AS (SELECT media_id, media_type, n_bytes,
+                         CAST(FLOOR(CAST(CAST(word AS FLOAT) AS DOUBLE)
+                                    / 4294967296.0 * 1000.0) AS BIGINT) AS fd
+                  FROM w)
+            SELECT media_id, media_type, n_bytes,
+                   CAST(SUM(fd) AS BIGINT) AS feature_digest
+            FROM f GROUP BY media_id, media_type, n_bytes
+            ORDER BY media_id""",
         "embed_near_dedup": """
             WITH aug AS (
               SELECT vec_id, embedding FROM embeddings
@@ -386,6 +425,4 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM aug b WHERE b.vec_id < a.vec_id
                 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.995)
             ORDER BY a.vec_id""",
-        # embed_knn_ivf / media_features: intentionally no oracle
-        # (approximate recall by design / stubbed decode model)
     }

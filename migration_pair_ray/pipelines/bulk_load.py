@@ -95,7 +95,8 @@ def bulk_load(cfg: JobConfig, input_path: str, fmt: str = "csv",
 
 def _bulk_load(cfg: JobConfig, input_path: str, fmt: str, pass_tag: str) -> dict:
     from migration_pair_ray.state.manifest import LakeMeta
-    LakeMeta(cfg.lake_dir).ensure(cfg.num_partitions, cfg.partition_mode)
+    meta = LakeMeta(cfg.lake_dir)
+    meta.ensure(cfg.num_partitions, cfg.partition_mode)
     if fmt == "csv":
         ds = ray.data.read_csv(input_path, **_csv_read_args(cfg, input_path))
     elif fmt == "parquet":
@@ -129,7 +130,7 @@ def _bulk_load(cfg: JobConfig, input_path: str, fmt: str, pass_tag: str) -> dict
                       if _P(f).is_file())
     pass_id = hashlib.sha256(
         f"{pass_tag}:{compute_pass_id(in_files)}".encode()).hexdigest()[:16]
-    lineage = apply_changes_ds(ds, cfg, pass_id)
+    lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits())
     import pyarrow.compute as pc
     return {
         "pass_id": pass_id,

@@ -91,20 +91,47 @@ def _events_lake(sf_dir: str) -> JobConfig:
         # runs silently reuse: write everything, then the marker
         for stale in Path(log_dir).glob("batch-*.parquet"):
             stale.unlink()
-        ev = pq.read_table(f"{sf_dir}/events.parquet")
-        changes = _derive_changes(ev)
-        n = changes.num_rows
+        # DISTRIBUTED derivation: the events table never reaches the
+        # driver.  event_id is contiguous 0..n-1 (asserted below via the
+        # footer row count == lsn range), so the 4-way file split is a
+        # pure lsn-range partition: file i owns lsn in [i*per, (i+1)*per).
+        # Each output file is produced by ONE Ray group (sorted by lsn
+        # inside the group), so bytes are identical to a driver-side
+        # slice-and-write — same content, same pass_id.
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
         n_files = 4
         per = (n + n_files - 1) // n_files
-        for i in range(n_files):
-            part = changes.slice(i * per, per)
-            if part.num_rows == 0:
-                continue
-            lo = int(pc.min(part.column("lsn")).as_py())
-            hi = int(pc.max(part.column("lsn")).as_py())
+
+        def assign_file(t: pa.Table) -> pa.Table:
+            f = pc.cast(pc.floor(pc.divide(
+                pc.cast(t.column("lsn"), pa.float64()), float(per))), pa.int32())
+            return t.append_column("__f", f)
+
+        def write_file(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"file_idx": pa.array([], pa.int32()),
+                                 "rows": pa.array([], pa.int64())})
+            i = int(g.column("__f")[0].as_py())
+            g = g.drop_columns(["__f"]).sort_by([("lsn", "ascending")])
+            lo = int(g.column("lsn")[0].as_py())
+            hi = int(g.column("lsn")[-1].as_py())
             if i == 0:
-                part = part.drop_columns(["tool"])  # schema-evolution file
-            pq.write_table(part, f"{log_dir}/batch-{i:05d}-{lo:012d}-{hi:012d}.parquet")
+                g = g.drop_columns(["tool"])  # schema-evolution file
+            path = f"{log_dir}/batch-{i:05d}-{lo:012d}-{hi:012d}.parquet"
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(g, tmp)
+            os.replace(tmp, path)
+            return pa.table({"file_idx": pa.array([i], pa.int32()),
+                             "rows": pa.array([g.num_rows], pa.int64())})
+
+        written = (rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "props", "ts"])
+            .map_batches(_derive_changes, batch_format="pyarrow")
+            .map_batches(assign_file, batch_format="pyarrow")
+            .groupby("__f").map_groups(write_file, batch_format="pyarrow")
+            .take_all())
+        assert sum(r["rows"] for r in written) == n, "lsn range != row count"
         done_marker.touch()
     cfg = JobConfig(changelog_dir=log_dir, lake_dir=lake_dir, num_partitions=16)
     replay(cfg)  # no-op when already up to date
@@ -456,10 +483,14 @@ def embed_topk_bruteforce(sf_dir: str):
 
 
 def embed_knn_ivf(sf_dir: str):
-    """Rows-only check (approximate recall by design).  Exercises the
-    PERSISTED IVF layout: the corpus is written bucket-partitioned once
-    (cached under /tmp keyed by source size), then the query reads only
-    the probed buckets' files — the 10^10-row scale path."""
+    """HARD-oracle check of the persisted IVF layout: the corpus is
+    written bucket-partitioned once (cached under /tmp keyed by source
+    size+mtime), then probed with ``n_probe = n_clusters`` — an exhaustive
+    probe reads every bucket's files, so the result EQUALS the brute-force
+    top-k and the SQL oracle checks the whole build→partition→probe→merge
+    machinery exactly.  The approximate setting (n_probe < n_clusters,
+    the real 10^10-row scale path: a query touches ~n_probe/n_clusters of
+    the data) is covered by a recall assertion in tests/test_similarity.py."""
     from migration_pair_ray.stages.similarity import ivf_build, ivf_probe
     q = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
     queries = np.array(q.column("embedding").to_pylist(), dtype=np.float32)
@@ -471,7 +502,7 @@ def embed_knn_ivf(sf_dir: str):
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
         ivf_build(ds, index_dir, n_clusters=16)
-    return ivf_probe(index_dir, queries, k=10, n_probe=4, round_to=4)
+    return ivf_probe(index_dir, queries, k=10, n_probe=16, round_to=4)
 
 
 def media_byte_stats_q(sf_dir: str):
@@ -598,9 +629,12 @@ def events_value_stats(sf_dir: str):
 
 
 def media_features(sf_dir: str):
-    """Rows-only: the multimodal actor-pool feature extraction pipeline
-    (stubbed deterministic decode) — text → binary payload → per-payload
-    feature vector; small batch_size per the large-binary discipline."""
+    """The multimodal actor-pool feature extraction pipeline (stubbed
+    deterministic decode) — text → binary payload → per-payload feature
+    vector; small batch_size per the large-binary discipline.  HARD
+    oracle: the stub decode is sha256-derived, which DuckDB can mirror
+    bit-exactly (sha256() + hex-digit arithmetic), so the digest below is
+    value-checked, not rows-only."""
     from migration_pair_ray.stages.multimodal import (
         MediaFeatureExtractor, fake_payload_from_text)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -610,10 +644,15 @@ def media_features(sf_dir: str):
 
     def digest(t: pa.Table) -> pa.Table:
         # scalar digest of the feature vector (list columns don't survive
-        # every downstream hasher): sum of the 8 features in micro-units
+        # every downstream hasher): sum of floor(f * 1000) per feature.
+        # Exact-portable: each f is an exact float32 (word/2^32), f*1000
+        # is one correctly-rounded float64 multiply on both sides, and a
+        # floor boundary can only be hit when the product is exactly
+        # integral — which float64 then represents exactly on both sides.
         import numpy as np
         f = np.array(t.column("features").to_pylist(), dtype=np.float64)
-        d = np.round(f.sum(axis=1) * 1e6).astype(np.int64) if len(f) else np.array([], np.int64)
+        d = (np.floor(f * 1000.0).sum(axis=1).astype(np.int64)
+             if len(f) else np.array([], np.int64))
         return pa.table({"media_id": t.column("media_id"),
                          "media_type": t.column("media_type"),
                          "n_bytes": t.column("n_bytes"),
@@ -660,7 +699,19 @@ def doc_near_dedup_ngram(sf_dir: str):
             .select_columns(["doc_id"]).sort("doc_id"))
 
 
-def corpus_curation(sf_dir: str):
+def checkpoint_parquet(ds: "rd.Dataset", ckpt_dir: str) -> "rd.Dataset":
+    """Spill an intermediate Dataset to a Parquet checkpoint and stream it
+    back — the 100-TB alternative to ``materialize()`` for pipelines that
+    consume an intermediate more than once: the object store never pins
+    the full set (blocks spill to Parquet and re-enter as a fresh scan),
+    and a crashed downstream can resume from the checkpoint files."""
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ds.write_parquet(ckpt_dir)
+    return rd.read_parquet(ckpt_dir)
+
+
+def corpus_curation(sf_dir: str, checkpoint: str = "disk"):
     """Training-corpus curation as ONE composed streaming pipeline —
     language-ID (actor pool) → quality gate (n_tokens ≥ 25) → exact
     dedup → MinHash-LSH near-dedup → per-language corpus stats.  Every
@@ -675,12 +726,20 @@ def corpus_curation(sf_dir: str):
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n_tokens"), 25)),
         batch_format="pyarrow")
-    # the near-dedup consumes its input TWICE (fingerprint pass + final
-    # keep-filter); materialize the curated set once so the upstream
-    # langid/filter/exact-dedup stages don't re-execute.  At 100 TB the
-    # equivalent is a parquet checkpoint of this intermediate, not an
-    # object-store pin.
-    ds = exact_dedup(ds).materialize()
+    # the near-dedup consumes its input more than once (band pass +
+    # signature pass + final keep-filter); checkpoint the curated set once
+    # so the upstream langid/filter/exact-dedup stages don't re-execute.
+    # checkpoint="disk" (default) streams through a Parquet checkpoint —
+    # no full-dataset object-store pin; "memory" is the materialize()
+    # variant for small corpora.
+    ds = exact_dedup(ds)
+    if checkpoint == "disk":
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        ckpt = str(Path("/tmp/mpr_queries")
+                   / f"curation-{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}")
+        ds = checkpoint_parquet(ds, ckpt)
+    else:
+        ds = ds.materialize()
     ds = minhash_lsh_dedup(ds, threshold=0.8)
 
     def partial(t: pa.Table) -> pa.Table:

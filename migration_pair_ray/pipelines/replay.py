@@ -33,9 +33,15 @@ from migration_pair_ray.state.manifest import CheckpointStore, compute_pass_id
 
 
 def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
-                     applier_cls: type = Applier) -> pa.Table:
+                     applier_cls: type = Applier,
+                     splits: dict[int, tuple[int, int]] | None = None) -> pa.Table:
     """Run the partition→merge→commit tail of the pipeline on a normalized
     change Dataset; returns the lineage table (one row per partition).
+
+    ``splits`` is the lake's incremental-split map (LakeMeta.splits):
+    events for a split base partition route to its children, so a replay
+    after a split merges into child state without touching other
+    partitions.
 
     The merge stage carries EXPLICIT retry semantics (the analog of the
     reference's write-timeout retry policy, ``Policies/RetryPolicy.cs:18-23``):
@@ -46,7 +52,8 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
     # map stages; an explicit batch_size would re-slice and copy each block
     ds = ds.map_batches(lww_reduce, batch_format="pyarrow")
     ds = ds.map_batches(
-        lambda b: add_partition_column(b, cfg.num_partitions, cfg.partition_mode),
+        lambda b: add_partition_column(b, cfg.num_partitions,
+                                       cfg.partition_mode, splits),
         batch_format="pyarrow",
     )
     conc = cfg.apply_concurrency or (1, min(cfg.num_partitions, 16))
@@ -104,13 +111,14 @@ def replay(cfg: JobConfig) -> dict:
     # layout gate: replaying into a lake built with a different partition
     # count/mode would route keys away from their existing state
     from migration_pair_ray.state.manifest import LakeMeta
-    LakeMeta(cfg.lake_dir).ensure(cfg.num_partitions, cfg.partition_mode)
+    meta = LakeMeta(cfg.lake_dir)
+    meta.ensure(cfg.num_partitions, cfg.partition_mode)
 
     pass_id = compute_pass_id(files)
     schema = unified_schema(files)
     with _push_shuffle():
         ds = read_changes(files, schema)
-        lineage = apply_changes_ds(ds, cfg, pass_id)
+        lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits())
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -138,11 +146,15 @@ def replay(cfg: JobConfig) -> dict:
 
 def read_lake(cfg: JobConfig) -> "ray.data.Dataset":
     """Streaming Dataset over the lake's committed internal state
-    (tombstone rows included; only manifest-pinned files are read)."""
-    from migration_pair_ray.state.manifest import ManifestStore
+    (tombstone rows included; only manifest-pinned files are read).
+    Partition enumeration is resolved from the lake's own ``_lake_meta``
+    (not ``cfg.num_partitions``): a misconfigured read cannot silently
+    truncate, and split children are seen."""
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     store = ManifestStore(cfg.manifest_dir)
+    pids = LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions)
     paths = []
-    for pid in range(cfg.num_partitions):
+    for pid in pids:
         m = store.read(pid)
         if m:
             paths.append(str(Path(cfg.lake_dir) / m["data_file"]))
@@ -191,7 +203,7 @@ def repartition_lake(cfg: JobConfig, new_cfg: JobConfig) -> dict:
     import hashlib
     h = hashlib.sha256(b"relayout")
     store = ManifestStore(cfg.manifest_dir)
-    for pid in range(cfg.num_partitions):
+    for pid in LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions):
         m = store.read(pid)
         if m:
             h.update(f"{pid}:{m['pass_id']}:{m['row_count']}".encode())

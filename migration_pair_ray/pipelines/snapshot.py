@@ -62,10 +62,13 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
         ds.write_csv(out_dir, arrow_csv_args_fn=_csv_args)
     else:
         raise ValueError(f"unknown snapshot format {fmt!r}")
-    from migration_pair_ray.state.manifest import ManifestStore
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     store = ManifestStore(cfg.manifest_dir)
     total = 0
-    for pid in range(cfg.num_partitions):
+    # partition enumeration from the lake's own metadata (LakeMeta), never
+    # range(cfg.num_partitions): a misconfigured read must not truncate
+    # the exported count, and split children must be included
+    for pid in LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions):
         m = store.read(pid)
         if m:
             total += int(m["row_count"]) - int(m["tombstones"])

@@ -239,9 +239,15 @@ def drop_cluster_losers(ds: "ray.data.Dataset", clusters: "ray.data.Dataset",
 
 # ---------------------------------------------------------------- minhash
 
-class _MinHashStage:
-    """Actor-pool stage: MinHash signatures + LSH band keys per batch.
-    Permutation coefficients built once per actor (__init__)."""
+class _MinHashBandStage:
+    """Actor-pool stage: LSH band keys per batch.  Permutation coefficients
+    built once per actor (__init__).
+
+    The exchange carries (coarse, band_hash, doc_id) ONLY — ~24 B per
+    band row.  Signatures do NOT ride the shuffle (that was n_perm × 8 B
+    per doc per band ≈ 8 KB/doc through the exchange); they are recomputed
+    for the bounded candidate set in a second pass (``_MinHashSigFetch``).
+    """
 
     def __init__(self, n_perm: int, k: int, n_bands: int):
         self.mh = MinHasher(n_perm=n_perm, k=k)
@@ -260,85 +266,132 @@ class _MinHashStage:
         # shuffle/verify parallelism at 16 tasks regardless of corpus
         # size).  A whole (band, bucket) always maps into ONE group.
         coarse = band_id * _COARSE_PER_GROUP + band_hash % _COARSE_PER_GROUP
-        # explode to (coarse, band_hash, doc_id, sig) candidate rows
-        out = pa.table({
+        return pa.table({
             "coarse": pa.array(coarse.astype(np.int32)),
             "band_hash": pa.array(band_hash),
             "doc_id": pa.array(np.tile(doc_id, self.n_bands)),
-            "sig": pa.array(list(np.tile(sigs.astype(np.int64), (self.n_bands, 1))),
-                            type=pa.list_(pa.int64())),
         })
-        return out
+
+
+class _MinHashSigFetch:
+    """Actor-pool stage: MinHash signatures for CANDIDATE docs only (the
+    docs appearing in at least one bucket-collision pair).  Each block
+    filters itself with ``np.isin`` against the broadcast candidate-id
+    array, so only |candidates| signatures ever leave the workers."""
+
+    def __init__(self, n_perm: int, k: int, ids_ref):
+        self.mh = MinHasher(n_perm=n_perm, k=k)
+        self.ids_ref = ids_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wanted = ray.get(self.ids_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(np.isin(ids, wanted)))
+        if sub.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.int64()))})
+        sigs = self.mh.signatures(sub.column("text").to_pylist())
+        return pa.table({
+            "doc_id": sub.column("doc_id").cast(pa.int64()),
+            "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
+        })
+
+
+def _collision_pairs(g: pa.Table) -> pa.Table:
+    """Vectorized bucket-collision pairs inside one coarse Ray group: ONE
+    lexsort orders (bucket, doc) and finds bucket runs; every within-run
+    pair (capped at ``_BUCKET_CAP`` members) is a candidate.  No
+    verification here — precision comes from the signature (or exact
+    Jaccard) pass over the bounded pair set."""
+    ng = g.num_rows
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if ng < 2:
+        return empty
+    hashes = g.column("band_hash").to_numpy(zero_copy_only=False)
+    ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, hashes))
+    hashes, ids = hashes[order], ids[order]
+    keep = np.concatenate([[True], (hashes[1:] != hashes[:-1])
+                           | (ids[1:] != ids[:-1])])
+    hashes, ids = hashes[keep], ids[keep]
+    starts = np.flatnonzero(np.concatenate([[True], hashes[1:] != hashes[:-1]]))
+    ends = np.concatenate([starts[1:], [len(hashes)]])
+    rows_a, rows_b = [], []
+    for s, e2 in zip(starts, ends):
+        n = e2 - s
+        if n < 2 or n > _BUCKET_CAP:   # degenerate bucket: no signal
+            continue
+        iu, ju = np.triu_indices(n, 1)
+        a, b = ids[s:e2][iu], ids[s:e2][ju]
+        rows_a.append(np.minimum(a, b))
+        rows_b.append(np.maximum(a, b))
+    if not rows_a:
+        return empty
+    return pa.table({"a": pa.array(np.concatenate(rows_a).astype(np.int64)),
+                     "b": pa.array(np.concatenate(rows_b).astype(np.int64))})
 
 
 def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                             n_perm: int = 64, k: int = 5, n_bands: int = 16,
                             concurrency=(1, 8),
-                            dedup_pairs: bool = True) -> "ray.data.Dataset":
-    """docs(doc_id, text) → verified candidate pairs (a, b, sim) with
-    estimated Jaccard ≥ threshold.  Only (band, sig) rows shuffle.
+                            verify: bool = True) -> "ray.data.Dataset":
+    """docs(doc_id, text) → candidate pairs (a, b, sim); with ``verify``
+    the pairs are filtered to estimated Jaccard ≥ threshold.
 
-    ``dedup_pairs=False`` skips the (a, b) groupby (one whole shuffle):
-    a pair surfacing from several bands then appears several times, which
-    union-find/label-propagation consumers absorb for free."""
+    Two-pass shape (the 100-TB exchange discipline): pass 1 shuffles ONLY
+    (coarse, band_hash, doc_id) band rows (~24 B each, ~30× lighter than
+    shipping signatures) and extracts bucket-collision pairs; pass 2
+    recomputes signatures for just the candidate docs (np.isin block
+    filter) and verifies the estimate on the bounded pair set.  The pair
+    set is collected once on the driver (it is orders of magnitude smaller
+    than the corpus — the same boundedness argument as
+    ``connected_components``), deduped with one ``np.unique``."""
     cand = ds.select_columns(["doc_id", "text"]).map_batches(
-        _MinHashStage, fn_constructor_args=(n_perm, k, n_bands),
+        _MinHashBandStage, fn_constructor_args=(n_perm, k, n_bands),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    raw = cand.groupby("coarse").map_groups(_collision_pairs,
+                                            batch_format="pyarrow")
+    rows = raw.take_all()     # bounded candidate pairs (a < b), cross-band dups
+    if rows:
+        ab = np.unique(np.array([[r["a"], r["b"]] for r in rows],
+                                dtype=np.int64), axis=0)
+    else:
+        ab = np.empty((0, 2), dtype=np.int64)
+    pairs_tbl = pa.table({"a": pa.array(ab[:, 0]), "b": pa.array(ab[:, 1]),
+                          "sim": pa.array(np.ones(len(ab), dtype=np.float64))})
+    if not verify or len(ab) == 0:
+        return ray.data.from_arrow(pairs_tbl)
 
-    def band_pairs(g: pa.Table) -> pa.Table:
-        # one Ray group per (band, hash-residue) — n_bands × 16 groups, not
-        # 10^5 tiny bucket groups (per-group dispatch overhead dominates)
-        # nor n_bands alone (parallelism cap).  Fully vectorized: the sig
-        # list column flattens zero-copy to an (n, n_perm) matrix, ONE
-        # lexsort orders (bucket, doc) and finds bucket runs, and each run
-        # is verified by one signature-equality matrix.
-        ng = g.num_rows
-        if ng < 2:
-            return _pairs_table([], [], [])
-        hashes = g.column("band_hash").to_numpy(zero_copy_only=False)
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        sig_col = g.column("sig").combine_chunks()
-        sig = np.asarray(sig_col.flatten(), dtype=np.int64).reshape(ng, -1)
-        order = np.lexsort((ids, hashes))
-        hashes, ids, sig = hashes[order], ids[order], sig[order]
-        # drop duplicate (bucket, doc) rows
-        keep = np.concatenate([[True], (hashes[1:] != hashes[:-1])
-                               | (ids[1:] != ids[:-1])])
-        hashes, ids, sig = hashes[keep], ids[keep], sig[keep]
-        starts = np.flatnonzero(
-            np.concatenate([[True], hashes[1:] != hashes[:-1]]))
-        ends = np.concatenate([starts[1:], [len(hashes)]])
-        rows_a, rows_b, sims = [], [], []
-        for s, e2 in zip(starts, ends):
-            n = e2 - s
-            if n < 2 or n > _BUCKET_CAP:   # degenerate bucket: no signal
-                continue
-            sg = sig[s:e2]
-            est = (sg[:, None, :] == sg[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(n, 1)
-            hit = est[iu, ju] >= threshold
-            if not hit.any():
-                continue
-            a, b = ids[s:e2][iu[hit]], ids[s:e2][ju[hit]]
-            rows_a.append(np.minimum(a, b)); rows_b.append(np.maximum(a, b))
-            sims.append(est[iu, ju][hit])
-        return _pairs_table(rows_a, rows_b, sims)
+    ids_ref = ray.put(np.unique(ab.reshape(-1)))
+    sig_rows = (ds.select_columns(["doc_id", "text"]).map_batches(
+        _MinHashSigFetch, fn_constructor_args=(n_perm, k, ids_ref),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+        .take_all())
+    lookup = {int(r["doc_id"]): np.asarray(r["sig"], dtype=np.int64)
+              for r in sig_rows}
+    ref = ray.put(lookup)
 
-    pairs = cand.groupby("coarse").map_groups(band_pairs, batch_format="pyarrow")
-    if not dedup_pairs:
-        return pairs
-    # a pair can surface from several bands — dedup on (a, b)
-    return (pairs.groupby(["a", "b"]).max("sim")
-            .map_batches(lambda t: t.rename_columns(["a", "b", "sim"]),
-                         batch_format="pyarrow"))
+    def estimate(batch: pa.Table) -> pa.Table:
+        sigs = ray.get(ref)
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        est = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            sa, sb = sigs.get(x), sigs.get(y)
+            est[i] = float((sa == sb).mean()) if sa is not None and sb is not None else 0.0
+        out = batch.set_column(batch.schema.get_field_index("sim"), "sim",
+                               pa.array(est))
+        return out.filter(pa.compute.greater_equal(out.column("sim"), threshold))
+
+    return ray.data.from_arrow(pairs_tbl).map_batches(estimate,
+                                                      batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
                       n_perm: int = 64, k: int = 5, n_bands: int = 16
                       ) -> "ray.data.Dataset":
-    # duplicate pairs are harmless to union-find → skip the dedup shuffle
-    pairs = minhash_candidate_pairs(ds, threshold, n_perm, k, n_bands,
-                                    dedup_pairs=False)
+    pairs = minhash_candidate_pairs(ds, threshold, n_perm, k, n_bands)
     clusters = connected_components(pairs)
     return drop_cluster_losers(ds, clusters)
 
@@ -431,30 +484,26 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
                         ) -> "ray.data.Dataset":
     """MinHash-LSH recall, EXACT n-gram Jaccard precision.
 
-    Candidates come from LSH banding with the minhash-estimate prefilter a
-    little BELOW the target threshold (estimate noise ~1/sqrt(n_perm));
-    the similarity that decides a merge is the true n-gram Jaccard,
-    computed as a sorted-intersection of shingle-hash sets.  Only the
-    candidate docs' shingle sets are broadcast — never the whole corpus.
+    Candidates are the LSH bucket-collision pairs (banding tuned for the
+    target threshold; no estimate prefilter — the similarity that decides
+    a merge is the true n-gram Jaccard, computed as a sorted-intersection
+    of shingle-hash sets, so an estimate pass would only add work).  Only
+    the candidate docs' shingle sets are broadcast — never the whole
+    corpus.
 
     ``n`` defaults to 5: shingles shorter than ~5 chars are degenerate on
     natural text (nearly all documents share nearly all 3-grams, making
     every pair a "candidate" and the pair set quadratic).
     """
-    # a little below the target (estimator noise ~1/sqrt(n_perm)) but never
-    # ABOVE it — that would silently drop genuine candidates
-    prefilter = max(0.0, threshold - 2.0 / np.sqrt(n_perm))
-    # dedup_pairs=False + ONE take_all: the candidate pipeline executes
-    # exactly once (a lazy Dataset consumed twice re-executes end to end),
-    # and the cross-band pair dedup happens here on the bounded pair set
-    # instead of through a whole extra shuffle
-    pairs = minhash_candidate_pairs(ds, threshold=prefilter,
+    # verify=False: the banding supplies RECALL only (bucket-collision
+    # pairs, already deduped); precision comes entirely from the exact
+    # n-gram Jaccard below, so the minhash-estimate pass is skipped.
+    pairs = minhash_candidate_pairs(ds, threshold=threshold,
                                     n_perm=n_perm, k=n, n_bands=n_bands,
-                                    dedup_pairs=False)
+                                    verify=False)
     cand_rows = pairs.select_columns(["a", "b"]).take_all()
     if cand_rows:
-        ab = np.unique(np.array([[r["a"], r["b"]] for r in cand_rows],
-                                dtype=np.int64), axis=0)
+        ab = np.array([[r["a"], r["b"]] for r in cand_rows], dtype=np.int64)
     else:
         ab = np.empty((0, 2), dtype=np.int64)
     cand_ids = np.unique(ab.reshape(-1))

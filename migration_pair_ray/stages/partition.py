@@ -36,7 +36,8 @@ def hash_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pd.util.hash_array(np_arr, categorize=False)
 
 
-def partition_ids(batch: pa.Table, num_partitions: int, mode: str = "conv") -> np.ndarray:
+def partition_ids(batch: pa.Table, num_partitions: int, mode: str = "conv",
+                  splits: dict[int, tuple[int, int]] | None = None) -> np.ndarray:
     h = hash_strings(batch.column("conv_id"))
     if mode == "key":
         # null turn_idx → sentinel BEFORE the numpy cast (a null would go
@@ -46,13 +47,39 @@ def partition_ids(batch: pa.Table, num_partitions: int, mode: str = "conv") -> n
         turn_arr = pc.fill_null(pc.cast(batch.column("turn_idx"), pa.int64()), -1)
         turn = turn_arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         h = (h ^ (turn * _GOLDEN)) * _GOLDEN
-    return (h % np.uint64(num_partitions)).astype(np.int32)
+    base = (h % np.uint64(num_partitions)).astype(np.int32)
+    if not splits:
+        return base
+    # incremental split routing (COMPACTION.md / LakeMeta.splits): a split
+    # base partition forwards its keys to one of ``fanout`` children via
+    # the QUOTIENT hash bits — independent of the modulus bits, so
+    # children stay balanced; keys of unsplit partitions are untouched, so
+    # the other P-1 partitions' placement is byte-stable across a split.
+    # ``splits`` maps base_pid -> (fanout, gen); child id =
+    # P * (gen + child + 1) + base (LakeMeta.child_id).
+    fanout = np.zeros(num_partitions, dtype=np.uint64)
+    gen = np.zeros(num_partitions, dtype=np.int64)
+    for b, (k, g) in splits.items():
+        fanout[b] = k
+        gen[b] = g
+    kk = fanout[base]
+    hit = kk > 0
+    if not hit.any():
+        return base
+    child = ((h // np.uint64(num_partitions)) % np.maximum(kk, np.uint64(1))
+             ).astype(np.int64)
+    out = base.astype(np.int64)
+    out[hit] = (num_partitions * (gen[base[hit]] + child[hit] + 1)
+                + base[hit])
+    return out.astype(np.int32)
 
 
-def add_partition_column(batch: pa.Table, num_partitions: int, mode: str = "conv") -> pa.Table:
+def add_partition_column(batch: pa.Table, num_partitions: int, mode: str = "conv",
+                         splits: dict[int, tuple[int, int]] | None = None) -> pa.Table:
     if batch.num_rows == 0:
         return batch.append_column(PART_COL, pa.array([], type=pa.int32()))
-    return batch.append_column(PART_COL, pa.array(partition_ids(batch, num_partitions, mode)))
+    return batch.append_column(
+        PART_COL, pa.array(partition_ids(batch, num_partitions, mode, splits)))
 
 
 def key_histogram(batch: pa.Table) -> pa.Table:

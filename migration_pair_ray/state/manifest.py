@@ -87,6 +87,15 @@ class ManifestStore:
         record = dict(record, history=history + [record["pass_id"]])
         _atomic_write(self._path(pid), json.dumps(record, indent=1).encode())
 
+    def delete(self, pid: int) -> None:
+        """Remove a partition's manifest (split GC: the parent's state is
+        superseded by its children once the LakeMeta split is published)."""
+        try:
+            os.remove(self._path(pid))
+            _fsync_dir(self._path(pid))
+        except FileNotFoundError:
+            pass
+
 
 class CheckpointStore:
     """Job-level pass checkpoints under ``<lake>/_checkpoint/``."""
@@ -137,6 +146,18 @@ class LakeMeta:
     yielding duplicate/stale winners and resurrected deletes.  The layout
     is therefore persisted on first commit and asserted on every
     subsequent write pass.
+
+    ``splits`` records INCREMENTAL per-partition splits (COMPACTION.md):
+    ``{"<base_pid>": {"fanout": k, "gen": g}}`` means base partition
+    ``base_pid`` currently routes to ``k`` children; keys route onward via
+    the quotient hash bits (see stages/partition.py) and child partitions
+    live under ``part=<child_id>`` with
+    ``child_id = P * (gen + child + 1) + base_pid``.  ``gen`` advances on
+    every RE-split (widening k) so a new child generation never reuses a
+    live child id — the meta rewrite is the atomic switch-over and a
+    crashed split job (old or re-) stays invisible until it lands.  The
+    meta file is the single routing authority: readers enumerate
+    partitions from it.
     """
 
     FILE = "_lake_meta.json"
@@ -169,3 +190,50 @@ class LakeMeta:
                 f"partition_mode={partition_mode!r}. Changing the layout of "
                 f"an existing lake requires an explicit repartition/compact "
                 f"job, not a config change.")
+
+    def splits(self) -> dict[int, tuple[int, int]]:
+        """{base_pid: (fanout, gen)} for every split partition."""
+        cur = self.read() or {}
+        return {int(k): (int(v["fanout"]), int(v.get("gen", 0)))
+                for k, v in (cur.get("splits") or {}).items()}
+
+    def record_split(self, base_pid: int, fanout: int, gen: int) -> None:
+        """Atomically publish a split — the commit point of a split job:
+        readers/routers switch from the parent (or the previous child
+        generation) to the new children exactly when this rewrite lands."""
+        cur = self.read()
+        if cur is None:
+            raise LakeLayoutError("cannot record a split before the lake exists")
+        splits = cur.get("splits") or {}
+        splits[str(base_pid)] = {"fanout": fanout, "gen": gen}
+        cur["splits"] = splits
+        _atomic_write(str(self.path), json.dumps(cur, indent=1).encode())
+
+    def active_partition_ids(self, fallback_num_partitions: int | None = None
+                             ) -> list[int]:
+        """Partition ids holding live state, in deterministic order: each
+        unsplit base pid, then each split base's children.  Read paths
+        MUST use this (not ``range(cfg.num_partitions)``): it resolves the
+        partition count from the lake's own metadata — a misconfigured
+        ``num_partitions`` on a read cannot silently truncate — and it is
+        the only enumeration that sees split children."""
+        cur = self.read()
+        if cur is None:
+            if fallback_num_partitions is None:
+                return []
+            return list(range(fallback_num_partitions))
+        p = int(cur["num_partitions"])
+        splits = self.splits()
+        out: list[int] = []
+        for pid in range(p):
+            if pid in splits:
+                k, g = splits[pid]
+                out.extend(self.child_id(p, pid, c, g) for c in range(k))
+            else:
+                out.append(pid)
+        return out
+
+    @staticmethod
+    def child_id(num_partitions: int, base_pid: int, child: int,
+                 gen: int = 0) -> int:
+        return num_partitions * (gen + child + 1) + base_pid

@@ -91,6 +91,20 @@ def task_repartition(cfg: JobConfig, new_lake_dir: str = "",
     return repartition_lake(cfg, new_cfg)
 
 
+def task_split(cfg: JobConfig, base_pid: int = -1, fanout: int = 2,
+               max_rows: int = 0, **kw) -> dict:
+    """Incremental partition split (COMPACTION.md): either split ONE base
+    partition (``base_pid`` >= 0) or sweep every active partition above
+    ``max_rows`` (the size guard as a maintenance action)."""
+    from migration_pair_ray.pipelines.compact import (
+        maybe_split_oversized, split_partition)
+    if base_pid >= 0:
+        return split_partition(cfg, base_pid, fanout=fanout)
+    if max_rows <= 0:
+        raise ValueError("task_split needs base_pid >= 0 or max_rows > 0")
+    return {"splits": maybe_split_oversized(cfg, max_rows, fanout=fanout)}
+
+
 TASKS: dict[str, Callable[..., dict]] = {
     "replay": task_replay,
     "snapshot": task_snapshot,
@@ -98,6 +112,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "compliance": task_compliance,
     "lineage": task_lineage,
     "repartition": task_repartition,
+    "split": task_split,
     "tail": task_tail,
 }
 

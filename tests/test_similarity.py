@@ -119,6 +119,26 @@ def test_ivf_persisted_layout_reads_only_probed_buckets(tmp_path):
     assert min(per_bucket.values()) >= 1
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_exhaustive_probe_equals_brute_force(tmp_path):
+    """n_probe = n_clusters reads every bucket, so the persisted-IVF path
+    must EQUAL brute force exactly — the contract behind the hard SQL
+    oracle on the embed_knn_ivf driver query."""
+    import ray.data as rd
+    from migration_pair_ray.stages.similarity import ivf_build, ivf_probe
+
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((400, 24)).astype(np.float32)
+    queries = m[7:9].copy()
+    ds = rd.from_arrow(_embedding_table(m))
+    index_dir = str(tmp_path / "ivf")
+    ivf_build(ds, index_dir, n_clusters=8, sample_size=400)
+    exact = brute_force_topk(rd.from_arrow(_embedding_table(m)), queries,
+                             k=10, round_to=4)
+    got = ivf_probe(index_dir, queries, k=10, n_probe=8, round_to=4)
+    assert got.to_pylist() == exact.to_pylist()
+
+
 def _embedding_table(m):
     import pyarrow as pa
     return pa.table({
