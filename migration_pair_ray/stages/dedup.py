@@ -239,15 +239,11 @@ def drop_cluster_losers(ds: "ray.data.Dataset", clusters: "ray.data.Dataset",
 
 # ---------------------------------------------------------------- minhash
 
-class _MinHashBandStage:
-    """Actor-pool stage: LSH band keys per batch.  Permutation coefficients
-    built once per actor (__init__).
-
-    The exchange carries (coarse, band_hash, doc_id) ONLY — ~24 B per
-    band row.  Signatures do NOT ride the shuffle (that was n_perm × 8 B
-    per doc per band ≈ 8 KB/doc through the exchange); they are recomputed
-    for the bounded candidate set in a second pass (``_MinHashSigFetch``).
-    """
+class _MinHashSketchStage:
+    """Actor-pool stage: per-doc MinHash sketch — signature + LSH band
+    hashes, computed ONCE (permutation coefficients built per actor in
+    ``__init__``).  Emits one row per doc; the exploded per-band shuffle
+    rows are derived from this table WITHOUT the signature payload."""
 
     def __init__(self, n_perm: int, k: int, n_bands: int):
         self.mh = MinHasher(n_perm=n_perm, k=k)
@@ -257,57 +253,39 @@ class _MinHashBandStage:
         texts = batch.column("text").to_pylist()
         sigs = self.mh.signatures(texts)                      # (n, n_perm)
         bands = band_hashes(sigs, self.n_bands)               # (n, n_bands)
-        n = len(texts)
-        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        band_id = np.repeat(np.arange(self.n_bands, dtype=np.int64), n)
-        band_hash = bands.T.reshape(-1).astype(np.int64)
-        # coarse Ray-group key: band_id × a residue of the bucket hash —
-        # n_bands × _COARSE_PER_GROUP groups (vs n_bands alone, which caps
-        # shuffle/verify parallelism at 16 tasks regardless of corpus
-        # size).  A whole (band, bucket) always maps into ONE group.
-        coarse = band_id * _COARSE_PER_GROUP + band_hash % _COARSE_PER_GROUP
         return pa.table({
-            "coarse": pa.array(coarse.astype(np.int32)),
-            "band_hash": pa.array(band_hash),
-            "doc_id": pa.array(np.tile(doc_id, self.n_bands)),
-        })
-
-
-class _MinHashSigFetch:
-    """Actor-pool stage: MinHash signatures for CANDIDATE docs only (the
-    docs appearing in at least one bucket-collision pair).  Each block
-    filters itself with ``np.isin`` against the broadcast candidate-id
-    array, so only |candidates| signatures ever leave the workers."""
-
-    def __init__(self, n_perm: int, k: int, ids_ref):
-        self.mh = MinHasher(n_perm=n_perm, k=k)
-        self.ids_ref = ids_ref
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        wanted = ray.get(self.ids_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sub = batch.filter(pa.array(np.isin(ids, wanted)))
-        if sub.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "sig": pa.array([], pa.list_(pa.int64()))})
-        sigs = self.mh.signatures(sub.column("text").to_pylist())
-        return pa.table({
-            "doc_id": sub.column("doc_id").cast(pa.int64()),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
             "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
+            "bands": pa.array(list(bands.astype(np.int64)), pa.list_(pa.int64())),
         })
 
 
-def _collision_pairs(g: pa.Table) -> pa.Table:
-    """Vectorized bucket-collision pairs inside one coarse Ray group: ONE
-    lexsort orders (bucket, doc) and finds bucket runs; every within-run
-    pair (capped at ``_BUCKET_CAP`` members) is a candidate.  No
-    verification here — precision comes from the signature (or exact
-    Jaccard) pass over the bounded pair set."""
-    ng = g.num_rows
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64())})
-    if ng < 2:
-        return empty
+def _explode_band_rows(t: pa.Table, n_bands: int) -> pa.Table:
+    """Sketch table → slim (coarse, band_hash, doc_id) shuffle rows
+    (~24 B each; the signature NEVER rides the exchange — that was
+    n_perm × 8 B per doc per band ≈ 8 KB/doc through the shuffle).
+
+    Coarse Ray-group key: band_id × a residue of the bucket hash —
+    n_bands × _COARSE_PER_GROUP groups (vs n_bands alone, which caps
+    shuffle/verify parallelism at 16 tasks regardless of corpus size).
+    A whole (band, bucket) always maps into ONE group."""
+    n = t.num_rows
+    bands_col = t.column("bands").combine_chunks()
+    band_hash = (np.asarray(bands_col.flatten(), dtype=np.int64)
+                 .reshape(n, n_bands).T.reshape(-1))
+    doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
+    band_id = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+    coarse = band_id * _COARSE_PER_GROUP + band_hash % _COARSE_PER_GROUP
+    return pa.table({
+        "coarse": pa.array(coarse.astype(np.int32)),
+        "band_hash": pa.array(band_hash),
+        "doc_id": pa.array(np.tile(doc_id, n_bands)),
+    })
+
+
+def _bucket_runs(g: pa.Table):
+    """lexsort a coarse group's (band_hash, doc_id) rows into bucket runs;
+    yields (ids_run,) slices with 2 <= len <= _BUCKET_CAP."""
     hashes = g.column("band_hash").to_numpy(zero_copy_only=False)
     ids = g.column("doc_id").to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, hashes))
@@ -317,13 +295,25 @@ def _collision_pairs(g: pa.Table) -> pa.Table:
     hashes, ids = hashes[keep], ids[keep]
     starts = np.flatnonzero(np.concatenate([[True], hashes[1:] != hashes[:-1]]))
     ends = np.concatenate([starts[1:], [len(hashes)]])
-    rows_a, rows_b = [], []
     for s, e2 in zip(starts, ends):
         n = e2 - s
-        if n < 2 or n > _BUCKET_CAP:   # degenerate bucket: no signal
-            continue
+        if 2 <= n <= _BUCKET_CAP:   # degenerate bucket: no signal
+            yield ids[s:e2]
+
+
+def _collision_pairs(g: pa.Table) -> pa.Table:
+    """Raw bucket-collision pairs inside one coarse Ray group — recall
+    only, no verification (used by consumers that verify by another
+    metric, e.g. exact n-gram Jaccard)."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if g.num_rows < 2:
+        return empty
+    rows_a, rows_b = [], []
+    for ids_run in _bucket_runs(g):
+        n = len(ids_run)
         iu, ju = np.triu_indices(n, 1)
-        a, b = ids[s:e2][iu], ids[s:e2][ju]
+        a, b = ids_run[iu], ids_run[ju]
         rows_a.append(np.minimum(a, b))
         rows_b.append(np.maximum(a, b))
     if not rows_a:
@@ -332,66 +322,139 @@ def _collision_pairs(g: pa.Table) -> pa.Table:
                      "b": pa.array(np.concatenate(rows_b).astype(np.int64))})
 
 
+class _VerifiedBucketPairs:
+    """Group fn: bucket-collision pairs VERIFIED in-group against the
+    broadcast signature store — only pairs with estimated Jaccard ≥
+    threshold ever leave the group.  This keeps the pair stream bounded by
+    the true near-dup rate: on boilerplate-heavy corpora the raw
+    bucket-collision pairs can be ~1000× the verified set (measured at
+    sf0.1: 415k raw → 256 verified), and those must die where they are
+    born, not flow through a shuffle."""
+
+    def __init__(self, sig_ref, threshold: float):
+        self.sig_ref = sig_ref
+        self.threshold = threshold
+        self._sigs = None
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        if self._sigs is None:                     # once per actor
+            self._sigs = ray.get(self.sig_ref)
+        if g.num_rows < 2:
+            return _pairs_table([], [], [])
+        rows_a, rows_b, sims = [], [], []
+        for ids_run in _bucket_runs(g):
+            n = len(ids_run)
+            sg = np.stack([self._sigs[int(i)] for i in ids_run])
+            est = (sg[:, None, :] == sg[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(n, 1)
+            hit = est[iu, ju] >= self.threshold
+            if not hit.any():
+                continue
+            a, b = ids_run[iu[hit]], ids_run[ju[hit]]
+            rows_a.append(np.minimum(a, b))
+            rows_b.append(np.maximum(a, b))
+            sims.append(est[iu, ju][hit])
+        return _pairs_table(rows_a, rows_b, sims)
+
+
 def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                             n_perm: int = 64, k: int = 5, n_bands: int = 16,
                             concurrency=(1, 8),
-                            verify: bool = True) -> "ray.data.Dataset":
-    """docs(doc_id, text) → candidate pairs (a, b, sim); with ``verify``
-    the pairs are filtered to estimated Jaccard ≥ threshold.
+                            verify: str | bool = "broadcast"
+                            ) -> "ray.data.Dataset":
+    """docs(doc_id, text) → candidate pairs (a, b, sim); verified pairs
+    have estimated Jaccard ≥ threshold.
 
-    Two-pass shape (the 100-TB exchange discipline): pass 1 shuffles ONLY
-    (coarse, band_hash, doc_id) band rows (~24 B each, ~30× lighter than
-    shipping signatures) and extracts bucket-collision pairs; pass 2
-    recomputes signatures for just the candidate docs (np.isin block
-    filter) and verifies the estimate on the bounded pair set.  The pair
-    set is collected once on the driver (it is orders of magnitude smaller
-    than the corpus — the same boundedness argument as
-    ``connected_components``), deduped with one ``np.unique``."""
-    cand = ds.select_columns(["doc_id", "text"]).map_batches(
-        _MinHashBandStage, fn_constructor_args=(n_perm, k, n_bands),
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
-    raw = cand.groupby("coarse").map_groups(_collision_pairs,
-                                            batch_format="pyarrow")
-    rows = raw.take_all()     # bounded candidate pairs (a < b), cross-band dups
-    if rows:
-        ab = np.unique(np.array([[r["a"], r["b"]] for r in rows],
-                                dtype=np.int64), axis=0)
-    else:
-        ab = np.empty((0, 2), dtype=np.int64)
-    pairs_tbl = pa.table({"a": pa.array(ab[:, 0]), "b": pa.array(ab[:, 1]),
-                          "sim": pa.array(np.ones(len(ab), dtype=np.float64))})
-    if not verify or len(ab) == 0:
-        return ray.data.from_arrow(pairs_tbl)
+    Exchange discipline (the 100-TB shape): signatures are computed ONCE
+    per doc (sketch pass, materialized), and the shuffle carries ONLY the
+    slim (coarse, band_hash, doc_id) band rows — ~24 B/row, ~22× lighter
+    than shipping the n_perm × 8 B signature on every band row.
 
-    ids_ref = ray.put(np.unique(ab.reshape(-1)))
-    sig_rows = (ds.select_columns(["doc_id", "text"]).map_batches(
-        _MinHashSigFetch, fn_constructor_args=(n_perm, k, ids_ref),
+    ``verify`` selects where the estimate check runs:
+
+    * ``"broadcast"`` (default): per-doc signatures are broadcast once
+      (``ray.put``) and pairs are verified INSIDE the bucket group, so
+      only true near-dup pairs ever leave a group.  Ceiling: the sig
+      store is n_docs × (n_perm+1) × 8 B on each node (~5 GB at 10^7
+      docs) — right up to ~10^8 docs.
+    * ``"join"``: no broadcast — raw collision pairs are deduped by one
+      light groupby and signatures arrive via two ``hash_join``s against
+      the sketch table; fully distributed, the path beyond the broadcast
+      ceiling.
+    * ``False``: raw deduped collision pairs, unverified (sim = 1.0) —
+      for consumers whose precision comes from a different metric
+      (``ngram_jaccard_dedup``'s exact Jaccard).
+    """
+    sketch = (ds.select_columns(["doc_id", "text"]).map_batches(
+        _MinHashSketchStage, fn_constructor_args=(n_perm, k, n_bands),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
-        .take_all())
-    lookup = {int(r["doc_id"]): np.asarray(r["sig"], dtype=np.int64)
-              for r in sig_rows}
-    ref = ray.put(lookup)
+        .materialize())    # one sig computation; consumed 2-3 ways below
+    band_rows = sketch.map_batches(
+        lambda t: _explode_band_rows(t, n_bands), batch_format="pyarrow")
+
+    if verify == "broadcast":
+        lookup = {int(r["doc_id"]): np.asarray(r["sig"], dtype=np.int64)
+                  for r in sketch.select_columns(["doc_id", "sig"]).take_all()}
+        sig_ref = ray.put(lookup)
+        return band_rows.groupby("coarse").map_groups(
+            _VerifiedBucketPairs, fn_constructor_args=(sig_ref, threshold),
+            batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+    raw = band_rows.groupby("coarse").map_groups(_collision_pairs,
+                                                 batch_format="pyarrow")
+    # cross-band dedup via one light (16 B/row) shuffle — the driver never
+    # holds the raw pair stream
+    uniq = (raw.groupby(["a", "b"]).count()
+            .map_batches(lambda t: pa.table({
+                "a": t.column("a"), "b": t.column("b"),
+                "sim": pa.array(np.ones(t.num_rows), pa.float64())}),
+                batch_format="pyarrow"))
+    if verify is False or verify is None:
+        return uniq
+
+    if verify != "join":
+        raise ValueError(f"verify must be 'broadcast' | 'join' | False, got {verify!r}")
+    from migration_pair_ray.stages.join import hash_join
+
+    def _sig_side(key: str, out: str):
+        # Acero joins reject list payload columns — pack the signature as
+        # fixed-size binary (n_perm × 8 B), bit-identical round trip
+        def pack(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            flat = np.asarray(t.column("sig").combine_chunks().flatten(),
+                              dtype=np.int64).reshape(n, -1)
+            return pa.table({
+                key: t.column("doc_id"),
+                out: pa.array([r.tobytes() for r in flat],
+                              pa.binary(flat.shape[1] * 8)),
+            })
+        return sketch.map_batches(pack, batch_format="pyarrow")
+
+    joined = hash_join(hash_join(uniq, _sig_side("a", "sig_a"), on="a"),
+                       _sig_side("b", "sig_b"), on="b")
+
+    def _unpack(col) -> np.ndarray:
+        b = b"".join(col.combine_chunks().to_pylist())
+        return np.frombuffer(b, dtype=np.int64).reshape(len(col), -1)
 
     def estimate(batch: pa.Table) -> pa.Table:
-        sigs = ray.get(ref)
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        est = np.empty(len(a), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(a, b)):
-            sa, sb = sigs.get(x), sigs.get(y)
-            est[i] = float((sa == sb).mean()) if sa is not None and sb is not None else 0.0
-        out = batch.set_column(batch.schema.get_field_index("sim"), "sim",
-                               pa.array(est))
+        if batch.num_rows == 0:
+            return _pairs_table([], [], [])
+        sa = _unpack(batch.column("sig_a"))
+        sb = _unpack(batch.column("sig_b"))
+        est = (sa == sb).mean(axis=1)
+        out = pa.table({"a": batch.column("a"), "b": batch.column("b"),
+                        "sim": pa.array(est.astype(np.float64))})
         return out.filter(pa.compute.greater_equal(out.column("sim"), threshold))
 
-    return ray.data.from_arrow(pairs_tbl).map_batches(estimate,
-                                                      batch_format="pyarrow")
+    return joined.map_batches(estimate, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
-                      n_perm: int = 64, k: int = 5, n_bands: int = 16
-                      ) -> "ray.data.Dataset":
-    pairs = minhash_candidate_pairs(ds, threshold, n_perm, k, n_bands)
+                      n_perm: int = 64, k: int = 5, n_bands: int = 16,
+                      verify: str = "broadcast") -> "ray.data.Dataset":
+    pairs = minhash_candidate_pairs(ds, threshold, n_perm, k, n_bands,
+                                    verify=verify)
     clusters = connected_components(pairs)
     return drop_cluster_losers(ds, clusters)
 
@@ -484,26 +547,29 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
                         ) -> "ray.data.Dataset":
     """MinHash-LSH recall, EXACT n-gram Jaccard precision.
 
-    Candidates are the LSH bucket-collision pairs (banding tuned for the
-    target threshold; no estimate prefilter — the similarity that decides
-    a merge is the true n-gram Jaccard, computed as a sorted-intersection
-    of shingle-hash sets, so an estimate pass would only add work).  Only
-    the candidate docs' shingle sets are broadcast — never the whole
-    corpus.
+    Candidates are the LSH bucket-collision pairs PREFILTERED in-group by
+    the signature estimate at a threshold a little BELOW the target
+    (estimator noise ~1/sqrt(n_perm), so recall is preserved): raw bucket
+    collisions on boilerplate-heavy corpora run ~1000× the true pair set,
+    and each surviving candidate costs an exact shingle-set intersection —
+    the prefilter keeps that quadratic honest.  The merge decision itself
+    is the true n-gram Jaccard.  Only the candidate docs' shingle sets are
+    broadcast — never the whole corpus.
 
     ``n`` defaults to 5: shingles shorter than ~5 chars are degenerate on
     natural text (nearly all documents share nearly all 3-grams, making
     every pair a "candidate" and the pair set quadratic).
     """
-    # verify=False: the banding supplies RECALL only (bucket-collision
-    # pairs, already deduped); precision comes entirely from the exact
-    # n-gram Jaccard below, so the minhash-estimate pass is skipped.
-    pairs = minhash_candidate_pairs(ds, threshold=threshold,
+    # prefilter a little below the target (estimator noise ~1/sqrt(n_perm))
+    # but never ABOVE it — that would silently drop genuine candidates
+    prefilter = max(0.0, threshold - 2.0 / np.sqrt(n_perm))
+    pairs = minhash_candidate_pairs(ds, threshold=prefilter,
                                     n_perm=n_perm, k=n, n_bands=n_bands,
-                                    verify=False)
+                                    verify="broadcast")
     cand_rows = pairs.select_columns(["a", "b"]).take_all()
     if cand_rows:
-        ab = np.array([[r["a"], r["b"]] for r in cand_rows], dtype=np.int64)
+        ab = np.unique(np.array([[r["a"], r["b"]] for r in cand_rows],
+                                dtype=np.int64), axis=0)
     else:
         ab = np.empty((0, 2), dtype=np.int64)
     cand_ids = np.unique(ab.reshape(-1))
