@@ -329,22 +329,27 @@ class _VerifiedBucketPairs:
     the true near-dup rate: on boilerplate-heavy corpora the raw
     bucket-collision pairs can be ~1000× the verified set (measured at
     sf0.1: 415k raw → 256 verified), and those must die where they are
-    born, not flow through a shuffle."""
+    born, not flow through a shuffle.
+
+    The store is (sorted id array, (n, n_perm) sig matrix) — two flat
+    numpy buffers, so ``ray.get`` maps them zero-copy from the object
+    store on every node; lookup is one ``searchsorted`` per bucket run."""
 
     def __init__(self, sig_ref, threshold: float):
         self.sig_ref = sig_ref
         self.threshold = threshold
-        self._sigs = None
+        self._ids = None
+        self._mat = None
 
     def __call__(self, g: pa.Table) -> pa.Table:
-        if self._sigs is None:                     # once per actor
-            self._sigs = ray.get(self.sig_ref)
+        if self._ids is None:                     # once per actor
+            self._ids, self._mat = ray.get(self.sig_ref)
         if g.num_rows < 2:
             return _pairs_table([], [], [])
         rows_a, rows_b, sims = [], [], []
         for ids_run in _bucket_runs(g):
             n = len(ids_run)
-            sg = np.stack([self._sigs[int(i)] for i in ids_run])
+            sg = self._mat[np.searchsorted(self._ids, ids_run)]
             est = (sg[:, None, :] == sg[None, :, :]).mean(axis=2)
             iu, ju = np.triu_indices(n, 1)
             hit = est[iu, ju] >= self.threshold
@@ -355,6 +360,28 @@ class _VerifiedBucketPairs:
             rows_b.append(np.maximum(a, b))
             sims.append(est[iu, ju][hit])
         return _pairs_table(rows_a, rows_b, sims)
+
+
+def _collect_sig_store(sketch: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
+    """Materialized sketch table → (sorted ids, sig matrix) via zero-copy
+    block iteration (``take_all``'s per-row dicts measured 2.3 s for a
+    5k-doc table; this path is ~milliseconds)."""
+    ids_parts, sig_parts = [], []
+    for t in sketch.select_columns(["doc_id", "sig"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        n = t.num_rows
+        if n == 0:
+            continue
+        ids_parts.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+        sig_parts.append(np.asarray(
+            t.column("sig").combine_chunks().flatten(), dtype=np.int64
+        ).reshape(n, -1))
+    if not ids_parts:
+        return np.empty(0, np.int64), np.empty((0, 1), np.int64)
+    ids = np.concatenate(ids_parts)
+    mat = np.concatenate(sig_parts)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
 
 
 def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
@@ -393,9 +420,7 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
         lambda t: _explode_band_rows(t, n_bands), batch_format="pyarrow")
 
     if verify == "broadcast":
-        lookup = {int(r["doc_id"]): np.asarray(r["sig"], dtype=np.int64)
-                  for r in sketch.select_columns(["doc_id", "sig"]).take_all()}
-        sig_ref = ray.put(lookup)
+        sig_ref = ray.put(_collect_sig_store(sketch))
         return band_rows.groupby("coarse").map_groups(
             _VerifiedBucketPairs, fn_constructor_args=(sig_ref, threshold),
             batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
