@@ -43,7 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": q.distinct_event_types,
         "events_hourly_windows": q.events_hourly_windows,
         "events_sessionize": q.events_sessionize,
+        "events_session_windows": q.events_session_windows,
         "events_sliding_windows": q.events_sliding_windows,
+        "join_orders_customer_left": q.join_orders_customer_left,
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # text / documents (training-data ops)
         "doc_token_stats": q.doc_token_stats,
@@ -311,6 +313,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM d GROUP BY user_id ORDER BY user_id""",
+        "events_session_windows": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            s AS (SELECT user_id, ts,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM d)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+                   MIN(ts) AS start, MAX(ts) AS "end", COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_idx""",
+        "join_orders_customer_left": """
+            SELECT c_mktsegment,
+                   CAST(ROUND(SUM(COALESCE(o_totalprice, 0)), 0) AS BIGINT)
+                       AS revenue,
+                   CAST(SUM(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orders,
+                   COUNT(*) AS n_rows
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         "events_csv_roundtrip": """
             SELECT event_type,
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,

@@ -57,6 +57,12 @@ class JobConfig:
     # key-range (bounded transient memory) instead of one whole-partition
     # sort — see functions/lww.py merge_tables_chunked and COMPACTION.md.
     merge_chunk_rows: int = 4_000_000
+    # Within-partition state layout: 0 = one state file per partition
+    # (default); > 0 = the committed state splits into key-range chunk
+    # files of about this many rows, and a merge REWRITES ONLY the chunks
+    # whose key range the incoming changes touch (COMPACTION.md: merge I/O
+    # proportional to the touched key range, not the partition size).
+    state_chunk_rows: int = 0
 
     def __post_init__(self) -> None:
         if self.batch_size <= 0:  # reference behavior: <=0 falls back to default

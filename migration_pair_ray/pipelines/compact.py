@@ -81,11 +81,14 @@ def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
         src_pids = [base_pid]
         new_gen = 0
 
+    from migration_pair_ray.stages.applier import read_state_table
     tables, src_sig = [], []
     for pid in src_pids:
         m = store.read(pid)
         if m:
-            tables.append(pq.read_table(str(Path(cfg.lake_dir) / m["data_file"])))
+            t = read_state_table(cfg.lake_dir, m)
+            if t is not None:
+                tables.append(t)
             src_sig.append(f"{pid}:{m['pass_id']}:{m['row_count']}")
     # deterministic split identity from the source state being rewritten
     pass_id = hashlib.sha256(
@@ -145,11 +148,11 @@ def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
 
     # GC the superseded source manifests/state (best-effort; readers no
     # longer enumerate these ids)
+    from migration_pair_ray.stages.applier import state_file_paths
     for pid in src_pids:
-        m = store.read(pid)
-        if m:
+        for f in state_file_paths(cfg.lake_dir, store.read(pid)):
             try:
-                (Path(cfg.lake_dir) / m["data_file"]).unlink()
+                Path(f).unlink()
             except OSError:
                 pass
         store.delete(pid)

@@ -380,6 +380,53 @@ def events_sessionize(sf_dir: str):
     return sessionize_counts(ds, "user_id", "ts", gap_s=1800).sort("user_id")
 
 
+def events_session_windows(sf_dir: str):
+    """Full per-session rollup (user_id, session_idx, start, end,
+    n_events) — exercises stages/windows.session_windows, the vectorized
+    coarse-bucket sessionizer, end to end with a SQL gaps-and-islands
+    oracle."""
+    from migration_pair_ray.stages.windows import session_windows
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_windows(ds, "user_id", "ts", gap_s=1800)
+
+
+def join_orders_customer_left(sf_dir: str):
+    """LEFT OUTER partitioned hash join (stages/join.py): every customer
+    row survives, order revenue null-filled to 0 — covers the non-inner
+    join shapes of §2.4."""
+    from migration_pair_ray.stages.join import hash_join
+    customers = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("o_custkey"),
+                            "o_totalprice": t.column("o_totalprice")}),
+        batch_format="pyarrow")
+    joined = hash_join(customers, orders, on="c_custkey", how="left")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "rev": pc.fill_null(t.column("o_totalprice"), 0.0),
+            "has": pc.cast(pc.is_valid(t.column("o_totalprice")), pa.int64()),
+        })
+        return (t2.group_by("c_mktsegment")
+                .aggregate([("rev", "sum"), ("has", "sum"), ("has", "count")])
+                .rename_columns(["c_mktsegment", "revenue", "n_orders", "n_rows"]))
+
+    from ray.data.aggregate import Sum
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n_orders", alias_name="n_orders"),
+                      Sum("n_rows", alias_name="n_rows")))
+    return out.sort("c_mktsegment").map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                               pc.cast(pc.round(t.column("revenue"), ndigits=0, round_mode="half_towards_infinity"), pa.int64())),
+        batch_format="pyarrow")
+
+
 def events_csv_roundtrip(sf_dir: str):
     """CSV sink + source parity (reference S3/S4): export events to CSV,
     read it back, aggregate — equals the same aggregate from Parquet."""

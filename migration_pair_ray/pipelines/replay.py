@@ -60,7 +60,8 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
     lineage = ds.groupby(PART_COL).map_groups(
         applier_cls,
         fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id,
-                             cfg.hash_state, cfg.merge_chunk_rows),
+                             cfg.hash_state, cfg.merge_chunk_rows,
+                             cfg.state_chunk_rows),
         batch_format="pyarrow",
         concurrency=conc,
         num_cpus=1,
@@ -150,14 +151,13 @@ def read_lake(cfg: JobConfig) -> "ray.data.Dataset":
     Partition enumeration is resolved from the lake's own ``_lake_meta``
     (not ``cfg.num_partitions``): a misconfigured read cannot silently
     truncate, and split children are seen."""
+    from migration_pair_ray.stages.applier import state_file_paths
     from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     store = ManifestStore(cfg.manifest_dir)
     pids = LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions)
     paths = []
     for pid in pids:
-        m = store.read(pid)
-        if m:
-            paths.append(str(Path(cfg.lake_dir) / m["data_file"]))
+        paths.extend(state_file_paths(cfg.lake_dir, store.read(pid)))
     if not paths:
         from migration_pair_ray.schemas import CHANGE_SCHEMA
         return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())

@@ -62,20 +62,29 @@ class Applier:
 
     One call = one partition's change group for one pass.  Constructor args
     are plain picklable values (Ray ships them to each pool actor once).
+
+    With ``state_chunk_rows > 0`` the committed state is a list of
+    key-range chunk files (manifest ``data_files``) and a merge rewrites
+    ONLY the chunks whose key range the incoming changes touch — the
+    Parquet-row-group pruning idea lifted to files (COMPACTION.md).
     """
 
     def __init__(self, lake_dir: str, manifest_dir: str, pass_id: str,
-                 hash_state: bool = True, merge_chunk_rows: int = 4_000_000):
+                 hash_state: bool = True, merge_chunk_rows: int = 4_000_000,
+                 state_chunk_rows: int = 0):
         self.lake_dir = lake_dir
         self.pass_id = pass_id
         self.hash_state = hash_state
         self.merge_chunk_rows = merge_chunk_rows
+        self.state_chunk_rows = state_chunk_rows
         self.manifests = ManifestStore(manifest_dir)  # once per actor
 
-    def _state_file(self, pid: int) -> str:
+    def _state_file(self, pid: int, seq: int | None = None) -> str:
         d = Path(self.lake_dir) / f"part={pid:05d}"
         d.mkdir(parents=True, exist_ok=True)
-        return str(d / f"state-{self.pass_id}.parquet")
+        name = (f"state-{self.pass_id}.parquet" if seq is None
+                else f"state-{self.pass_id}-{seq:04d}.parquet")
+        return str(d / name)
 
     def _lineage(self, pid: int, **kw) -> pa.Table:
         row = {
@@ -85,6 +94,69 @@ class Applier:
         }
         row.update(kw)
         return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
+
+    # ---------------------------------------------------------- state I/O
+
+    def _hash_file(self, path: str) -> str:
+        if not self.hash_state:
+            return ""
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    def _gc(self, pid: int, referenced: set[str]) -> None:
+        """Delete state files the committed manifest no longer references
+        (best-effort).  Carried-over chunk files from earlier passes stay
+        referenced and therefore stay on disk."""
+        d = Path(self.lake_dir) / f"part={pid:05d}"
+        for old in d.glob("state-*.parquet"):
+            if str(old.relative_to(self.lake_dir)) not in referenced:
+                try:
+                    old.unlink()
+                except OSError:
+                    pass
+
+    def _write_chunks(self, pid: int, merged: pa.Table,
+                      seq: int) -> tuple[list[dict], int]:
+        """Write ``merged`` (key-sorted) as key-range chunk files of about
+        ``state_chunk_rows`` rows, cut at key-group boundaries (one key
+        never spans two chunks).  Returns (manifest entries, next seq)."""
+        import numpy as np
+        n = merged.num_rows
+        entries: list[dict] = []
+        if n == 0:
+            return entries, seq
+        conv = np.asarray(merged.column("conv_id").to_pandas())
+        turn = merged.column("turn_idx").to_numpy(zero_copy_only=False)
+        lo = 0
+        while lo < n:
+            hi = min(lo + max(self.state_chunk_rows, 1), n)
+            while hi < n and (conv[hi] == conv[hi - 1]
+                              and turn[hi] == turn[hi - 1]):
+                hi += 1
+            sub = merged.slice(lo, hi - lo)
+            path = self._state_file(pid, seq)
+            _fsync_write_parquet(sub, path)
+            entries.append({
+                "file": str(Path(path).relative_to(self.lake_dir)),
+                "rows": sub.num_rows,
+                "tombstones": int(pc.sum(pc.cast(
+                    pc.equal(sub.column("op"), "D"), pa.int64())).as_py() or 0),
+                "key_lo": [str(conv[lo]), int(turn[lo])],
+                "key_hi": [str(conv[hi - 1]), int(turn[hi - 1])],
+                "content_hash": self._hash_file(path),
+            })
+            seq += 1
+            lo = hi
+        return entries, seq
+
+    def _commit(self, pid: int, record: dict, referenced: set[str]) -> None:
+        self.manifests.commit(pid, record)
+        self._gc(pid, referenced)
+
+    # ------------------------------------------------------------- apply
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -100,9 +172,34 @@ class Applier:
                                  rows_state=prev.get("row_count", 0),
                                  seconds=time.perf_counter() - t0)
 
-        existing = None
-        if prev:
-            existing = pq.read_table(str(Path(self.lake_dir) / prev["data_file"]))
+        lsn_lo = int(pc.min(changes.column("lsn")).as_py())
+        lsn_hi = int(pc.max(changes.column("lsn")).as_py())
+
+        if self.state_chunk_rows > 0:
+            out = self._apply_chunked(pid, prev, changes)
+            if out is not None:
+                entries, rows_in = out
+                referenced = {e["file"] for e in entries}
+                self._commit(pid, {
+                    "partition": pid,
+                    "pass_id": self.pass_id,
+                    "data_files": entries,
+                    "row_count": sum(e["rows"] for e in entries),
+                    "tombstones": sum(e["tombstones"] for e in entries),
+                    "lsn_lo": lsn_lo,
+                    "lsn_hi": lsn_hi,
+                }, referenced)
+                nbytes = sum(os.path.getsize(str(Path(self.lake_dir) / e["file"]))
+                             for e in entries)
+                return self._lineage(
+                    pid, rows_in=rows_in,
+                    rows_state=sum(e["rows"] for e in entries),
+                    tombstones=sum(e["tombstones"] for e in entries),
+                    lsn_lo=lsn_lo, lsn_hi=lsn_hi,
+                    bytes=nbytes, seconds=time.perf_counter() - t0)
+            # fall through: degenerate (null merge keys) → single-file merge
+
+        existing = read_state_table(self.lake_dir, prev)
 
         # merge sorts by (conv_id, turn_idx, ts, lsn) and keeps one row per
         # key — its output is therefore already in the deterministic
@@ -111,42 +208,116 @@ class Applier:
         # a skewed partition outgrows merge_chunk_rows.
         merged = merge_tables_chunked(existing, changes, self.merge_chunk_rows)
 
-        lsn_lo = int(pc.min(changes.column("lsn")).as_py())
-        lsn_hi = int(pc.max(changes.column("lsn")).as_py())
         tombstones = int(pc.sum(
             pc.cast(pc.equal(merged.column("op"), "D"), pa.int64())
         ).as_py() or 0)
 
         path = self._state_file(pid)
         nbytes = _fsync_write_parquet(merged, path)
-        content_hash = ""
-        if self.hash_state:
-            h = hashlib.sha256()
-            with open(path, "rb") as f:
-                for chunk in iter(lambda: f.read(1 << 20), b""):
-                    h.update(chunk)
-            content_hash = h.hexdigest()
-
-        self.manifests.commit(pid, {
+        rel = str(Path(path).relative_to(self.lake_dir))
+        self._commit(pid, {
             "partition": pid,
             "pass_id": self.pass_id,
-            "data_file": str(Path(path).relative_to(self.lake_dir)),
+            "data_file": rel,
             "row_count": merged.num_rows,
             "tombstones": tombstones,
             "lsn_lo": lsn_lo,
             "lsn_hi": lsn_hi,
-            "content_hash": content_hash,
-        })
-        # GC superseded state files (best-effort; current file is manifest-pinned)
-        for old in Path(path).parent.glob("state-*.parquet"):
-            if str(old) != path:
-                try:
-                    old.unlink()
-                except OSError:
-                    pass
+            "content_hash": self._hash_file(path),
+        }, {rel})
 
         return self._lineage(
             pid, rows_in=group.num_rows, rows_state=merged.num_rows,
             tombstones=tombstones, lsn_lo=lsn_lo, lsn_hi=lsn_hi,
             bytes=nbytes, seconds=time.perf_counter() - t0,
         )
+
+    def _apply_chunked(self, pid: int, prev: dict | None,
+                       changes: pa.Table) -> tuple[list[dict], int] | None:
+        """Chunked-layout merge: rewrite ONLY the chunks whose key range
+        the (reduced, key-sorted) changes touch; untouched chunks carry
+        their manifest entries — and files — forward unrewritten.
+
+        Chunk i owns the half-open key range [key_lo_i, key_lo_{i+1})
+        (first chunk also owns everything below), so every change key maps
+        to exactly one chunk by binary search.  Returns None for the
+        degenerate null-merge-key case (caller falls back to the
+        single-file merge: correctness beats chunk pruning there)."""
+        import numpy as np
+        from migration_pair_ray.functions.lww import lww_reduce
+        from migration_pair_ray.schemas import MERGE_KEYS
+
+        rows_in = changes.num_rows
+        changes = lww_reduce(changes)
+        if any(changes.column(k).null_count > 0 for k in MERGE_KEYS):
+            return None
+
+        entries = (prev or {}).get("data_files")
+        if not entries:
+            # no prior state, or a single-file layout transitioning to
+            # chunked: one full merge, then split into chunk files
+            existing = read_state_table(self.lake_dir, prev)
+            if existing is not None and any(
+                    existing.column(k).null_count > 0 for k in MERGE_KEYS):
+                return None
+            merged = merge_tables_chunked(existing, changes,
+                                          self.merge_chunk_rows)
+            new_entries, _ = self._write_chunks(pid, merged, 0)
+            return new_entries, rows_in
+
+        conv = np.asarray(changes.column("conv_id").to_pandas())
+        turn = changes.column("turn_idx").to_numpy(zero_copy_only=False)
+
+        def key_pos(c: str, t: int) -> int:
+            lo = int(np.searchsorted(conv, c, "left"))
+            hi = int(np.searchsorted(conv, c, "right"))
+            return lo + int(np.searchsorted(turn[lo:hi], t, "left"))
+
+        # change-slice boundaries per chunk: slice i = [starts[i], starts[i+1])
+        starts = [0]
+        for ent in entries[1:]:
+            starts.append(key_pos(str(ent["key_lo"][0]), int(ent["key_lo"][1])))
+        starts.append(changes.num_rows)
+
+        new_entries: list[dict] = []
+        seq = 0
+        for i, ent in enumerate(entries):
+            lo_c, hi_c = starts[i], starts[i + 1]
+            if hi_c <= lo_c:
+                new_entries.append(ent)        # untouched: carried forward
+                continue
+            chunk_tbl = pq.read_table(str(Path(self.lake_dir) / ent["file"]))
+            merged = merge_tables_chunked(chunk_tbl,
+                                          changes.slice(lo_c, hi_c - lo_c),
+                                          self.merge_chunk_rows)
+            written, seq = self._write_chunks(pid, merged, seq)
+            new_entries.extend(written)
+        return new_entries, rows_in
+
+
+def read_state_table(lake_dir: str, manifest: dict | None) -> pa.Table | None:
+    """A partition's committed state as one (key-sorted) table — handles
+    both layouts: single ``data_file`` and chunked ``data_files`` (chunk
+    files are key-ordered and internally sorted, so concatenation is the
+    sorted partition)."""
+    if not manifest:
+        return None
+    files = manifest.get("data_files")
+    if files is None:
+        return pq.read_table(str(Path(lake_dir) / manifest["data_file"]))
+    if not files:
+        return None
+    tables = [pq.read_table(str(Path(lake_dir) / e["file"])) for e in files]
+    return (tables[0] if len(tables) == 1
+            else pa.concat_tables(tables, promote_options="permissive"))
+
+
+def state_file_paths(lake_dir: str, manifest: dict | None) -> list[str]:
+    """Absolute paths of a partition's committed state files (both
+    layouts), in key order."""
+    if not manifest:
+        return []
+    files = manifest.get("data_files")
+    if files is None:
+        return [str(Path(lake_dir) / manifest["data_file"])]
+    return [str(Path(lake_dir) / e["file"]) for e in files]

@@ -151,6 +151,87 @@ def test_maybe_split_and_widening_resplit(tmp_lake, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_chunked_state_layout_rewrites_touched_chunks_only(tmp_lake, tmp_path):
+    """state_chunk_rows > 0: the partition state becomes key-range chunk
+    files, a merge rewrites ONLY the chunks whose range the changes touch
+    (untouched chunk files carried forward byte-for-byte), and the visible
+    state stays identical to a single-file control lake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1500, n_convs=12, n_files=2,
+                        tool_epoch=1, seed=81)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=2,
+                    partition_mode="conv", hash_state=False,
+                    state_chunk_rows=60)
+    ctrl = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "ctrl"),
+                     num_partitions=2, partition_mode="conv", hash_state=False)
+    replay(cfg)
+    replay(ctrl)
+    store = ManifestStore(cfg.manifest_dir)
+    chunked_pids = [p for p in (0, 1)
+                    if store.read(p) and len(store.read(p)["data_files"]) > 1]
+    assert chunked_pids, "expected at least one multi-chunk partition"
+    pd.testing.assert_frame_equal(
+        final_state(cfg).to_pandas().reset_index(drop=True),
+        final_state(ctrl).to_pandas().reset_index(drop=True))
+
+    before = {p: [dict(e) for e in store.read(p)["data_files"]]
+              for p in (0, 1) if store.read(p)}
+
+    # phase 2: touch ONE conversation only
+    tbl = pa.table({
+        "conv_id": pa.array(["conv-3"] * 4),
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+        "role": pa.array(["user"] * 4),
+        "text": pa.array([f"edited-{i}" for i in range(4)]),
+        "tool": pa.array([None] * 4, pa.string()),
+        "ts": pa.array([4_000_000_000_000_000 + i for i in range(4)],
+                       pa.timestamp("us")),
+        "op": pa.array(["U"] * 4),
+        "lsn": pa.array([10_000_000 + i for i in range(4)], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(
+        log, "batch-00050-010000000000-010000000003.parquet"))
+    replay(cfg)
+    replay(ctrl)
+    pd.testing.assert_frame_equal(
+        final_state(cfg).to_pandas().reset_index(drop=True),
+        final_state(ctrl).to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        final_state(cfg).to_pandas().reset_index(drop=True),
+        _oracle(log), check_dtype=False)
+
+    # chunk ownership rule: chunk i owns keys in [key_lo_i, key_lo_{i+1})
+    # — exactly the old chunks owning a conv-3 key must be rewritten, and
+    # every other chunk must be carried forward under its original name
+    touched_keys = [("conv-3", t) for t in range(4)]
+    after = {p: store.read(p)["data_files"] for p in (0, 1) if store.read(p)}
+    carried = rewritten = 0
+    for p, olds in before.items():
+        news = {e["file"] for e in after[p]}
+        if news == {e["file"] for e in olds}:
+            carried += len(olds)        # partition got no changes at all
+            continue
+        lows = [tuple(e["key_lo"]) for e in olds] + [("￿", 1 << 30)]
+        for i, e in enumerate(olds):
+            owns = any(lows[i] <= k < lows[i + 1] for k in touched_keys) \
+                if i > 0 else any(k < lows[i + 1] for k in touched_keys)
+            if owns:
+                assert e["file"] not in news, f"owner chunk {e} not rewritten"
+                rewritten += 1
+            else:
+                assert e["file"] in news, f"untouched chunk {e} was rewritten"
+                carried += 1
+    assert carried > 0, "no chunk was carried forward"
+    assert rewritten > 0, "no chunk was rewritten"
+
+    # idempotency: re-replay is a no-op
+    assert replay(cfg)["up_to_date"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_split_validation_and_empty_partition(tmp_lake):
     log, lake = tmp_lake
     generate_change_log(log, n_events=200, n_convs=3, n_files=1,
