@@ -35,9 +35,11 @@ QUERY_NAMES = [
     "join_orders_customer_segment",
     "join_lineitem_part_type",
     "join_orders_lineitem_priority",
+    "join_orders_customer_left",
     "topk_orders_by_price",
     "events_hourly_windows",
     "events_sessionize",
+    "events_session_windows",
     "doc_token_stats",
     "doc_quality",
     "doc_langid",

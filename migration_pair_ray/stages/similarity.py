@@ -222,18 +222,40 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
     n_planes = 12, n_tables = 4 that is > 0.998, while random pairs
     (c ≈ 0) land together with p ≈ 2^-12 per table, keeping buckets small.
 
-    Scale shape: only (table, bucket, id, vec) rows shuffle; Ray groups are
+    Scale shape (same exchange discipline as MinHash): the shuffle carries
+    ONLY (coarse, bucket, doc_id) rows (~20 B each) — the vectors are
+    broadcast once as (sorted ids, normalized matrix) flat numpy buffers
+    (``ray.put`` → zero-copy map on every node; ceiling ~n_docs × dim × 4 B,
+    the same broadcast regime as the minhash sig store).  Ray groups are
     ``n_coarse`` COARSE buckets (not one per fine bucket — per-group
     dispatch pitfall); inside a group, fine-bucket runs are found by one
-    lexsort and each run is verified by ONE normalized matmul +
-    ``triu_indices`` threshold — no Python pair loop.  Buckets beyond
-    ``_BUCKET_CAP`` members are degenerate (near-constant embeddings) and
-    are skipped, bounding the quadratic.
+    lexsort, vectors are gathered from the store by ``searchsorted``, and
+    each run is verified by ONE normalized matmul + ``triu_indices``
+    threshold — no Python pair loop.  Buckets beyond ``_BUCKET_CAP``
+    members are degenerate (near-constant embeddings) and are skipped,
+    bounding the quadratic.
     """
     from migration_pair_ray.stages.dedup import (
         _BUCKET_CAP, connected_components, drop_cluster_losers)
 
     golden = np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF)
+
+    # one vector pass: collect the normalized matrix driver-side via
+    # zero-copy block iteration, broadcast once
+    ids_parts, vec_parts = [], []
+    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        ids_parts.append(batch.column(id_col).to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        vec_parts.append(_l2_normalize(_batch_matrix(batch, vec_col)))
+    if not ids_parts:
+        return ds
+    all_ids = np.concatenate(ids_parts)
+    all_vecs = np.concatenate(vec_parts)
+    order = np.argsort(all_ids)
+    store_ref = ray.put((all_ids[order], all_vecs[order]))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _l2_normalize(_batch_matrix(batch, vec_col))
@@ -248,13 +270,10 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
         flat_keys = keys.reshape(-1)
         with np.errstate(over="ignore"):
             coarse = ((flat_keys * golden) % n_coarse).astype(np.int32)
-        vecs = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.tile(m, (n_tables, 1)).reshape(-1)), m.shape[1])
         return pa.table({
             "bucket": pa.array(flat_keys),
             "coarse": pa.array(np.abs(coarse)),
             "doc_id": pa.array(np.tile(ids, n_tables)),
-            "vec": vecs,
         })
 
     cand = ds.map_batches(bucketize, batch_format="pyarrow")
@@ -265,11 +284,11 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
                           "sim": pa.array([], pa.float64())})
         if g.num_rows < 2:
             return empty
+        store_ids, store_vecs = ray.get(store_ref)   # zero-copy plasma map
         buckets = g.column("bucket").to_numpy(zero_copy_only=False)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        m = _batch_matrix(g, "vec")
         order = np.lexsort((ids, buckets))
-        buckets, ids, m = buckets[order], ids[order], m[order]
+        buckets, ids = buckets[order], ids[order]
         starts = np.flatnonzero(
             np.concatenate([[True], buckets[1:] != buckets[:-1]]))
         ends = np.concatenate([starts[1:], [len(buckets)]])
@@ -278,7 +297,7 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
             k = e - s
             if k < 2 or k > _BUCKET_CAP:     # degenerate bucket: no signal
                 continue
-            sub = m[s:e]
+            sub = store_vecs[np.searchsorted(store_ids, ids[s:e])]
             cos = sub @ sub.T                # one matmul per fine bucket
             iu, ju = np.triu_indices(k, 1)
             cv = cos[iu, ju]

@@ -109,3 +109,51 @@ def test_read_media_files(tmp_path):
     from migration_pair_ray.stages.multimodal import media_byte_stats
     stats = media_byte_stats(pa.Table.from_pandas(out))
     assert sorted(stats.column("n_bytes").to_pylist()) == [10, 11, 12]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_string_keys_and_counts():
+    """The coarse-bucket sessionizer with a STRING key column (hash path
+    differs from ints) + the counts variant vs a pandas oracle."""
+    from migration_pair_ray.stages.windows import sessionize_counts
+
+    rng = np.random.default_rng(21)
+    n = 400
+    df = pd.DataFrame({
+        "user": np.char.add("u", rng.integers(0, 17, n).astype("U4")),
+        "ts": pd.to_datetime(
+            rng.integers(0, 3 * 86400, n), unit="s", origin="2024-01-01"),
+    })
+    ds = ray.data.from_pandas(df)
+    got = (sessionize_counts(ds, "user", "ts", gap_s=1800)
+           .to_pandas().sort_values("user").reset_index(drop=True))
+
+    def oracle(g):
+        g = g.sort_values("ts")
+        return pd.Series({
+            "n_sessions": int((g["ts"].diff() > pd.Timedelta(seconds=1800)).sum()) + 1,
+            "n_events": len(g)})
+
+    want = (df.groupby("user").apply(oracle, include_groups=False)
+            .reset_index().sort_values("user").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # full session_windows on the same string keys: per-key session count
+    # must agree with the counts variant
+    sw = session_windows(ds, "user", "ts", gap_s=1800).to_pandas()
+    per_key = sw.groupby("user")["session_idx"].max() + 1
+    assert per_key.sort_index().tolist() == want.set_index("user")["n_sessions"].sort_index().tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_parquet_roundtrip(tmp_path):
+    from migration_pair_ray.pipelines.queries import checkpoint_parquet
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_id", "value"])
+    back = checkpoint_parquet(ds, str(tmp_path / "ckpt"))
+    a = ray.data.read_parquet(f"{SF}/events.parquet",
+                              columns=["event_id", "value"]).to_pandas()
+    b = back.to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("event_id").reset_index(drop=True),
+        b.sort_values("event_id").reset_index(drop=True))
