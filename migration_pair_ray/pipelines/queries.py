@@ -496,7 +496,7 @@ def doc_langid(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return (ds.map_batches(LangId, batch_format="pyarrow",
-                           concurrency=2, num_cpus=1)
+                           concurrency=(2, 8), num_cpus=1)
             .select_columns(["doc_id", "lang", "lang_pred"]).sort("doc_id"))
 
 
@@ -768,7 +768,7 @@ def corpus_curation(sf_dir: str, checkpoint: str = "disk"):
     from migration_pair_ray.functions.text import LangId, add_token_count
     from migration_pair_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(2, 8), num_cpus=1)
     ds = ds.map_batches(add_token_count, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n_tokens"), 25)),

@@ -151,6 +151,42 @@ def test_maybe_split_and_widening_resplit(tmp_lake, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_split_crash_before_meta_commit_is_invisible(tmp_lake):
+    """Crash injection at the split's commit point: children are written
+    but the _lake_meta rewrite never lands → readers still see the parent
+    (identical state), and re-running the split completes it."""
+    from unittest import mock
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=600, n_convs=8, n_files=1,
+                        tool_epoch=0, seed=77)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    partition_mode="conv", hash_state=False)
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+    hot = _heaviest(cfg)
+
+    with mock.patch.object(LakeMeta, "record_split",
+                           side_effect=OSError("injected crash")):
+        with pytest.raises(OSError, match="injected crash"):
+            split_partition(cfg, hot, fanout=2)
+
+    # nothing visible changed: no split recorded, parent still serves reads
+    meta = LakeMeta(cfg.lake_dir)
+    assert meta.splits() == {}
+    assert ManifestStore(cfg.manifest_dir).read(hot) is not None
+    pd.testing.assert_frame_equal(
+        final_state(cfg).to_pandas().reset_index(drop=True), want)
+
+    # re-run completes the split; state still identical
+    s = split_partition(cfg, hot, fanout=2)
+    assert not s["already_split"]
+    assert meta.splits() == {hot: (2, 0)}
+    pd.testing.assert_frame_equal(
+        final_state(cfg).to_pandas().reset_index(drop=True), want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_chunked_state_layout_rewrites_touched_chunks_only(tmp_lake, tmp_path):
     """state_chunk_rows > 0: the partition state becomes key-range chunk
     files, a merge rewrites ONLY the chunks whose range the changes touch
