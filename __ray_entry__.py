@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
         "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
         "doc_quality": q.doc_quality,
+        "doc_pack_bins": q.doc_pack_bins,
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
         # embeddings / multimodal
@@ -373,6 +374,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(AVG(value) * 100, 0) AS BIGINT) AS avg_value_cents
             FROM events GROUP BY event_type ORDER BY event_type""",
         "doc_langid": _langid_oracle(),
+        # sequence packing: window cumsum == the engine's distributed
+        # two-pass prefix scan; bin = exclusive token offset // 2048
+        "doc_pack_bins": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                     END AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS off
+              FROM d)
+            SELECT CAST(off // 2048 AS BIGINT) AS bin,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   COUNT(*) AS n_docs,
+                   CAST(MIN(doc_id) AS BIGINT) AS first_doc
+            FROM o GROUP BY 1 ORDER BY 1""",
         "doc_fingerprints": """
             SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents ORDER BY doc_id""",
         "doc_exact_dedup": """

@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "doc_quality",
     "doc_langid",
     "doc_exact_dedup",
+    "doc_pack_bins",
     "doc_near_dedup_minhash",
     "doc_near_dedup_simhash",
     "doc_near_dedup_ngram",

@@ -758,6 +758,35 @@ def checkpoint_parquet(ds: "rd.Dataset", ckpt_dir: str) -> "rd.Dataset":
     return rd.read_parquet(ckpt_dir)
 
 
+def doc_pack_bins(sf_dir: str, budget: int = 2048):
+    """Sequence packing (stages/packing.py): global token-offset prefix
+    scan over doc_id order, docs assigned to the 2048-token pack their
+    first token lands in; per-pack rollup.  The distributed two-pass scan
+    is the operator under test — the SQL oracle is a window cumsum."""
+    from migration_pair_ray.functions.text import add_token_count
+    from migration_pair_ray.stages.packing import pack_bins
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
+    packed = pack_bins(ds, budget=budget)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"bin": t.column("bin"),
+                       "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+                       "doc_id": t.column("doc_id")})
+        return (t2.group_by("bin")
+                .aggregate([("n_tokens", "sum"), ("n_tokens", "count"),
+                            ("doc_id", "min")])
+                .rename_columns(["bin", "sum_tokens", "n_docs", "first_doc"]))
+
+    from ray.data.aggregate import Min, Sum
+    out = (packed.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin")
+           .aggregate(Sum("sum_tokens", alias_name="sum_tokens"),
+                      Sum("n_docs", alias_name="n_docs"),
+                      Min("first_doc", alias_name="first_doc")))
+    return out.sort("bin")
+
+
 def corpus_curation(sf_dir: str, checkpoint: str = "disk"):
     """Training-corpus curation as ONE composed streaming pipeline —
     language-ID (actor pool) → quality gate (n_tokens ≥ 25) → exact
