@@ -239,25 +239,38 @@ def drop_cluster_losers(ds: "ray.data.Dataset", clusters: "ray.data.Dataset",
 
 # ---------------------------------------------------------------- minhash
 
-class _MinHashSketchStage:
-    """Actor-pool stage: per-doc MinHash sketch — signature + LSH band
-    hashes, computed ONCE (permutation coefficients built per actor in
-    ``__init__``).  Emits one row per doc; the exploded per-band shuffle
-    rows are derived from this table WITHOUT the signature payload."""
+_MINHASHER_CACHE: dict[tuple, "MinHasher"] = {}
 
-    def __init__(self, n_perm: int, k: int, n_bands: int):
-        self.mh = MinHasher(n_perm=n_perm, k=k)
-        self.n_bands = n_bands
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        sigs = self.mh.signatures(texts)                      # (n, n_perm)
-        bands = band_hashes(sigs, self.n_bands)               # (n, n_bands)
-        return pa.table({
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
-            "bands": pa.array(list(bands.astype(np.int64)), pa.list_(pa.int64())),
-        })
+def _cached_minhasher(n_perm: int, k: int) -> "MinHasher":
+    """MinHasher built once per worker PROCESS (module cache — the ST1
+    once-per-worker discipline without an actor pool: the permutation
+    coefficients are a trivial seeded RNG draw, so a task-based stage with
+    a worker-local cache beats paying actor-pool spin-up on every query)."""
+    key = (n_perm, k)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = MinHasher(n_perm=n_perm, k=k)
+        _MINHASHER_CACHE[key] = mh
+    return mh
+
+
+def _sketch_batch(batch: pa.Table, n_perm: int, k: int,
+                  n_bands: int) -> pa.Table:
+    """Per-doc MinHash sketch — signature + LSH band hashes, computed ONCE
+    (permutation coefficients from the worker-local cache).  Emits one row
+    per doc; the exploded per-band shuffle rows are derived from this
+    table WITHOUT the signature payload.  Task-based (no actor pool): the
+    only state is the cached MinHasher."""
+    mh = _cached_minhasher(n_perm, k)
+    texts = batch.column("text").to_pylist()
+    sigs = mh.signatures(texts)                           # (n, n_perm)
+    bands = band_hashes(sigs, n_bands)                    # (n, n_bands)
+    return pa.table({
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
+        "bands": pa.array(list(bands.astype(np.int64)), pa.list_(pa.int64())),
+    })
 
 
 def _explode_band_rows(t: pa.Table, n_bands: int) -> pa.Table:
@@ -322,7 +335,7 @@ def _collision_pairs(g: pa.Table) -> pa.Table:
                      "b": pa.array(np.concatenate(rows_b).astype(np.int64))})
 
 
-class _VerifiedBucketPairs:
+def _verified_bucket_pairs(g: pa.Table, sig_ref, threshold: float) -> pa.Table:
     """Group fn: bucket-collision pairs VERIFIED in-group against the
     broadcast signature store — only pairs with estimated Jaccard ≥
     threshold ever leave the group.  This keeps the pair stream bounded by
@@ -332,34 +345,27 @@ class _VerifiedBucketPairs:
     born, not flow through a shuffle.
 
     The store is (sorted id array, (n, n_perm) sig matrix) — two flat
-    numpy buffers, so ``ray.get`` maps them zero-copy from the object
-    store on every node; lookup is one ``searchsorted`` per bucket run."""
-
-    def __init__(self, sig_ref, threshold: float):
-        self.sig_ref = sig_ref
-        self.threshold = threshold
-        self._ids = None
-        self._mat = None
-
-    def __call__(self, g: pa.Table) -> pa.Table:
-        if self._ids is None:                     # once per actor
-            self._ids, self._mat = ray.get(self.sig_ref)
-        if g.num_rows < 2:
-            return _pairs_table([], [], [])
-        rows_a, rows_b, sims = [], [], []
-        for ids_run in _bucket_runs(g):
-            n = len(ids_run)
-            sg = self._mat[np.searchsorted(self._ids, ids_run)]
-            est = (sg[:, None, :] == sg[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(n, 1)
-            hit = est[iu, ju] >= self.threshold
-            if not hit.any():
-                continue
-            a, b = ids_run[iu[hit]], ids_run[ju[hit]]
-            rows_a.append(np.minimum(a, b))
-            rows_b.append(np.maximum(a, b))
-            sims.append(est[iu, ju][hit])
-        return _pairs_table(rows_a, rows_b, sims)
+    numpy buffers, so the per-task ``ray.get`` maps them ZERO-COPY from
+    the local object store (no deserialization — the reason this can be a
+    task-based stage instead of an actor pool); lookup is one
+    ``searchsorted`` per bucket run."""
+    if g.num_rows < 2:
+        return _pairs_table([], [], [])
+    ids_store, mat = ray.get(sig_ref)
+    rows_a, rows_b, sims = [], [], []
+    for ids_run in _bucket_runs(g):
+        n = len(ids_run)
+        sg = mat[np.searchsorted(ids_store, ids_run)]
+        est = (sg[:, None, :] == sg[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(n, 1)
+        hit = est[iu, ju] >= threshold
+        if not hit.any():
+            continue
+        a, b = ids_run[iu[hit]], ids_run[ju[hit]]
+        rows_a.append(np.minimum(a, b))
+        rows_b.append(np.maximum(a, b))
+        sims.append(est[iu, ju][hit])
+    return _pairs_table(rows_a, rows_b, sims)
 
 
 def _collect_sig_store(sketch: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
@@ -386,7 +392,6 @@ def _collect_sig_store(sketch: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarr
 
 def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                             n_perm: int = 64, k: int = 5, n_bands: int = 16,
-                            concurrency=(1, 8),
                             verify: str | bool = "broadcast"
                             ) -> "ray.data.Dataset":
     """docs(doc_id, text) → candidate pairs (a, b, sim); verified pairs
@@ -413,8 +418,9 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
       (``ngram_jaccard_dedup``'s exact Jaccard).
     """
     sketch = (ds.select_columns(["doc_id", "text"]).map_batches(
-        _MinHashSketchStage, fn_constructor_args=(n_perm, k, n_bands),
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+        _sketch_batch,
+        fn_kwargs={"n_perm": n_perm, "k": k, "n_bands": n_bands},
+        batch_format="pyarrow")
         .materialize())    # one sig computation; consumed 2-3 ways below
     band_rows = sketch.map_batches(
         lambda t: _explode_band_rows(t, n_bands), batch_format="pyarrow")
@@ -422,8 +428,8 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
     if verify == "broadcast":
         sig_ref = ray.put(_collect_sig_store(sketch))
         return band_rows.groupby("coarse").map_groups(
-            _VerifiedBucketPairs, fn_constructor_args=(sig_ref, threshold),
-            batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+            lambda g: _verified_bucket_pairs(g, sig_ref, threshold),
+            batch_format="pyarrow")
 
     raw = band_rows.groupby("coarse").map_groups(_collision_pairs,
                                                  batch_format="pyarrow")
