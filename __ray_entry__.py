@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # text / documents (training-data ops)
         "doc_token_stats": q.doc_token_stats,
+        "doc_token_stats_bpe": q.doc_token_stats_bpe,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_langid": q.doc_langid,
@@ -348,6 +349,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(text) - length(replace(text, ' ', '')) + 1
                        END) AS BIGINT) AS sum_tokens,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "doc_token_stats_bpe": r"""
+            SELECT lang,
+                   CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                       END) AS BIGINT) AS sum_ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(COALESCE(text, ''),
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]'))) AS BIGINT)
+                       AS sum_bpe_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang""",
         "doc_quality": """

@@ -33,6 +33,41 @@ def add_token_count(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out, token_count(batch.column(text_col)))
 
 
+# BPE-style pre-tokenizer: letter runs | digit runs | single
+# non-alphanumeric rune.  The classes are disjoint and runs are maximal,
+# so leftmost-first (Python re) and leftmost-longest (RE2 variants) agree;
+# whitespace is the EXPLICIT ASCII class (Python's \s would also match
+# unicode spaces, DuckDB/RE2's would not — an oracle-divergence trap).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"
+
+_BPE_RE_CACHE: dict[str, "object"] = {}
+
+
+def bpe_token_count(col: pa.ChunkedArray | pa.Array,
+                    pattern: str = BPE_TOKEN_PATTERN) -> pa.Array:
+    """BPE-ish token count: matches of a GPT-2-style pre-tokenizer regex
+    (letter runs, digit runs, individual punctuation/CJK runes — roughly
+    the granularity a byte-pair encoder starts from).  The compiled regex
+    lives in a worker-local cache (once per process); counting loops over
+    docs but the regex engine does the per-char work.  SQL mirror:
+    ``len(regexp_extract_all(text, pattern))``."""
+    import re
+    rx = _BPE_RE_CACHE.get(pattern)
+    if rx is None:
+        rx = re.compile(pattern)
+        _BPE_RE_CACHE[pattern] = rx
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    counts = np.fromiter(
+        (len(rx.findall(t)) if t else 0 for t in ca.to_pylist()),
+        dtype=np.int64, count=len(ca))
+    return pa.array(counts, pa.int64())
+
+
+def add_bpe_token_count(batch: pa.Table, text_col: str = "text",
+                        out: str = "n_bpe_tokens") -> pa.Table:
+    return batch.append_column(out, bpe_token_count(batch.column(text_col)))
+
+
 # ------------------------------------------------------------- quality
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")

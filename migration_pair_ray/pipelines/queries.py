@@ -476,6 +476,36 @@ def doc_token_stats(sf_dir: str):
     return out.sort("lang")
 
 
+def doc_token_stats_bpe(sf_dir: str):
+    """BPE-ish regex tokenization (functions/text.py BPE_TOKEN_PATTERN —
+    letter runs / digit runs / single punctuation-or-CJK runes) next to
+    the whitespace count, rolled up per language."""
+    from migration_pair_ray.functions.text import (
+        add_bpe_token_count, add_token_count)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
+    ds = ds.map_batches(add_bpe_token_count, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"lang": t.column("lang"),
+                       "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+                       "n_bpe_tokens": t.column("n_bpe_tokens")})
+        return (t2.group_by("lang")
+                .aggregate([("n_tokens", "sum"), ("n_bpe_tokens", "sum"),
+                            ("n_bpe_tokens", "count")])
+                .rename_columns(["lang", "sum_ws_tokens", "sum_bpe_tokens",
+                                 "n_docs"]))
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("sum_ws_tokens", alias_name="sum_ws_tokens"),
+                      Sum("sum_bpe_tokens", alias_name="sum_bpe_tokens"),
+                      Sum("n_docs", alias_name="n_docs")))
+    return out.sort("lang")
+
+
 def doc_fingerprints(sf_dir: str):
     from migration_pair_ray.functions.text import md5_fingerprint
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -65,3 +65,13 @@ def test_langid_actor_stage_smoke(docs_table):
     en = out.filter(pa.compute.equal(out.column("lang"), "en"))
     en_acc = np.mean(np.array(en.column("lang_pred").to_pylist()) == "en")
     assert en_acc > 0.5
+
+
+def test_bpe_token_count_granularity():
+    import pyarrow as pa
+    from migration_pair_ray.functions.text import bpe_token_count
+
+    col = pa.array(["hello world", "a1b2", "don't stop!", "你好吗", "", None])
+    got = bpe_token_count(col).to_pylist()
+    # hello|world; a|1|b|2; don|'|t|stop|!; 你|好|吗 (one rune each); 0; 0
+    assert got == [2, 4, 5, 3, 0, 0]
