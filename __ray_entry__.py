@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q.doc_token_stats,
         "doc_token_stats_bpe": q.doc_token_stats_bpe,
         "doc_fingerprints": q.doc_fingerprints,
+        "doc_fingerprints_rolling": q.doc_fingerprints_rolling,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_langid": q.doc_langid,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
@@ -218,6 +219,28 @@ def _simhash_dedup_oracle(max_hamming: int = 3) -> str:
                    WHERE root < id)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id"""
+
+
+def _rolling_fp_oracle(k: int = 8) -> str:
+    """Bit-exact mirror of the engine's k-byte polynomial rolling-hash
+    fingerprint (functions/hashing._batch_shingles, base 1099511628211,
+    uint64 wraparound): per doc, the MINIMUM rolling hash — the winnowing
+    anchor.  ``ord(substr(...))`` == utf-8 byte because the documents
+    corpus is pure ASCII (verified: octet_length == length for every row;
+    same precondition the simhash oracle relies on), and every doc is
+    longer than k so the short-doc zero-padding branch never fires."""
+    b, m = 1099511628211, 1 << 64
+    expr = "CAST(ord(substr(text, i, 1)) AS HUGEINT)"
+    for j in range(1, k):
+        expr = f"(({expr}) * {b} + ord(substr(text, i+{j}, 1))) % {m}"
+    return f"""
+        WITH nums AS (SELECT i FROM range(1, 3000) t(i)),
+        sh AS (
+          SELECT doc_id, CAST({expr} AS UBIGINT) AS h
+          FROM documents JOIN nums ON i <= length(text) - {k - 1}
+        )
+        SELECT doc_id, MIN(h) AS rfp FROM sh GROUP BY doc_id
         ORDER BY doc_id"""
 
 
@@ -408,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
             FROM o GROUP BY 1 ORDER BY 1""",
         "doc_fingerprints": """
             SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents ORDER BY doc_id""",
+        "doc_fingerprints_rolling": _rolling_fp_oracle(8),
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, text
             FROM documents GROUP BY text ORDER BY doc_id""",

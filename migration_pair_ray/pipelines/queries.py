@@ -513,6 +513,32 @@ def doc_fingerprints(sf_dir: str):
             .select_columns(["doc_id", "fp"]).sort("doc_id"))
 
 
+def doc_fingerprints_rolling(sf_dir: str, k: int = 8):
+    """Rolling-hash document fingerprint (winnowing-style anchor): the
+    MINIMUM k-byte polynomial rolling hash over the doc — the
+    shift-invariant fingerprint sketch (identical for any rotation/
+    concatenation context containing the same minimal window), computed by
+    the same vectorized `_batch_shingles` kernel the MinHash family uses.
+    SQL-mirrorable because the polynomial rolling hash already has a
+    bit-exact DuckDB form (see the simhash oracle)."""
+    from migration_pair_ray.functions.hashing import _batch_shingles
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        h, starts = _batch_shingles(texts, k)
+        if len(h):
+            mins = np.minimum.reduceat(h, starts)
+        else:
+            mins = np.empty(0, np.uint64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "rfp": pa.array(mins.astype(np.uint64), pa.uint64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_exact_dedup(sf_dir: str):
     from migration_pair_ray.stages.dedup import exact_dedup
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
