@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC core (SURVEY.md §2.1/2.3/2.5/2.7: S1/S2/S5, ST1/ST4, A4/A5)
         "cdc_lww_merge": q.cdc_lww_merge,
+        "cdc_two_phase_replay": q.cdc_two_phase_replay,
         "cdc_tombstone_keys": q.cdc_tombstone_keys,
         "cdc_changelog_stats": q.cdc_changelog_stats,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": q.embed_knn_ivf,
         "embed_near_dedup": q.embed_near_dedup,
         "media_byte_stats": q.media_byte_stats_q,
+        "media_frame_stats": q.media_frame_stats,
         "media_features": q.media_features,
     }
 
@@ -256,6 +258,10 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_lww_merge": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        "cdc_two_phase_replay": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
@@ -452,6 +458,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS media_type,
                    octet_length(encode(COALESCE(text, ''))) AS n_bytes
             FROM documents ORDER BY media_id""",
+        # stub sampler slices 4 frames of exactly len//4 bytes each for
+        # payloads >= 4 bytes (corpus min is 44)
+        "media_frame_stats": """
+            SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+                   octet_length(encode(COALESCE(text, ''))) // 4 AS n_bytes
+            FROM documents CROSS JOIN range(0, 4) t(i)
+            ORDER BY media_id, frame_idx""",
         "doc_near_dedup_ngram": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_minhash": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_simhash": _simhash_dedup_oracle(3),

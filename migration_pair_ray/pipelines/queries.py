@@ -144,6 +144,39 @@ def cdc_lww_merge(sf_dir: str):
     return final_state(cfg, sort=True)
 
 
+def cdc_two_phase_replay(sf_dir: str):
+    """Incremental consumption under the driver gate: the SAME derived
+    change log applied in TWO separate replay passes (files 0-1, then
+    files 2-3) into a dedicated lake — resume/checkpoint semantics, pass
+    identity and cross-pass LWW merging all on the oracle path.  Final
+    state must equal the one-pass lake's (same SQL winners oracle)."""
+    src = _events_lake(sf_dir)   # reuse the derived change files
+    root = Path(src.changelog_dir).parent
+    lake2 = str(root / "lake_twophase")
+    log_a, log_b = str(root / "log_a"), str(root / "log_b")
+    marker = Path(root / "_twophase_done")
+    if not marker.exists():
+        shutil.rmtree(lake2, ignore_errors=True)
+        shutil.rmtree(log_a, ignore_errors=True)
+        shutil.rmtree(log_b, ignore_errors=True)
+        os.makedirs(log_a), os.makedirs(log_b)
+        files = sorted(Path(src.changelog_dir).glob("batch-*.parquet"))
+        for i, f in enumerate(files):
+            os.link(f, Path(log_a if i < 2 else log_b) / f.name)
+        cfg = JobConfig(changelog_dir=log_a, lake_dir=lake2, num_partitions=16)
+        s1 = replay(cfg)
+        assert not s1["up_to_date"]
+        # phase 2: the remaining files "arrive"
+        for f in sorted(Path(log_b).glob("batch-*.parquet")):
+            os.link(f, Path(log_a) / f.name)
+        s2 = replay(cfg)
+        assert s2["files"] == len(files) - 2
+        marker.touch()
+    cfg = JobConfig(changelog_dir=log_a, lake_dir=lake2, num_partitions=16)
+    replay(cfg)   # no-op (idempotent); keeps the query re-runnable
+    return final_state(cfg, sort=True)
+
+
 def cdc_tombstone_keys(sf_dir: str):
     """Keys whose LWW winner is a delete (internal lake state, op == 'D')."""
     cfg = _events_lake(sf_dir)
@@ -614,6 +647,27 @@ def media_byte_stats_q(sf_dir: str):
     return (ds.map_batches(fake_payload_from_text, batch_format="pyarrow")
             .map_batches(media_byte_stats, batch_format="pyarrow")
             .sort("media_id"))
+
+
+def media_frame_stats(sf_dir: str):
+    """FrameSampler plumbing under the gate: each payload fans out to 4
+    frame rows (flat-map shape); the stub sampler's byte accounting is
+    exactly mirrorable in SQL (frames 0-2 are len//4 bytes, frame 3 the
+    remainder slice), so the fan-out, ordering and slicing are
+    value-checked, not just executed."""
+    from migration_pair_ray.stages.multimodal import (
+        FrameSampler, fake_payload_from_text)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(fake_payload_from_text, batch_format="pyarrow")
+    frames = media.map_batches(FrameSampler, batch_format="pyarrow",
+                               batch_size=128, concurrency=2, num_cpus=1)
+    out = frames.map_batches(
+        lambda t: pa.table({
+            "media_id": t.column("media_id"),
+            "frame_idx": t.column("frame_idx"),
+            "n_bytes": pc.cast(pc.binary_length(t.column("payload")), pa.int64()),
+        }), batch_format="pyarrow")
+    return out.sort(["media_id", "frame_idx"])
 
 
 def join_orders_lineitem_priority(sf_dir: str):
