@@ -189,3 +189,56 @@ def test_adversarial_generator_matrix(tmp_lake, gen_kw):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     else:
         assert_matches_oracle(cfg, log)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("gen_kw", ADVERSARIAL,
+                         ids=["dup-burst", "delete-heavy", "hot-conv",
+                              "no-evolution", "tiny-keyspace"])
+def test_adversarial_matrix_with_split_and_chunked_state(tmp_lake, tmp_path,
+                                                         gen_kw):
+    """The same adversarial log shapes, but composed with the round-3
+    lifecycle features: chunked state layout from the start, a partition
+    SPLIT between the first and second half of the log, and the remaining
+    files replayed into the split lake — every shape must still match the
+    DuckDB LWW oracle."""
+    import os
+    import pathlib
+    import duckdb as _duck
+    from migration_pair_ray.pipelines.compact import split_partition
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+
+    log, lake = tmp_lake
+    staging = str(tmp_path / "all")
+    generate_change_log(staging, **gen_kw)
+    files = sorted(pathlib.Path(staging).glob("batch-*.parquet"))
+    half = max(1, len(files) // 2)
+    for f in files[:half]:
+        os.link(f, pathlib.Path(log) / f.name)
+
+    mode = "key" if gen_kw.get("hot_frac", 0) > 0.5 else "conv"
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=5,
+                    partition_mode=mode, merge_chunk_rows=101,
+                    state_chunk_rows=50, hash_state=False)
+    replay(cfg)
+
+    store = ManifestStore(cfg.manifest_dir)
+    sizes = {p: store.read(p)["row_count"]
+             for p in LakeMeta(cfg.lake_dir).active_partition_ids()
+             if store.read(p)}
+    hot = max(sizes, key=sizes.get)
+    s = split_partition(cfg, hot, fanout=2)
+    assert not s["already_split"]
+
+    for f in files[half:]:
+        os.link(f, pathlib.Path(log) / f.name)
+    replay(cfg)
+
+    if gen_kw.get("tool_epoch", 2) > gen_kw["n_files"]:
+        got = final_state(cfg).to_pandas().reset_index(drop=True)
+        assert "tool" not in got.columns
+        want = _duck.sql(ORACLE.replace(", tool,", ",").format(log=log)
+                         ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    else:
+        assert_matches_oracle(cfg, log)
