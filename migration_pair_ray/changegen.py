@@ -87,39 +87,13 @@ def generate_change_log(
     ts_us = (ts_us // 2_000_000) * 2_000_000  # 2s quantization → (ts) ties
 
     r = rng.random(n)
-    op_codes = np.where(r < delete_frac, 0, np.where(r < delete_frac + update_frac, 1, 2))
-    op = pa.DictionaryArray.from_arrays(
-        pa.array(op_codes, pa.int8()), pa.array(["D", "U", "I"])).cast(pa.string())
+    op_codes = np.where(r < delete_frac, 0,
+                        np.where(r < delete_frac + update_frac, 1, 2)).astype(np.int8)
 
-    # all string building via Arrow kernels (np.char is ~20x slower at 10^7)
-    import pyarrow.compute as _pc
-    conv_str = _pc.cast(pa.array(conv), pa.string())
-    turn_str = _pc.cast(pa.array(turn), pa.string())
-    lsn_str = _pc.cast(pa.array(lsn), pa.string())
-    conv_id = _pc.binary_join_element_wise(pa.scalar("conv-"), conv_str, "")
-    text = _pc.binary_join_element_wise(
-        pa.scalar("turn text c"), conv_str, pa.scalar("/t"), turn_str,
-        pa.scalar("#"), lsn_str, "")
-    role_codes = pa.array((turn % 4).astype(np.int8))
-    role = pa.DictionaryArray.from_arrays(role_codes, pa.array(_ROLES.tolist())).cast(pa.string())
-    tool_val = _pc.binary_join_element_wise(
-        pa.scalar("tool-"), _pc.cast(pa.array((turn % 7).astype(np.int32)), pa.string()), "")
-    tool = _pc.if_else(_pc.equal(role, "tool"), tool_val, pa.scalar(None, pa.string()))
-
-    table = pa.table(
-        {
-            "conv_id": conv_id,
-            "turn_idx": pa.array(turn, pa.int32()),
-            "role": role,
-            "text": text,
-            "tool": tool,
-            "ts": pa.array(ts_us, pa.timestamp("us")),
-            "op": op,
-            "lsn": pa.array(lsn, pa.int64()),
-        }
-    )
-
-    # arrival order: shuffle within windows (out-of-order across batches)
+    # arrival order: shuffle within windows (out-of-order across batches);
+    # applied to the NUMPY key arrays, not a built table — string columns
+    # are materialized per FILE below, never for the whole log (a 10^8-row
+    # text column overflows Arrow's 2 GiB string-array capacity)
     order = np.arange(n)
     if shuffle_window and shuffle_window > 1:
         for lo in range(0, n, shuffle_window):
@@ -127,7 +101,45 @@ def generate_change_log(
             seg = order[lo:hi].copy()
             rng.shuffle(seg)
             order[lo:hi] = seg
-    table = table.take(pa.array(order))
+    conv, turn = conv[order], turn[order]
+    ts_us, op_codes, lsn = ts_us[order], op_codes[order], lsn[order]
+
+    import pyarrow.compute as _pc
+
+    def build(idx: np.ndarray, tool_null: np.ndarray | None = None) -> pa.Table:
+        """Build the Arrow table for a row-index selection — all string
+        building via Arrow kernels (np.char is ~20x slower at 10^7)."""
+        c, t, ts_, oc, ls = conv[idx], turn[idx], ts_us[idx], op_codes[idx], lsn[idx]
+        conv_str = _pc.cast(pa.array(c), pa.string())
+        turn_str = _pc.cast(pa.array(t), pa.string())
+        lsn_str = _pc.cast(pa.array(ls), pa.string())
+        conv_id = _pc.binary_join_element_wise(pa.scalar("conv-"), conv_str, "")
+        text = _pc.binary_join_element_wise(
+            pa.scalar("turn text c"), conv_str, pa.scalar("/t"), turn_str,
+            pa.scalar("#"), lsn_str, "")
+        role = pa.DictionaryArray.from_arrays(
+            pa.array((t % 4).astype(np.int8)),
+            pa.array(_ROLES.tolist())).cast(pa.string())
+        tool_val = _pc.binary_join_element_wise(
+            pa.scalar("tool-"),
+            _pc.cast(pa.array((t % 7).astype(np.int32)), pa.string()), "")
+        tool = _pc.if_else(_pc.equal(role, "tool"), tool_val,
+                           pa.scalar(None, pa.string()))
+        if tool_null is not None:
+            tool = _pc.if_else(pa.array(tool_null), pa.scalar(None, pa.string()),
+                               tool)
+        op = pa.DictionaryArray.from_arrays(
+            pa.array(oc, pa.int8()), pa.array(["D", "U", "I"])).cast(pa.string())
+        return pa.table({
+            "conv_id": conv_id,
+            "turn_idx": pa.array(t, pa.int32()),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": pa.array(ts_, pa.timestamp("us")),
+            "op": op,
+            "lsn": pa.array(ls, pa.int64()),
+        })
 
     # replayed duplicates: re-append a sample of earlier events at the end
     # of later files (at-least-once delivery). A redelivered event is the
@@ -135,16 +147,7 @@ def generate_change_log(
     # even when it lands in a post-evolution file.
     per = (n + n_files - 1) // n_files
     n_dup = int(n * dup_frac)
-    if n_dup:
-        dup_idx = rng.integers(0, n, size=n_dup)
-        dup = table.take(pa.array(dup_idx))
-        pre_evo = pa.array(dup_idx // per < tool_epoch)
-        import pyarrow.compute as _pc
-        masked_tool = _pc.if_else(pre_evo, pa.scalar(None, pa.string()),
-                                  dup.column("tool").combine_chunks())
-        dup = dup.set_column(dup.schema.get_field_index("tool"), "tool", masked_tool)
-    else:
-        dup = table.slice(0, 0)
+    dup_idx = rng.integers(0, n, size=n_dup) if n_dup else np.empty(0, np.int64)
 
     os.makedirs(out_dir, exist_ok=True)
     paths: list[str] = []
@@ -156,10 +159,13 @@ def generate_change_log(
     dup_files = max(1, n_files - dup_start)
     dup_per = (n_dup + dup_files - 1) // dup_files if n_dup else 0
     for epoch in range(n_files):
-        part = table.slice(epoch * per, per)
+        sel = np.arange(epoch * per, min((epoch + 1) * per, n))
+        part = build(sel)
         if n_dup and epoch >= dup_start:
             d0 = (epoch - dup_start) * dup_per
-            part = pa.concat_tables([part, dup.slice(d0, dup_per)])
+            d = dup_idx[d0:d0 + dup_per]
+            if len(d):
+                part = pa.concat_tables([part, build(d, tool_null=(d // per < tool_epoch))])
         if part.num_rows == 0:
             continue
         if epoch < tool_epoch:
