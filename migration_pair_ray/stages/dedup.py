@@ -31,7 +31,8 @@ from migration_pair_ray.functions.hashing import (
 # ------------------------------------------------------------------ exact
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
-                id_col: str = "doc_id", num_buckets: int = 64) -> "ray.data.Dataset":
+                id_col: str = "doc_id",
+                num_buckets: int | None = None) -> "ray.data.Dataset":
     """Exact dedup: keep the minimum-id row per distinct text.
 
     Scale shape: hash-partition by a COARSE bucket of the 64-bit content
@@ -41,8 +42,14 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     boundary mask (the ``lww.py`` kernel).  The text itself participates in
     the sort key within equal-hash runs, so a hash collision cannot cause
     a false merge.
+
+    ``num_buckets`` defaults CPU-scaled (each bucket is one task holding
+    its whole group — text included — so the count trades dispatch
+    overhead against per-group memory; raise it for extreme corpora).
     """
     from migration_pair_ray.functions.lww import _group_first_mask
+    from migration_pair_ray.stages.windows import _default_coarse
+    num_buckets = _default_coarse(num_buckets)
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = stable_hash64(batch.column(text_col).to_pylist()).astype(np.int64)

@@ -73,6 +73,22 @@ def sliding_window(ds: "ray.data.Dataset", ts_col: str, value_col: str,
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _default_coarse(n_coarse: int | None) -> int:
+    """Coarse-group count for sessionization: scales with cluster CPUs
+    (each Ray group is ONE task holding the whole group in memory, so the
+    group count is the lever between per-group dispatch overhead — bad
+    above ~10^5 groups — and per-group memory — bad when
+    total_rows/n_coarse outgrows a worker heap).  Callers with extreme key
+    volumes should raise it explicitly."""
+    if n_coarse is not None:
+        return n_coarse
+    try:
+        import ray
+        return max(64, int(ray.cluster_resources().get("CPU", 16)) * 2)
+    except Exception:
+        return 64
+
+
 def _coarse_key_bucket(col, n_buckets: int) -> np.ndarray:
     """Deterministic coarse bucket of a key column (int or string) — the
     Ray-group grain for sessionization.  ~``n_buckets`` groups regardless
@@ -106,7 +122,8 @@ def _session_start_mask(g: pa.Table, key_col: str, ts_col: str, gap_s: int
 
 
 def session_windows(ds: "ray.data.Dataset", key_col: str, ts_col: str,
-                    gap_s: int = 1800, n_coarse: int = 64) -> "ray.data.Dataset":
+                    gap_s: int = 1800,
+                    n_coarse: int | None = None) -> "ray.data.Dataset":
     """Session windows: per key, consecutive events closer than ``gap_s``
     belong to one session.  Emits (key, session_idx, start, end, n_events).
 
@@ -116,6 +133,7 @@ def session_windows(ds: "ray.data.Dataset", key_col: str, ts_col: str,
     one Arrow sort by (key, ts) and numpy boundary masks find every
     session of every key in the bucket at once.  Ordering is established
     inside the bucket, so arrival order is irrelevant."""
+    n_coarse = _default_coarse(n_coarse)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -154,11 +172,13 @@ def session_windows(ds: "ray.data.Dataset", key_col: str, ts_col: str,
 
 
 def sessionize_counts(ds: "ray.data.Dataset", key_col: str, ts_col: str,
-                      gap_s: int = 1800, n_coarse: int = 64) -> "ray.data.Dataset":
+                      gap_s: int = 1800,
+                      n_coarse: int | None = None) -> "ray.data.Dataset":
     """Per-key session/event counts: (key, n_sessions, n_events).  Same
     coarse-bucket vectorized skeleton as ``session_windows``; the per-key
     rollup is one Arrow ``group_by`` inside the bucket (keys never span
     buckets, so no second shuffle is needed)."""
+    n_coarse = _default_coarse(n_coarse)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
