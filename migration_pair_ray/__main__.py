@@ -23,6 +23,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", default="", help="bulk_load input path")
     p.add_argument("--out", default="", help="snapshot output dir")
     p.add_argument("--fmt", default="", help="snapshot/bulk_load format")
+    p.add_argument("--base-pid", type=int, default=-1,
+                   help="split: base partition to split")
+    p.add_argument("--fanout", type=int, default=2,
+                   help="split: number of children")
+    p.add_argument("--max-rows", type=int, default=0,
+                   help="split: sweep every partition above this row count")
     p.add_argument("--num-cpus", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -34,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
         kw["out_dir"] = args.out
     if args.fmt:
         kw["fmt"] = args.fmt
+    if args.task == "split":
+        kw.update(base_pid=args.base_pid, fanout=args.fanout,
+                  max_rows=args.max_rows)
 
     import ray
     if not ray.is_initialized():
