@@ -101,6 +101,37 @@ def test_cli_end_to_end(tmp_path):
     assert summary["events_in"] >= 300 and not summary["up_to_date"]
 
 
+def test_cli_split_task(tmp_path):
+    """The split task end-to-end through the CLI: replay, split the
+    heaviest partition via `--base-pid`, then a size-guard sweep via
+    `--max-rows`."""
+    log = tmp_path / "log"
+    generate_change_log(str(log), n_events=400, n_convs=6, n_files=2, seed=9)
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, hash_state=False)
+    cfg_path = tmp_path / "job.json"
+    cfg.to_json(cfg_path)
+
+    def cli(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "migration_pair_ray", *args,
+             "--config", str(cfg_path), "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    cli("replay")
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+    store = ManifestStore(cfg.manifest_dir)
+    hot = max((p for p in range(4) if store.read(p)),
+              key=lambda p: store.read(p)["row_count"])
+    s = cli("split", "--base-pid", str(hot), "--fanout", "2")
+    assert s["fanout"] == 2 and not s["already_split"]
+    assert LakeMeta(cfg.lake_dir).splits() == {hot: (2, 0)}
+    s2 = cli("split", "--max-rows", "1")     # sweep: everything oversized
+    assert isinstance(s2["splits"], list) and s2["splits"]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_detect_hot_keys(tmp_lake):
     log, _ = tmp_lake
