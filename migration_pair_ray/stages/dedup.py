@@ -642,20 +642,53 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
         return pa.table({"doc_id": sub.column("doc_id").cast(pa.int64()),
                          "sh": lst})
 
-    id_shingles: dict[int, np.ndarray] = {}
-    for r in (ds.select_columns(["doc_id", "text"])
+    # Collect the candidate shingle sets as THREE flat buffers
+    # (sorted ids, segment offsets, concatenated hashes) — zero-copy via
+    # block iteration on the way in, zero-copy plasma map in every verify
+    # task on the way out (a dict of small arrays would deserialize per
+    # task; take_all's per-row lists were the slow path).
+    ids_parts, len_parts, hash_parts = [], [], []
+    for t in (ds.select_columns(["doc_id", "text"])
                 .map_batches(shingle_candidates, batch_format="pyarrow")
-                .take_all()):
-        id_shingles[r["doc_id"]] = np.asarray(r["sh"], dtype=np.uint64)
-    ref = ray.put(id_shingles)
+                .iter_batches(batch_size=None, batch_format="pyarrow")):
+        if t.num_rows == 0:
+            continue
+        ids_parts.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+        col = t.column("sh").combine_chunks()
+        hash_parts.append(np.asarray(col.flatten(), dtype=np.uint64))
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        len_parts.append(np.diff(offs))
+    if ids_parts:
+        sids = np.concatenate(ids_parts)
+        lens = np.concatenate(len_parts)
+        hashes = np.concatenate(hash_parts)
+        seg_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        order = np.argsort(sids)
+        hashes = (np.concatenate([hashes[seg_starts[i]:seg_starts[i] + lens[i]]
+                                  for i in order])
+                  if len(order) else hashes)
+        sids, lens = sids[order], lens[order]
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    else:
+        sids = np.empty(0, np.int64)
+        offsets = np.zeros(1, np.int64)
+        hashes = np.empty(0, np.uint64)
+    ref = ray.put((sids, offsets, hashes))
 
     def exact_verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
+        sids_, offs_, hashes_ = ray.get(ref)   # zero-copy plasma buffers
+
+        def seg(doc: int) -> np.ndarray | None:
+            i = int(np.searchsorted(sids_, doc))
+            if i >= len(sids_) or sids_[i] != doc:
+                return None
+            return hashes_[offs_[i]:offs_[i + 1]]
+
         a = batch.column("a").to_pylist()
         b = batch.column("b").to_pylist()
         sims = []
         for x, y in zip(a, b):
-            sa, sb = lookup.get(x), lookup.get(y)
+            sa, sb = seg(x), seg(y)
             if sa is None or sb is None:
                 sims.append(0.0)
                 continue

@@ -223,3 +223,28 @@ def test_adversarial_dup_rate_routes_distributed():
                   if r["doc_id"] != r["cluster"]}
     assert calls["distributed"] == 1
     assert losers == {1000 + i for i in range(30)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_exchange_carries_no_signatures():
+    """Design-property regression guard: the LSH exchange must carry ONLY
+    (coarse, band_hash, doc_id) — if signatures ever ride the shuffle
+    again, the per-row byte size blows past this bound (the round-2 layout
+    measured ~530 B/row; the slim layout ~20 B/row + block overhead)."""
+    import re
+    from migration_pair_ray.stages.dedup import minhash_candidate_pairs
+
+    df = corpus(n_uniq=80)
+    ds = ray.data.from_pandas(df)
+    pairs = minhash_candidate_pairs(ds, threshold=0.7).materialize()
+    stats = pairs.stats()
+    # the Sort operator's input == the exchanged band rows; parse its
+    # total output bytes and row count from ds.stats()
+    m = re.search(r"Operator \d+ Sort:.*?(?:\n.*?)*?bytes per block:.*?(\d+) total",
+                  stats)
+    assert m, stats
+    total_bytes = int(m.group(1))
+    n_band_rows = len(df) * 16
+    per_row = total_bytes / n_band_rows
+    assert per_row < 60, f"exchange carries {per_row:.0f} B/band-row — " \
+                         f"signature payload has crept back into the shuffle"
