@@ -92,12 +92,16 @@ def run_replay(num_cpus: int) -> dict:
     from migration_pair_ray.pipelines.replay import replay
     lake = tempfile.mkdtemp(prefix="mpr_bench_lake_", dir="/tmp")
     try:
-        # 128 partitions measured ~6% faster than 64 at this scale
+        # 128 partitions measured ~6% faster than 64 at 32 CPUs
         # (interleaved best-of-3: 14.6 vs 15.5 s): smaller merge tasks
         # overlap the shuffle tail better and recovery granularity is
-        # finer — the same reasons it holds multi-node
+        # finer — the same reasons it holds multi-node.  The SCALING probe
+        # pins 64 (GRAFT_BENCH_PARTS) so the 4-CPU level isn't
+        # fixed-overhead-bound — 128 partitions at 4 CPUs inflate the
+        # measured 4→16 speedup past 1.0, which flatters the metric
+        # instead of measuring the exchange.
         cfg = JobConfig(changelog_dir=BENCH_LOG, lake_dir=lake,
-                        num_partitions=128,
+                        num_partitions=int(os.environ.get("GRAFT_BENCH_PARTS", "128")),
                         partition_mode="key",
                         apply_concurrency=max(2, num_cpus // 2),
                         hash_state=False)
@@ -181,7 +185,8 @@ def scaling() -> None:
 
     def child(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_ONLY_REPLAY="1")
+                   GRAFT_BENCH_ONLY_REPLAY="1",
+                   GRAFT_BENCH_PARTS="64")   # see run_replay comment
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
