@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_windows": q.events_session_windows,
         "events_sliding_windows": q.events_sliding_windows,
         "join_orders_customer_left": q.join_orders_customer_left,
+        "join_events_orders_asof": q.join_events_orders_asof,
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # text / documents (training-data ops)
         "doc_token_stats": q.doc_token_stats,
@@ -367,6 +368,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        # DuckDB has native ASOF JOIN (backward-inclusive, same semantics
+        # as stages/join.py:asof_join); the tolerance is mirrored with an
+        # exact integer-microsecond lag test so float seconds can't cause
+        # a boundary mismatch.
+        "join_events_orders_asof": """
+            WITH r AS (
+                SELECT o_custkey AS user_id, o_orderdate AS ts,
+                       MAX(o_totalprice) AS last_price
+                FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1, 2)
+            SELECT e.event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN r.last_price IS NOT NULL
+                                  AND epoch_us(e.ts) - epoch_us(r.ts)
+                                      <= 725000000000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   CAST(ROUND(SUM(CASE WHEN r.last_price IS NOT NULL
+                                        AND epoch_us(e.ts) - epoch_us(r.ts)
+                                            <= 725000000000000
+                                       THEN r.last_price ELSE 0 END), 0)
+                        AS BIGINT) AS matched_rev
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND e.ts >= r.ts
+            GROUP BY e.event_type ORDER BY e.event_type""",
         "events_csv_roundtrip": """
             SELECT event_type,
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,

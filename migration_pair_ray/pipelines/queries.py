@@ -460,6 +460,68 @@ def join_orders_customer_left(sf_dir: str):
         batch_format="pyarrow")
 
 
+def join_events_orders_asof(sf_dir: str, tolerance_s: int = 725_000_000):
+    """Point-in-time (as-of) join: each event picks the LATEST prior order
+    of the same user (backward-inclusive, bounded staleness) — the custom
+    operator Ray Data lacks (stages/join.py:asof_join).  The right side is
+    restricted to ``o_custkey % 3 == 0`` so the unmatched/left-null path is
+    exercised, and the ~22-year event/order gap makes ``tolerance_s`` bite
+    near the lag median.  Result: per event_type, event count, matched
+    count, and matched revenue (rounded to whole units so the float sum
+    agrees exactly with the SQL oracle)."""
+    from migration_pair_ray.stages.join import asof_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def right_prep(t: pa.Table) -> pa.Table:
+        keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keys % 3 == 0))
+        t = pa.table({"user_id": t.column("o_custkey"),
+                      "ts": t.column("o_orderdate"),
+                      "last_price": t.column("o_totalprice")})
+        # partial max per (user_id, ts) — dedups equal-ts orders in-batch
+        return (t.group_by(["user_id", "ts"])
+                .aggregate([("last_price", "max")])
+                .rename_columns(["user_id", "ts", "last_price"]))
+
+    from ray.data.aggregate import Max, Sum
+    right = (orders.map_batches(right_prep, batch_format="pyarrow")
+             .groupby(["user_id", "ts"])
+             .aggregate(Max("last_price", alias_name="last_price")))
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+    joined = asof_join(events, right, key="user_id", ts_col="ts",
+                       how="left", tolerance_s=tolerance_s)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({
+            "event_type": t.column("event_type"),
+            "matched_rev": pc.fill_null(t.column("last_price"), 0.0),
+            "matched": pc.cast(pc.is_valid(t.column("last_price")),
+                               pa.int64()),
+        })
+        return (t2.group_by("event_type")
+                .aggregate([("matched_rev", "sum"), ("matched", "sum"),
+                            ("matched", "count")])
+                .rename_columns(["event_type", "matched_rev", "n_matched",
+                                 "n_events"]))
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_matched", alias_name="n_matched"),
+                      Sum("matched_rev", alias_name="matched_rev")))
+    return out.sort("event_type").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("matched_rev"), "matched_rev",
+            pc.cast(pc.round(t.column("matched_rev"), ndigits=0,
+                             round_mode="half_towards_infinity"), pa.int64())),
+        batch_format="pyarrow")
+
+
 def events_csv_roundtrip(sf_dir: str):
     """CSV sink + source parity (reference S3/S4): export events to CSV,
     read it back, aggregate — equals the same aggregate from Parquet."""

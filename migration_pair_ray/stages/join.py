@@ -114,7 +114,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     both = lt.union(rt)
 
     arrow_how = {"inner": "inner", "left": "left outer",
-                 "right": "right outer", "outer": "full outer"}[how]
+                 "right": "right outer", "outer": "full outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
 
     def join_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -125,6 +126,128 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return lg.join(rg, keys=on, join_type=arrow_how)
 
     return both.groupby(_BUCKET_COL).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              key: str, ts_col: str, how: str = "left",
+              tolerance_s: float | None = None,
+              n_coarse: int | None = None) -> "ray.data.Dataset":
+    """Backward-inclusive as-of join: each left row picks the LATEST right
+    row of the same ``key`` with ``right.ts <= left.ts`` (standard
+    point-in-time semantics; ``tolerance_s`` additionally bounds how stale
+    the match may be).  Ray Data has no native as-of join — this is the
+    composition form: coarse-hash-bucket both sides on ``key`` (keys never
+    span buckets), ONE shuffle, then inside each bucket one Arrow sort by
+    (key, ts, side) and a vectorized last-right scan (``maximum.accumulate``
+    over right-row indices, reset at key boundaries) matches every left row
+    at once — no per-key dispatch, no pandas.
+
+    Right must be unique per (key, ts) for deterministic output (pre-
+    aggregate duplicates upstream).  ``how``: "left" keeps unmatched left
+    rows with null right payload; "inner" drops them.  Non-key, non-ts
+    right columns are the payload; name collisions get the ``_r`` suffix.
+
+    Partitioning assumption: one key's rows fit one bucket task's memory
+    (same contract as sessionize; raise ``n_coarse`` for extreme skew).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how={how!r} (use 'left' or 'inner')")
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    n_coarse = _default_coarse(n_coarse)
+
+    lnames = list(left.schema().names)
+    rnames = list(right.schema().names)
+    l_only = [c for c in lnames if c not in (key, ts_col)]
+    r_only = [c for c in rnames if c not in (key, ts_col)]
+    collisions = set(l_only) & set(r_only)
+    if collisions:
+        new_names = [c + right_suffix_default
+                     if c in collisions and c not in (key, ts_col) else c
+                     for c in rnames]
+        right = right.map_batches(
+            lambda b, names=tuple(new_names): b.rename_columns(list(names)),
+            batch_format="pyarrow")
+        r_only = [c for c in new_names if c not in (key, ts_col)]
+
+    def tag(side: int):
+        def _tag(t: pa.Table) -> pa.Table:
+            cols = {key: t.column(key), ts_col: t.column(ts_col)}
+            for c in (l_only if side == 1 else r_only):
+                cols[c] = t.column(c)
+            out = pa.table(cols)
+            # null-fill the other side's payload so blocks share one schema
+            for c in (r_only if side == 1 else l_only):
+                out = out.append_column(c, pa.nulls(t.num_rows))
+            out = out.append_column(
+                _SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8)))
+            return out.append_column(_BUCKET_COL, pa.array(
+                _coarse_key_bucket(t.column(key), n_coarse)))
+        return _tag
+
+    # unify payload types across the null-filled sides
+    def _arrow_types(schema) -> dict:
+        out = {}
+        for n, t in zip(schema.names, schema.types):
+            if not isinstance(t, pa.DataType):   # pandas-block dataset
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
+            out[n] = t
+        return out
+
+    ltypes, rtypes = _arrow_types(left.schema()), _arrow_types(right.schema())
+    union_schema = pa.schema(
+        [pa.field(key, ltypes[key]), pa.field(ts_col, ltypes[ts_col])]
+        + [pa.field(c, ltypes[c]) for c in l_only]
+        + [pa.field(c, rtypes[c]) for c in r_only]
+        + [pa.field(_SIDE_COL, pa.int8()), pa.field(_BUCKET_COL, pa.int32())])
+    from migration_pair_ray.schemas import conform_batch
+
+    lt = left.map_batches(lambda t: conform_batch(tag(1)(t), union_schema),
+                          batch_format="pyarrow")
+    rt = right.map_batches(lambda t: conform_batch(tag(0)(t), union_schema),
+                           batch_format="pyarrow")
+    both = lt.union(rt)
+    out_cols = [key, ts_col] + l_only + r_only
+
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from migration_pair_ray.functions.lww import _group_first_mask
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], union_schema.field(c).type)
+                             for c in out_cols})
+        # right (side=0) sorts before left at equal ts → backward-INCLUSIVE
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending"),
+                       (_SIDE_COL, "ascending")])
+        side = g.column(_SIDE_COL).to_numpy(zero_copy_only=False)
+        is_right = side == 0
+        idx = np.arange(g.num_rows, dtype=np.int64)
+        first_of_key = _group_first_mask(g, [key]).to_numpy(zero_copy_only=False)
+        seg_id = np.cumsum(first_of_key) - 1
+        seg_start = np.flatnonzero(first_of_key)
+        last_r = np.maximum.accumulate(np.where(is_right, idx, -1))
+        matched = last_r >= seg_start[seg_id]
+        if tolerance_s is not None:
+            ts_us = (pc.cast(pc.cast(g.column(ts_col), pa.timestamp("us")),
+                             pa.int64()).to_numpy(zero_copy_only=False))
+            lag = ts_us - ts_us[np.clip(last_r, 0, None)]
+            matched &= lag <= int(tolerance_s * 1_000_000)
+        lmask = ~is_right
+        lrows = g.filter(pa.array(lmask)).select([key, ts_col] + l_only)
+        midx, valid = last_r[lmask], matched[lmask]
+        if how == "inner":
+            lrows = lrows.filter(pa.array(valid))
+            midx, valid = midx[valid], valid[valid]
+        take_idx = pa.array(np.clip(midx, 0, None), pa.int64(),
+                            mask=~valid)   # null index → null payload
+        for c in r_only:
+            lrows = lrows.append_column(c, pc.take(g.column(c), take_idx))
+        return lrows
+
+    return both.groupby(_BUCKET_COL).map_groups(asof_bucket,
+                                                batch_format="pyarrow")
 
 
 def broadcast_join(big: "ray.data.Dataset", small: pa.Table,

@@ -144,3 +144,87 @@ def test_detect_hot_keys(tmp_lake):
     assert hot.num_rows >= 1
     assert hot.column("conv_id")[0].as_py() == "conv-0"  # the planted hot conv
     assert hot.column("frac")[0].as_py() > 0.3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_semi_anti():
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 3, 3], "b": [20, 30, 31]}))
+    semi = hash_join(left, right, on="k", how="semi").to_pandas().sort_values("k")
+    # semi keeps matching left rows ONCE (no right payload, no dup blowup)
+    assert semi["k"].tolist() == [2, 3]
+    assert list(semi.columns) == ["k", "a"]
+    anti = hash_join(left, right, on="k", how="anti").to_pandas().sort_values("k")
+    assert anti["k"].tolist() == [1, 4]
+    assert list(anti.columns) == ["k", "a"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_backward_inclusive():
+    from migration_pair_ray.stages.join import asof_join
+    left = ray.data.from_arrow(pa.table(
+        {"k": [1, 1, 1, 2, 2, 3], "ts": [5, 10, 20, 7, 3, 9],
+         "lv": ["a", "b", "c", "d", "e", "f"]}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": [1, 1, 2, 4], "ts": [4, 10, 6, 1], "rv": [100, 200, 300, 400]}))
+    out = (asof_join(left, right, key="k", ts_col="ts", how="left")
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    # equal ts matches (inclusive); later left rows reuse the last right row;
+    # keys with no prior right row (or absent keys) null-fill
+    assert out["lv"].tolist() == ["a", "b", "c", "e", "d", "f"]
+    assert [None if pd.isna(v) else int(v) for v in out["rv"]] == \
+        [100, 200, 200, None, 300, None]
+    inner = (asof_join(left, right, key="k", ts_col="ts", how="inner")
+             .to_pandas().sort_values(["k", "ts"]))
+    assert inner["rv"].tolist() == [100, 200, 200, 300]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_tolerance_and_collisions():
+    from migration_pair_ray.stages.join import asof_join
+    # integer ts are treated as microseconds for tolerance purposes
+    left = ray.data.from_arrow(pa.table(
+        {"k": [1, 1], "ts": [10_000_000, 30_000_000], "v": [1, 2]}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": [1], "ts": [9_000_000], "v": [100]}))
+    out = (asof_join(left, right, key="k", ts_col="ts", how="left",
+                     tolerance_s=5.0)
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    # collision on non-key column "v" -> right side suffixed to v_r
+    assert "v_r" in out.columns
+    # lag 1s <= 5s matches; lag 21s > 5s nulled by the tolerance
+    assert int(out.loc[0, "v_r"]) == 100
+    assert pd.isna(out.loc[1, "v_r"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_duckdb_asof():
+    from migration_pair_ray.stages.join import asof_join
+    events = ray.data.read_parquet(f"{SF}/events.parquet",
+                                   columns=["user_id", "ts", "event_type"])
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate",
+                                            "o_totalprice"])
+    right = orders.map_batches(
+        lambda t: (pa.table({"user_id": t.column("o_custkey"),
+                             "ts": t.column("o_orderdate"),
+                             "price": t.column("o_totalprice")})
+                   .group_by(["user_id", "ts"]).aggregate([("price", "max")])
+                   .rename_columns(["user_id", "ts", "price"])),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Max
+    right = right.groupby(["user_id", "ts"]).aggregate(
+        Max("price", alias_name="price"))
+    out = asof_join(events, right, key="user_id", ts_col="ts",
+                    how="inner").to_pandas()
+    want = duckdb.sql(f"""
+        WITH r AS (SELECT o_custkey u, o_orderdate ts, MAX(o_totalprice) p
+                   FROM read_parquet('{SF}/orders.parquet') GROUP BY 1, 2)
+        SELECT COUNT(*) n, CAST(ROUND(SUM(r.p), 0) AS BIGINT) s
+        FROM read_parquet('{SF}/events.parquet') e
+        ASOF JOIN r ON e.user_id = r.u AND e.ts >= r.ts
+    """).fetchone()
+    assert len(out) == want[0]
+    assert int(round(out["price"].sum())) == want[1]
