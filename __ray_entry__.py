@@ -49,6 +49,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_left": q.join_orders_customer_left,
         "join_events_orders_asof": q.join_events_orders_asof,
         "events_csv_roundtrip": q.events_csv_roundtrip,
+        # analytic / window-function family (stages/analytic.py)
+        "topn_orders_per_customer": q.topn_orders_per_customer,
+        "orders_running_revenue": q.orders_running_revenue,
+        "events_value_quantiles": q.events_value_quantiles,
+        "events_type_pivot": q.events_type_pivot,
+        "lineitem_price_bands": q.lineitem_price_bands,
         # text / documents (training-data ops)
         "doc_token_stats": q.doc_token_stats,
         "doc_token_stats_bpe": q.doc_token_stats_bpe,
@@ -391,6 +397,60 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.user_id AND e.ts >= r.ts
             GROUP BY e.event_type ORDER BY e.event_type""",
+        "topn_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rn - 1 AS BIGINT) AS rank
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rank""",
+        "orders_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER w - 1 AS BIGINT) AS row_idx,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS running_sum
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, row_idx""",
+        # floor-scaled cents: double multiply + FLOOR is bit-identical in
+        # numpy and DuckDB; quantile_disc index = ceil(q*n) on both sides
+        "events_value_quantiles": """
+            WITH v AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c
+                       FROM events)
+            SELECT CAST(q AS DOUBLE) AS q, value FROM (
+            SELECT 0.05 AS q, CAST(quantile_disc(c, 0.05) / 100.0 AS DOUBLE) AS value FROM v
+            UNION ALL SELECT 0.25 AS q, CAST(quantile_disc(c, 0.25) / 100.0 AS DOUBLE) AS value FROM v
+            UNION ALL SELECT 0.5 AS q, CAST(quantile_disc(c, 0.5) / 100.0 AS DOUBLE) AS value FROM v
+            UNION ALL SELECT 0.75 AS q, CAST(quantile_disc(c, 0.75) / 100.0 AS DOUBLE) AS value FROM v
+            UNION ALL SELECT 0.9 AS q, CAST(quantile_disc(c, 0.9) / 100.0 AS DOUBLE) AS value FROM v
+            UNION ALL SELECT 0.99 AS q, CAST(quantile_disc(c, 0.99) / 100.0 AS DOUBLE) AS value FROM v) ORDER BY q""",
+        "events_type_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS event_type_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS event_type_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS event_type_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS event_type_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS event_type_view
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "lineitem_price_bands": """
+            SELECT b.band,
+                   CAST(ROUND(SUM(l_extendedprice), 0) AS BIGINT) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem l
+            JOIN (VALUES ('low', 0.0, 20000.0),
+                         ('mid', 20000.0, 50000.0),
+                         ('high', 50000.0, 1e12)) b(band, lo, hi)
+              ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+            GROUP BY b.band ORDER BY b.band""",
         "events_csv_roundtrip": """
             SELECT event_type,
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,

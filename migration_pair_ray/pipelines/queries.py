@@ -522,6 +522,104 @@ def join_events_orders_asof(sf_dir: str, tolerance_s: int = 725_000_000):
         batch_format="pyarrow")
 
 
+def topn_orders_per_customer(sf_dir: str, n: int = 3):
+    """Per-key top-N (stages/analytic.py): every customer's 3 priciest
+    orders with a 0-based rank — the ``row_number() OVER (PARTITION BY
+    ...)`` shape Ray Data lacks.  No global sort: each coarse key-bucket
+    sorts only its own rows."""
+    from migration_pair_ray.stages.analytic import grouped_top_n
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_totalprice"])
+    out = grouped_top_n(orders, key_col="o_custkey", order_col="o_totalprice",
+                        n=n, descending=True, tie_breakers=["o_orderkey"])
+    return out.sort(["o_custkey", "rank"])
+
+
+def orders_running_revenue(sf_dir: str):
+    """Per-key cumulative window frame (stages/analytic.py): running
+    revenue per customer in order-date order.  Revenue is pre-scaled to
+    integer cents (np.rint) so the segmented prefix scan is exact and the
+    SQL window-SUM oracle agrees bit-for-bit (float prefix sums are
+    summation-order-sensitive; integers aren't)."""
+    from migration_pair_ray.stages.analytic import running_aggregate
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return (t.drop_columns(["o_totalprice"])
+                .append_column("rev_cents", pa.array(cents)))
+
+    out = running_aggregate(orders.map_batches(to_cents, batch_format="pyarrow"),
+                            key_col="o_custkey", order_col="o_orderdate",
+                            value_col="rev_cents",
+                            tie_breakers=["o_orderkey"])
+    return (out.select_columns(["o_custkey", "o_orderkey", "row_idx",
+                                "running_sum"])
+            .sort(["o_custkey", "row_idx"]))
+
+
+def events_value_quantiles(sf_dir: str):
+    """Distributed EXACT quantiles (stages/analytic.py): per-block value
+    histograms (domain-bounded, not row-bounded) merged once; quantiles
+    read off cumulative counts.  Matches DuckDB ``quantile_disc`` over
+    floor-scaled cents."""
+    from migration_pair_ray.stages.analytic import exact_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles(ds, "value",
+                           qs=[0.05, 0.25, 0.5, 0.75, 0.9, 0.99], scale=100)
+
+
+def events_type_pivot(sf_dir: str):
+    """Long→wide pivot (stages/analytic.py): per-user event counts, one
+    column per event type.  The shuffle carries wide per-batch partials
+    (|keys| × |types| cells), never raw events."""
+    from migration_pair_ray.stages.analytic import pivot_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = pivot_counts(ds, key_col="user_id", pivot_col="event_type",
+                       pivot_values=["click", "error", "purchase",
+                                     "signup", "view"])
+    return out.sort("user_id")
+
+
+def lineitem_price_bands(sf_dir: str):
+    """Broadcast range (non-equi) join (stages/analytic.py): each lineitem
+    resolves its price band via one np.searchsorted per batch against a
+    ray.put range table — no shuffle of the big side.  Output: per-band
+    row count and revenue (whole units, oracle-portable)."""
+    from migration_pair_ray.stages.analytic import range_join_broadcast
+    bands = pa.table({
+        "band": ["low", "mid", "high"],
+        "lo": [0.0, 20_000.0, 50_000.0],
+        "hi": [20_000.0, 50_000.0, 1e12],
+    })
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    joined = range_join_broadcast(ds, bands, value_col="l_extendedprice")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"band": t.column("band"),
+                          "rev": t.column("l_extendedprice")})
+                .group_by("band").aggregate([("rev", "sum"), ("rev", "count")])
+                .rename_columns(["band", "revenue", "n"]))
+
+    from ray.data.aggregate import Sum
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Sum("n", alias_name="n")))
+    return out.sort("band").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue",
+            pc.cast(pc.round(t.column("revenue"), ndigits=0,
+                             round_mode="half_towards_infinity"), pa.int64())),
+        batch_format="pyarrow")
+
+
 def events_csv_roundtrip(sf_dir: str):
     """CSV sink + source parity (reference S3/S4): export events to CSV,
     read it back, aggregate — equals the same aggregate from Parquet."""

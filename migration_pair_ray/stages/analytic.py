@@ -1,0 +1,223 @@
+"""Analytic (window-function-shaped) operators.
+
+The reference engine has no analytic functions (SURVEY.md §2 — its widest
+computation is the per-key LWW reduce); a complete engine needs the
+window-function family users reach for daily: per-key top-N, per-key
+running aggregates, exact quantiles, and pivot.  Ray Data has none of
+them natively, so each is built on the engine's coarse-bucket skeleton
+(``stages/windows.py``): hash the key into ~2×CPU coarse Ray groups (ONE
+shuffle, never one group per key), then inside each bucket one Arrow sort
++ numpy boundary/segment masks compute every key's answer at once —
+vectorized, pandas-free.
+
+Partitioning assumption (same as sessionize): one coarse bucket fits one
+task's memory; raise ``n_coarse`` for extreme skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from migration_pair_ray.stages.windows import _coarse_key_bucket, _default_coarse
+
+
+def _with_bucket(ds: "ray.data.Dataset", key_col: str, n_coarse: int
+                 ) -> "ray.data.Dataset":
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(_coarse_key_bucket(t.column(key_col), n_coarse)))
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def _key_segments(g: pa.Table, key_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(segment_id, position_within_key) for a key-sorted table — the rank
+    kernel shared by top-N and running aggregates."""
+    from migration_pair_ray.functions.lww import _group_first_mask
+    first = _group_first_mask(g, [key_col]).to_numpy(zero_copy_only=False)
+    idx = np.arange(g.num_rows, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(first, idx, 0))
+    return np.cumsum(first) - 1, idx - seg_start
+
+
+def grouped_top_n(ds: "ray.data.Dataset", key_col: str, order_col: str,
+                  n: int, descending: bool = True,
+                  tie_breakers: list[str] | None = None,
+                  n_coarse: int | None = None) -> "ray.data.Dataset":
+    """Per-key top-N: the N best rows of every key by ``order_col``
+    (``row_number() OVER (PARTITION BY key ORDER BY order ...) <= n``),
+    with a ``rank`` column (0-based).  ``tie_breakers`` (ascending) make
+    the cut deterministic when ``order_col`` ties.
+
+    Unlike a global ``ds.sort(...).limit(...)`` this keeps N rows per KEY;
+    the full sort never happens — each coarse bucket sorts only its own
+    rows.
+    """
+    n_coarse = _default_coarse(n_coarse)
+    ties = tie_breakers or []
+    sort_keys = ([(key_col, "ascending"),
+                  (order_col, "descending" if descending else "ascending")]
+                 + [(c, "ascending") for c in ties])
+
+    def topn_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        if g.num_rows == 0:
+            return g.append_column("rank", pa.array([], pa.int64()))
+        g = g.sort_by(sort_keys)
+        _, pos = _key_segments(g, key_col)
+        keep = pos < n
+        return (g.filter(pa.array(keep))
+                .append_column("rank", pa.array(pos[keep])))
+
+    return (_with_bucket(ds, key_col, n_coarse)
+            .groupby("__b").map_groups(topn_bucket, batch_format="pyarrow"))
+
+
+def running_aggregate(ds: "ray.data.Dataset", key_col: str, order_col: str,
+                      value_col: str, tie_breakers: list[str] | None = None,
+                      n_coarse: int | None = None) -> "ray.data.Dataset":
+    """Per-key running sum + row number in ``order_col`` order — the
+    cumulative-window frame (``SUM(v) OVER (PARTITION BY key ORDER BY ord
+    ROWS UNBOUNDED PRECEDING)``).  Output = input columns +
+    ``running_sum`` + ``row_idx`` (0-based).
+
+    The cumulative sum is a segmented prefix scan: one global ``cumsum``
+    minus the cumsum value at each key's segment start — every key in the
+    bucket at once.  Integer value columns stay exact; float columns sum
+    left-to-right in sort order (callers needing a portable comparison
+    should pre-scale to integers — see ``orders_running_revenue``).
+    """
+    n_coarse = _default_coarse(n_coarse)
+    ties = tie_breakers or []
+    sort_keys = ([(key_col, "ascending"), (order_col, "ascending")]
+                 + [(c, "ascending") for c in ties])
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        if g.num_rows == 0:
+            vt = g.schema.field(value_col).type
+            return (g.append_column("running_sum", pa.array([], vt))
+                    .append_column("row_idx", pa.array([], pa.int64())))
+        g = g.sort_by(sort_keys)
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        _, pos = _key_segments(g, key_col)
+        csum = np.cumsum(v)
+        seg_base = csum - v  # prefix before each row
+        # cumsum at each key's first row minus its value = sum before key
+        key_start_idx = np.flatnonzero(pos == 0)
+        before_key = seg_base[key_start_idx]
+        run = csum - np.repeat(before_key, np.diff(
+            np.concatenate([key_start_idx, [g.num_rows]])))
+        return (g.append_column("running_sum", pa.array(run))
+                .append_column("row_idx", pa.array(pos)))
+
+    return (_with_bucket(ds, key_col, n_coarse)
+            .groupby("__b").map_groups(scan_bucket, batch_format="pyarrow"))
+
+
+def exact_quantiles(ds: "ray.data.Dataset", value_col: str,
+                    qs: list[float], scale: int = 100
+                    ) -> pa.Table:
+    """EXACT discrete quantiles of ``value_col`` at fixed precision
+    (``scale`` = 100 → cents, via ``floor(v*scale)`` — floor, not round,
+    so the scaling is bit-portable to any engine doing the same double
+    multiply).  Scale shape: per-block ``np.unique`` histograms → one
+    small ``groupby(value)`` merge (exchange size is the value DOMAIN,
+    not the row count) → the merged histogram sorts tiny and the quantile
+    is read off the cumulative counts.  Equivalent to ``quantile_disc``
+    over the scaled values: result[i] = the smallest value whose
+    cumulative count reaches ``ceil(q_i * n)``.
+
+    Returns a driver-side ``pa.Table`` (q, value) — the histogram is
+    bounded by the domain, so collecting it is safe at any row count.
+    """
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        v = np.floor(v * scale).astype(np.int64)
+        vals, counts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    merged = (ds.map_batches(hist, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+              .sort("v").take_all())
+    vals = np.array([r["v"] for r in merged], dtype=np.int64)
+    counts = np.array([r["cnt"] for r in merged], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        target = max(1, int(np.ceil(q * n)))
+        out_q.append(q)
+        out_v.append(float(vals[np.searchsorted(cum, target)]) / scale)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
+def pivot_counts(ds: "ray.data.Dataset", key_col: str, pivot_col: str,
+                 pivot_values: list[str],
+                 value_col: str | None = None) -> "ray.data.Dataset":
+    """Pivot ``pivot_col`` into one column per value of ``pivot_values``
+    (counts, or sums of ``value_col``), keyed by ``key_col`` — the
+    long→wide reshape.  Fully vectorized: each batch appends one indicator
+    (or masked-value) column per pivot value and group-aggregates them, so
+    the shuffle carries the WIDE partials (|keys-in-batch| × |values|
+    cells), never the raw rows.  Unlisted pivot values are ignored (the
+    caller fixes the column set up front — required for a stable schema).
+    """
+    names = [f"{pivot_col}_{v}" for v in pivot_values]
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column(pivot_col)
+        cols = {key_col: t.column(key_col)}
+        if value_col is None:
+            for v, name in zip(pivot_values, names):
+                cols[name] = pc.cast(pc.equal(p, pa.scalar(v)), pa.int64())
+        else:
+            val = t.column(value_col)
+            for v, name in zip(pivot_values, names):
+                cols[name] = pc.if_else(pc.equal(p, pa.scalar(v)), val,
+                                        pa.scalar(0, val.type))
+        return (pa.table(cols).group_by(key_col)
+                .aggregate([(nm, "sum") for nm in names])
+                .rename_columns([key_col] + names))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(*[Sum(nm, alias_name=nm) for nm in names]))
+
+
+def range_join_broadcast(big: "ray.data.Dataset", ranges: pa.Table,
+                         value_col: str, lo_col: str = "lo",
+                         hi_col: str = "hi") -> "ray.data.Dataset":
+    """Non-equi (interval) join: each big-side row matches the range row
+    with ``lo <= value < hi``.  Ranges must be non-overlapping; they are
+    sorted once, ``ray.put`` once (zero-copy to every task), and each
+    batch resolves via one ``np.searchsorted`` — no shuffle of the big
+    side, no per-row loop.  Rows outside every range get null payload
+    (filter on a payload column for inner semantics).
+    """
+    import ray as _ray
+    order = pc.sort_indices(ranges.column(lo_col))
+    ranges = ranges.take(order)
+    ref = _ray.put(ranges)
+    payload = [c for c in ranges.schema.names if c not in (lo_col, hi_col)]
+
+    def lookup(t: pa.Table) -> pa.Table:
+        r = _ray.get(ref)
+        lo = r.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = r.column(hi_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi[np.clip(idx, 0, None)])
+        take = pa.array(np.clip(idx, 0, None), pa.int64(), mask=~ok)
+        for c in payload:
+            t = t.append_column(c, pc.take(r.column(c), take))
+        return t
+
+    return big.map_batches(lookup, batch_format="pyarrow")

@@ -1,0 +1,101 @@
+"""stages/analytic.py: grouped top-N, running aggregate, exact quantiles,
+pivot, broadcast range join."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from migration_pair_ray.stages.analytic import (exact_quantiles,
+                                                grouped_top_n, pivot_counts,
+                                                range_join_broadcast,
+                                                running_aggregate)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_top_n_small():
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 3],
+        "v": [10, 30, 20, 30, 5, 7, 1],
+        "id": [1, 2, 3, 4, 5, 6, 7]}))
+    out = (grouped_top_n(ds, "k", "v", n=2, tie_breakers=["id"])
+           .to_pandas().sort_values(["k", "rank"]).reset_index(drop=True))
+    # k=1: v=30(id=2), v=30(id=4) — tie broken by id; k=3 has < n rows
+    assert out["id"].tolist() == [2, 4, 6, 5, 7]
+    assert out["rank"].tolist() == [0, 1, 0, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_top_n_matches_sql_window():
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet",
+                                   columns=["o_custkey", "o_orderkey",
+                                            "o_totalprice"])
+    out = (grouped_top_n(orders, "o_custkey", "o_totalprice", n=2,
+                         tie_breakers=["o_orderkey"])
+           .to_pandas().sort_values(["o_custkey", "rank"])
+           .reset_index(drop=True))
+    want = duckdb.sql(f"""
+        SELECT o_custkey, o_orderkey, CAST(rn - 1 AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) rn
+              FROM read_parquet('{SF}/orders.parquet'))
+        WHERE rn <= 2 ORDER BY o_custkey, rank""").fetchdf()
+    pd.testing.assert_frame_equal(
+        out[["o_custkey", "o_orderkey", "rank"]], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_running_aggregate_segmented_scan():
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2, 2], "t": [3, 1, 2, 5, 4],
+        "v": [10, 1, 100, 7, 70]}))
+    out = (running_aggregate(ds, "k", "t", "v")
+           .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    # per key, in t order: k=1 -> 1, 101, 111; k=2 -> 70, 77
+    assert out["running_sum"].tolist() == [1, 101, 111, 70, 77]
+    assert out["row_idx"].tolist() == [0, 1, 2, 0, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_quantiles_vs_duckdb():
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    got = exact_quantiles(ds, "value", qs=[0.1, 0.5, 0.9], scale=100)
+    for q, v in zip(got.column("q").to_pylist(),
+                    got.column("value").to_pylist()):
+        want = duckdb.sql(f"""
+            SELECT quantile_disc(CAST(FLOOR(value*100) AS BIGINT), {q})/100.0
+            FROM read_parquet('{SF}/events.parquet')""").fetchone()[0]
+        assert v == pytest.approx(float(want), abs=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_counts_and_sums():
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2], "p": ["a", "b", "a", "b"],
+        "v": [1.0, 2.0, 4.0, 8.0]}))
+    cnt = (pivot_counts(ds, "k", "p", ["a", "b"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert cnt["p_a"].tolist() == [2, 0]
+    assert cnt["p_b"].tolist() == [1, 1]
+    sm = (pivot_counts(ds, "k", "p", ["a", "b"], value_col="v")
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    assert sm["p_a"].tolist() == [5.0, 0.0]
+    assert sm["p_b"].tolist() == [2.0, 8.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_broadcast_nulls_outside():
+    big = ray.data.from_pandas(pd.DataFrame(
+        {"x": [-5.0, 0.0, 9.9, 10.0, 25.0, 99.0]}))
+    ranges = pa.table({"band": ["a", "b"], "lo": [0.0, 10.0],
+                       "hi": [10.0, 50.0]})
+    out = (range_join_broadcast(big, ranges, value_col="x")
+           .to_pandas().sort_values("x").reset_index(drop=True))
+    assert out["band"].tolist()[0] is None          # -5 below every range
+    assert out["band"].tolist()[1:5] == ["a", "a", "b", "b"]
+    assert out["band"].tolist()[5] is None          # 99 above every range
