@@ -36,7 +36,13 @@ QUERY_NAMES = [
     "join_lineitem_part_type",
     "join_orders_lineitem_priority",
     "join_orders_customer_left",
+    "join_events_orders_asof",
     "topk_orders_by_price",
+    "topn_orders_per_customer",
+    "orders_running_revenue",
+    "events_value_quantiles",
+    "events_type_pivot",
+    "lineitem_price_bands",
     "events_hourly_windows",
     "events_sessionize",
     "events_session_windows",
