@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_bins": q.doc_pack_bins,
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
+        "events_approx_distinct": q.events_approx_distinct,
         # embeddings / multimodal
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
         "embed_knn_ivf": q.embed_knn_ivf,
@@ -497,6 +498,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum_cents,
                    CAST(ROUND(AVG(value) * 100, 0) AS BIGINT) AS avg_value_cents
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # bit-exact HyperLogLog mirror (p=10, m=1024): same md5-derived
+        # 64-bit hash, same registers (rho from bin()-length), same
+        # exact-HUGEINT inverse-power sum, same single float divide +
+        # floor — see functions/sketch.py hll_estimate_portable
+        "events_approx_distinct": """
+            WITH v AS (SELECT DISTINCT CAST(event_id AS VARCHAR) AS s
+                       FROM events WHERE event_id IS NOT NULL),
+            h AS (SELECT ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM v),
+            r AS (SELECT h >> 54 AS idx, h % (1::UBIGINT << 54) AS rest FROM h),
+            rho AS (SELECT idx, CASE WHEN rest = 0 THEN 55
+                                     ELSE 55 - length(bin(rest)) END AS rho
+                    FROM r),
+            reg AS (SELECT idx, MAX(rho) AS reg FROM rho GROUP BY idx),
+            agg AS (SELECT SUM(1::HUGEINT << (64 - reg)) AS nzsum,
+                           COUNT(*) AS nz FROM reg),
+            est AS (SELECT 0.7213::DOUBLE / (1 + 1.079::DOUBLE / 1024)
+                             * 1024 * 1024
+                             * CAST(1::HUGEINT << 64 AS DOUBLE)
+                             / CAST(nzsum + (1024 - nz) * (1::HUGEINT << 64)
+                                    AS DOUBLE) AS raw,
+                           1024 - nz AS zeros FROM agg)
+            SELECT CAST(FLOOR(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                                   THEN 1024 * ln(1024 / CAST(zeros AS DOUBLE))
+                                   ELSE raw END) AS BIGINT) AS approx_distinct,
+                   (SELECT COUNT(event_id) FROM events) AS n_rows
+            FROM est""",
         "doc_langid": _langid_oracle(),
         # sequence packing: window cumsum == the engine's distributed
         # two-pass prefix scan; bin = exclusive token offset // 2048

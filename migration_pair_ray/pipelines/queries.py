@@ -1115,3 +1115,17 @@ def events_sliding_windows(sf_dir: str):
                                pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0),
                                                 ndigits=0, round_mode="half_towards_infinity"), pa.int64())),
         batch_format="pyarrow")
+
+
+def events_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct event_ids (functions/sketch.py)
+    in the SQL-portable configuration (md5 hash + exact-integer register
+    sum + floor), so DuckDB reproduces the ESTIMATE bit-for-bit — a hard
+    oracle for a probabilistic sketch.  Scale shape: per-block 1 KiB
+    register partials, one max-merge; no distinct-value exchange (the
+    exact alternative shuffles every unique value through a groupby)."""
+    from migration_pair_ray.functions.sketch import approx_distinct_portable
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    est, n_rows = approx_distinct_portable(ds, "event_id", p=10)
+    return pa.table({"approx_distinct": pa.array([est], pa.int64()),
+                     "n_rows": pa.array([n_rows], pa.int64())})

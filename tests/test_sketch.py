@@ -8,9 +8,12 @@ import ray.data
 
 from migration_pair_ray.functions.sketch import (
     approx_distinct,
+    approx_distinct_portable,
     hll_estimate,
+    hll_estimate_portable,
     hll_merge,
     hll_registers,
+    md5_hash64,
 )
 
 
@@ -38,6 +41,57 @@ def test_hll_deterministic_across_batching():
     one = hll_registers(vals)
     parts = hll_merge(hll_registers(vals[:1234]), hll_registers(vals[1234:]))
     np.testing.assert_array_equal(one, parts)
+
+
+def test_md5_hash64_matches_duckdb():
+    import duckdb
+    vals = ["hello", "42", "", "Ünïcode ✓"]
+    mine = md5_hash64(vals)
+    for v, h in zip(vals, mine):
+        duck = duckdb.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", [v]).fetchone()[0]
+        assert int(h) == duck, v
+
+
+def test_portable_estimate_matches_sql_mirror_both_branches():
+    """The DuckDB mirror of hll_estimate_portable must agree bit-for-bit
+    on BOTH branches: small-range (linear counting) and the raw HLL
+    estimator."""
+    import duckdb
+    for true_n in (300, 40_000):   # m=1024: 300 → ln branch, 40k → raw
+        vals = [f"v{i}" for i in range(true_n)]
+        est = hll_estimate_portable(hll_registers(vals, p=10,
+                                                  hash64=md5_hash64))
+        duck = duckdb.execute("""
+            WITH v AS (SELECT DISTINCT s FROM (SELECT unnest(?) AS s)),
+            h AS (SELECT ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM v),
+            r AS (SELECT h >> 54 AS idx, h % (1::UBIGINT << 54) AS rest FROM h),
+            rho AS (SELECT idx, CASE WHEN rest = 0 THEN 55
+                                     ELSE 55 - length(bin(rest)) END AS rho
+                    FROM r),
+            reg AS (SELECT idx, MAX(rho) AS reg FROM rho GROUP BY idx),
+            agg AS (SELECT SUM(1::HUGEINT << (64 - reg)) AS nzsum,
+                           COUNT(*) AS nz FROM reg),
+            est AS (SELECT 0.7213::DOUBLE / (1 + 1.079::DOUBLE / 1024)
+                             * 1024 * 1024 * CAST(1::HUGEINT << 64 AS DOUBLE)
+                             / CAST(nzsum + (1024 - nz) * (1::HUGEINT << 64)
+                                    AS DOUBLE) AS raw,
+                           1024 - nz AS zeros FROM agg)
+            SELECT CAST(FLOOR(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                              THEN 1024 * ln(1024 / CAST(zeros AS DOUBLE))
+                              ELSE raw END) AS BIGINT) FROM est""",
+            [vals]).fetchone()[0]
+        assert est == duck, (true_n, est, duck)
+        assert abs(est - true_n) / true_n < 0.1, (true_n, est)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_portable_on_dataset():
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id"])
+    est, n_rows = approx_distinct_portable(ds, "event_id", p=10)
+    assert n_rows == 1000
+    assert abs(est - 1000) / 1000 < 0.1, est
 
 
 @pytest.mark.usefixtures("ray_session")
