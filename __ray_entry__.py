@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_windows": q.events_session_windows,
         "events_sliding_windows": q.events_sliding_windows,
         "join_orders_customer_left": q.join_orders_customer_left,
+        "join_customer_orders_semi": q.join_customer_orders_semi,
+        "join_customer_orders_anti": q.join_customer_orders_anti,
         "join_events_orders_asof": q.join_events_orders_asof,
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # analytic / window-function family (stages/analytic.py)
@@ -374,6 +376,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_orders,
                    COUNT(*) AS n_rows
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "join_customer_orders_semi": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers,
+                   CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000.0)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "join_customer_orders_anti": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers,
+                   CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000.0)
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         # DuckDB has native ASOF JOIN (backward-inclusive, same semantics
         # as stages/join.py:asof_join); the tolerance is mirrored with an

@@ -460,6 +460,65 @@ def join_orders_customer_left(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _orders_keyed_price(sf_dir: str, min_price: float) -> "rd.Dataset":
+    """Orders above ``min_price``, keyed as c_custkey (right side of the
+    customer semi/anti joins) — the filter is pushed before the shuffle
+    so only qualifying keys ever leave the read."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    return orders.map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.column("o_custkey").filter(
+                pc.greater(t.column("o_totalprice"), min_price))}),
+        batch_format="pyarrow")
+
+
+def join_customer_orders_semi(sf_dir: str):
+    """SEMI hash join (stages/join.py ``how="semi"``): customers with at
+    least one order above 400k — the EXISTS shape.  Same one-shuffle
+    bucketed Acero plan as the other joins, but the output carries only
+    LEFT columns and never fans out on multi-order customers (an inner
+    join + distinct would shuffle every matching order row)."""
+    from migration_pair_ray.stages.join import hash_join
+    customers = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(customers, _orders_keyed_price(sf_dir, 400_000.0),
+                       on="c_custkey", how="semi")
+    out = (joined.map_batches(
+        lambda t: pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                            "ck": t.column("c_custkey")})
+        .group_by("c_mktsegment").aggregate([("ck", "count"), ("ck", "min")])
+        .rename_columns(["c_mktsegment", "n_customers", "min_custkey"]),
+        batch_format="pyarrow"))
+    from ray.data.aggregate import Min, Sum
+    return (out.groupby("c_mktsegment")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Min("min_custkey", alias_name="min_custkey"))
+            .sort("c_mktsegment"))
+
+
+def join_customer_orders_anti(sf_dir: str):
+    """ANTI hash join (stages/join.py ``how="anti"``): customers with NO
+    order above 400k — the NOT-EXISTS shape, the standard retention /
+    gap-analysis query."""
+    from migration_pair_ray.stages.join import hash_join
+    customers = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(customers, _orders_keyed_price(sf_dir, 400_000.0),
+                       on="c_custkey", how="anti")
+    out = (joined.map_batches(
+        lambda t: pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                            "ck": t.column("c_custkey")})
+        .group_by("c_mktsegment").aggregate([("ck", "count"), ("ck", "min")])
+        .rename_columns(["c_mktsegment", "n_customers", "min_custkey"]),
+        batch_format="pyarrow"))
+    from ray.data.aggregate import Min, Sum
+    return (out.groupby("c_mktsegment")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Min("min_custkey", alias_name="min_custkey"))
+            .sort("c_mktsegment"))
+
+
 def join_events_orders_asof(sf_dir: str, tolerance_s: int = 725_000_000):
     """Point-in-time (as-of) join: each event picks the LATEST prior order
     of the same user (backward-inclusive, bounded staleness) — the custom

@@ -51,6 +51,22 @@ def test_hash_join_left_outer():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hash_join_semi_anti():
+    """semi == EXISTS, anti == NOT EXISTS; outputs carry left columns
+    only, one row per surviving left row (no match fan-out)."""
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]}))
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 2, 3], "b": [20, 21, 30]}))
+    semi = hash_join(left, right, on="k", how="semi").to_pandas()
+    anti = hash_join(left, right, on="k", how="anti").to_pandas()
+    assert sorted(semi["k"].tolist()) == [2, 3]        # matched once each
+    assert sorted(anti["k"].tolist()) == [1, 4]
+    assert sorted(semi.columns) == ["a", "k"]
+    assert sorted(anti.columns) == ["a", "k"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_broadcast_join():
     big = ray.data.read_parquet(f"{SF}/orders.parquet",
                                 columns=["o_orderkey", "o_custkey"])
