@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
         "events_approx_distinct": q.events_approx_distinct,
+        "events_sample_hash": q.events_sample_hash,
+        "events_stratified_sample": q.events_stratified_sample,
         # embeddings / multimodal
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
         "embed_knn_ivf": q.embed_knn_ivf,
@@ -516,6 +518,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum_cents,
                    CAST(ROUND(AVG(value) * 100, 0) AS BIGINT) AS avg_value_cents
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # the sample predicate mirrors stages/sampling.hash_sample in md5
+        # mode: first 8 md5 bytes as UBIGINT, keep h % 100 < 5
+        "events_sample_hash": """
+            SELECT event_type,
+                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,
+                   COUNT(*) AS n
+            FROM events
+            WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+                      ::UBIGINT % 100 < 5
+            GROUP BY event_type ORDER BY event_type""",
+        "events_stratified_sample": """
+            WITH h AS (SELECT event_id, event_type,
+                              ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                              1, 16))::UBIGINT AS hh
+                       FROM events),
+            r AS (SELECT event_id, event_type,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY hh, event_id) AS rn
+                  FROM h)
+            SELECT event_id, event_type, CAST(rn - 1 AS BIGINT) AS rank
+            FROM r WHERE rn <= 20 ORDER BY event_type, rank""",
         # bit-exact HyperLogLog mirror (p=10, m=1024): same md5-derived
         # 64-bit hash, same registers (rho from bin()-length), same
         # exact-HUGEINT inverse-power sum, same single float divide +

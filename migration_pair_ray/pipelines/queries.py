@@ -1176,6 +1176,53 @@ def events_sliding_windows(sf_dir: str):
         batch_format="pyarrow")
 
 
+def events_sample_hash(sf_dir: str, rate_pct: int = 5):
+    """Deterministic ~5% Bernoulli sample (stages/sampling.py) in the
+    SQL-mirrorable md5 mode, aggregated per event type — same rows picked
+    on every run / cluster shape, pure per-block filter (no shuffle, no
+    RNG state)."""
+    from migration_pair_ray.functions.sketch import md5_hash64
+    from migration_pair_ray.stages.sampling import hash_sample
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    s = hash_sample(ds, "event_id", rate_pct, hash64=md5_hash64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"event_type": t.column("event_type"),
+                          "value": t.column("value")})
+                .group_by("event_type")
+                .aggregate([("value", "sum"), ("value", "count")])
+                .rename_columns(["event_type", "value_sum", "n"]))
+
+    from ray.data.aggregate import Sum
+    out = (s.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("value_sum", alias_name="value_sum"),
+                      Sum("n", alias_name="n")))
+    return out.sort("event_type").map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("value_sum"), "value_sum",
+            pc.cast(pc.round(pc.multiply(t.column("value_sum"), 100.0),
+                             ndigits=0, round_mode="half_towards_infinity"),
+                    pa.int64())),
+        batch_format="pyarrow")
+
+
+def events_stratified_sample(sf_dir: str, n: int = 20):
+    """Per-stratum quota sample (stages/sampling.py): the 20
+    smallest-md5-hash events of every event type, with rank — the
+    deterministic "random n per group" every curation pipeline needs
+    (per-language caps, per-source caps).  Per-block combiner keeps the
+    exchange at ≤ n·|strata| rows per block."""
+    from migration_pair_ray.functions.sketch import md5_hash64
+    from migration_pair_ray.stages.sampling import stratified_sample
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    out = stratified_sample(ds, "event_type", "event_id", n,
+                            hash64=md5_hash64)
+    return out.sort(["event_type", "rank"])
+
+
 def events_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct event_ids (functions/sketch.py)
     in the SQL-portable configuration (md5 hash + exact-integer register

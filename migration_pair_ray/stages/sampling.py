@@ -1,0 +1,77 @@
+"""Deterministic sampling operators for training-data curation.
+
+A sample drawn at 10^10 rows must be REPRODUCIBLE — the same rows on
+every run, every cluster shape, every retry — or downstream training
+sets silently drift.  Both operators here derive the pick from a stable
+hash of a key column instead of RNG state:
+
+- ``hash_sample``: Bernoulli p% sample = "key hash lands in p of 100
+  residue classes".  An embarrassingly parallel filter — no shuffle, no
+  coordination; ``ds.random_sample`` by contrast is run-dependent.
+- ``stratified_sample``: per-stratum quota = the n rows of each stratum
+  with the smallest key hashes (ties → smallest key): a deterministic
+  "random n per group" with a per-block combiner so the shuffle carries
+  at most n·|strata| rows per block, never the raw table.
+
+``hash64=md5_hash64`` (functions/sketch.py) makes either pick
+bit-mirrorable in SQL (DuckDB ``md5()`` + hex→UBIGINT arithmetic); the
+default ``stable_hash64`` is the vectorized fast path.  Keys are
+stringified (CAST(x AS VARCHAR) semantics) before hashing so both modes
+agree with a relational mirror; null keys are the caller's problem
+(filter them first — SQL NULL-comparison semantics can't be mirrored by
+a hash of "None").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from migration_pair_ray.functions.hashing import stable_hash64
+
+
+def _key_hash(t: pa.Table, key_col: str, hash64) -> np.ndarray:
+    vals = pc.cast(t.column(key_col), pa.string()).to_pylist()
+    return hash64(vals)
+
+
+def hash_sample(ds: "ray.data.Dataset", key_col: str, rate_pct: int,
+                hash64=stable_hash64) -> "ray.data.Dataset":
+    """Keep rows whose stringified ``key_col`` hash satisfies
+    ``h % 100 < rate_pct`` — a deterministic ~rate_pct% Bernoulli sample,
+    pure per-block filter (no shuffle)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = _key_hash(t, key_col, hash64)
+        return t.filter(pa.array(h % np.uint64(100)
+                                 < np.uint64(rate_pct)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample(ds: "ray.data.Dataset", stratum_col: str,
+                      key_col: str, n: int, hash64=stable_hash64,
+                      n_coarse: int | None = None) -> "ray.data.Dataset":
+    """Per-stratum quota sample: for every value of ``stratum_col`` keep
+    the ``n`` rows with the smallest key hashes (tie → smallest key),
+    with a 0-based ``rank`` column.  Each block first shrinks to its own
+    per-stratum top-n (one vectorized sort + segment mask), then the
+    coarse-bucket grouped top-N (stages/analytic.py) finishes — the
+    exchange never carries more than n·|strata| rows per block."""
+    from migration_pair_ray.stages.analytic import _key_segments, grouped_top_n
+
+    def local(t: pa.Table) -> pa.Table:
+        h = _key_hash(t, key_col, hash64)
+        t = t.append_column("__h", pa.array(h, pa.uint64()))
+        t = t.sort_by([(stratum_col, "ascending"), ("__h", "ascending"),
+                       (key_col, "ascending")])
+        _, pos = _key_segments(t, stratum_col)
+        return t.filter(pa.array(pos < n))
+
+    shrunk = ds.map_batches(local, batch_format="pyarrow")
+    out = grouped_top_n(shrunk, stratum_col, "__h", n, descending=False,
+                        tie_breakers=[key_col], n_coarse=n_coarse)
+    return out.drop_columns(["__h"])

@@ -1,0 +1,80 @@
+"""stages/sampling.py: deterministic hash Bernoulli + stratified quota
+sampling — reproducibility across runs/block layouts and exact SQL
+equivalence in md5 mode."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from migration_pair_ray.functions.sketch import md5_hash64
+from migration_pair_ray.stages.sampling import hash_sample, stratified_sample
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_sample_deterministic_and_near_rate():
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_id"])
+    total = ds.count()
+    picks = []
+    for repartition in (None, 7):
+        d = ds.repartition(repartition) if repartition else ds
+        got = (hash_sample(d, "event_id", 10).to_pandas()["event_id"]
+               .sort_values().tolist())
+        picks.append(got)
+    # identical picks regardless of block layout
+    assert picks[0] == picks[1]
+    # Bernoulli 10% of a uniform key: expect within a loose band
+    frac = len(picks[0]) / total
+    assert 0.05 < frac < 0.15
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_sample_md5_mode_matches_sql():
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_id", "event_type"])
+    got = (hash_sample(ds, "event_id", 5, hash64=md5_hash64)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT event_id, event_type
+        FROM read_parquet('{SF}/events.parquet')
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+                  ::UBIGINT % 100 < 5
+        ORDER BY event_id""").df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_quota_and_rank():
+    df = pd.DataFrame({
+        "s": ["a"] * 50 + ["b"] * 5 + ["c"] * 1,
+        "k": np.arange(56)})
+    out = (stratified_sample(ray.data.from_pandas(df), "s", "k", n=10)
+           .to_pandas().sort_values(["s", "rank"]).reset_index(drop=True))
+    counts = out.groupby("s")["k"].count().to_dict()
+    # quota capped at n; small strata keep everything
+    assert counts == {"a": 10, "b": 5, "c": 1}
+    # rank is 0-based and dense per stratum
+    for s, g in out.groupby("s"):
+        assert g["rank"].tolist() == list(range(len(g)))
+    # helper column must not leak
+    assert "__h" not in out.columns
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_block_layout_invariant():
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_id", "event_type"])
+    a = (stratified_sample(ds, "event_type", "event_id", n=7)
+         .to_pandas().sort_values(["event_type", "rank"])
+         .reset_index(drop=True))
+    b = (stratified_sample(ds.repartition(13), "event_type", "event_id", n=7)
+         .to_pandas().sort_values(["event_type", "rank"])
+         .reset_index(drop=True))
+    assert a["event_id"].tolist() == b["event_id"].tolist()
