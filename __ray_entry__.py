@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_tombstone_keys": q.cdc_tombstone_keys,
         "cdc_changelog_stats": q.cdc_changelog_stats,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
+        "conv_transcripts": q.conv_transcripts,
         # relational operator coverage (M1-M6 analogs + aggregates/joins)
         "agg_pricing_summary": q.agg_pricing_summary,
         "filter_highvalue_orders": q.filter_highvalue_orders,
@@ -281,6 +282,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx
             FROM w WHERE rn = 1 AND op = 'D'
             ORDER BY conv_id, turn_idx""",
+        # transcript assembly: string_agg skips nulls, so both sides
+        # filter null role/text explicitly (grouped_string_agg contract)
+        "conv_transcripts": lww_winners + """
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS transcript,
+                   COUNT(*) AS n_turns
+            FROM w
+            WHERE rn = 1 AND op <> 'D'
+              AND role IS NOT NULL AND text IS NOT NULL
+            GROUP BY conv_id ORDER BY conv_id""",
         "cdc_changelog_stats": f"""
             WITH ch AS ({DERIVED_CHANGES_SQL})
             SELECT op, COUNT(*) AS n, MIN(lsn) AS lsn_lo, MAX(lsn) AS lsn_hi

@@ -31,11 +31,14 @@ BENCH_LOG = f"/tmp/mpr_bench/log-{BENCH_EVENTS}"
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 QUERY_NAMES = [
+    "conv_transcripts",
     "agg_pricing_summary",
     "join_orders_customer_segment",
     "join_lineitem_part_type",
     "join_orders_lineitem_priority",
     "join_orders_customer_left",
+    "join_customer_orders_semi",
+    "join_customer_orders_anti",
     "join_events_orders_asof",
     "topk_orders_by_price",
     "topn_orders_per_customer",
@@ -46,7 +49,12 @@ QUERY_NAMES = [
     "events_hourly_windows",
     "events_sessionize",
     "events_session_windows",
+    "events_approx_distinct",
+    "events_sample_hash",
+    "events_stratified_sample",
     "doc_token_stats",
+    "doc_token_stats_bpe",
+    "doc_fingerprints_rolling",
     "doc_quality",
     "doc_langid",
     "doc_exact_dedup",

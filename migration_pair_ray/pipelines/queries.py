@@ -186,6 +186,34 @@ def cdc_tombstone_keys(sf_dir: str):
     return ds.sort(["conv_id", "turn_idx"])
 
 
+def conv_transcripts(sf_dir: str):
+    """Transcript assembly: the LWW-merged final state rolled up to ONE
+    row per conversation — every surviving turn rendered as ``role: text``
+    and joined in turn order (``stages/analytic.grouped_string_agg``), plus
+    the turn count.  The grouped-ordered-concat every transcript consumer
+    (training-corpus export, conversation-level filtering) needs, with
+    zero per-conversation dispatch."""
+    from migration_pair_ray.stages.analytic import grouped_string_agg
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+
+    def mkline(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column("role")),
+                       pc.is_valid(t.column("text")))
+        t = t.filter(keep)
+        line = pc.binary_join_element_wise(
+            pc.cast(t.column("role"), pa.string()), t.column("text"), ": ")
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "line": line})
+
+    out = grouped_string_agg(
+        st.map_batches(mkline, batch_format="pyarrow"),
+        "conv_id", ["turn_idx"], "line", sep="\n", out_col="transcript")
+    return out.rename_columns(
+        ["conv_id", "transcript", "n_turns"]).sort("conv_id")
+
+
 def cdc_changelog_stats(sf_dir: str):
     """Per-op event counts + lsn range of the derived change stream
     (lineage/metrics-shaped aggregate; partial per-batch then tiny merge)."""

@@ -119,6 +119,58 @@ def running_aggregate(ds: "ray.data.Dataset", key_col: str, order_col: str,
             .groupby("__b").map_groups(scan_bucket, batch_format="pyarrow"))
 
 
+def grouped_string_agg(ds: "ray.data.Dataset", key_col: str,
+                       order_cols: list[str], text_col: str,
+                       sep: str = "\n", out_col: str = "agg_text",
+                       n_coarse: int | None = None) -> "ray.data.Dataset":
+    """Per-key ordered string concatenation —
+    ``string_agg(text, sep ORDER BY order_cols)`` — the transcript-assembly
+    operator: one row per key with all its ``text_col`` values joined in
+    order, plus ``n_rows`` (the member count).
+
+    Vectorized like the rest of the family: coarse key-hash buckets (ONE
+    shuffle), per bucket one Arrow sort, then the per-key join is a single
+    ``pc.binary_join`` over a LargeListArray built from the segment-start
+    offsets — zero per-key dispatch, no Python string concatenation.
+    Null ``text_col`` rows must be filtered by the caller first (SQL
+    ``string_agg`` skips nulls; a vectorized join cannot, so the contract
+    is explicit).  ``large_string`` output: a key's transcript may exceed
+    the 2 GiB flat-buffer limit only per BUCKET, which the coarse-bucket
+    memory assumption already bounds.
+    """
+    n_coarse = _default_coarse(n_coarse)
+    sort_keys = ([(key_col, "ascending")]
+                 + [(c, "ascending") for c in order_cols])
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        kt = g.schema.field(key_col).type
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], kt),
+                             out_col: pa.array([], pa.large_string()),
+                             "n_rows": pa.array([], pa.int64())})
+        g = g.sort_by(sort_keys)
+        first = _group_first_mask_np(g, key_col)
+        starts = np.flatnonzero(first)
+        offsets = np.append(starts, g.num_rows).astype(np.int64)
+        flat = pc.cast(g.column(text_col).combine_chunks(),
+                       pa.large_string())
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+        return pa.table({
+            key_col: pc.take(g.column(key_col), pa.array(starts)),
+            out_col: joined,
+            "n_rows": pa.array(np.diff(offsets))})
+
+    return (_with_bucket(ds, key_col, n_coarse)
+            .groupby("__b").map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def _group_first_mask_np(g: pa.Table, key_col: str) -> np.ndarray:
+    from migration_pair_ray.functions.lww import _group_first_mask
+    return _group_first_mask(g, [key_col]).to_numpy(zero_copy_only=False)
+
+
 def exact_quantiles(ds: "ray.data.Dataset", value_col: str,
                     qs: list[float], scale: int = 100
                     ) -> pa.Table:

@@ -99,3 +99,35 @@ def test_range_join_broadcast_nulls_outside():
     assert out["band"].tolist()[0] is None          # -5 below every range
     assert out["band"].tolist()[1:5] == ["a", "a", "b", "b"]
     assert out["band"].tolist()[5] is None          # 99 above every range
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_string_agg_order_and_counts():
+    from migration_pair_ray.stages.analytic import grouped_string_agg
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "k": ["b", "a", "a", "b", "a"],
+        "o": [2, 3, 1, 1, 2],
+        "t": ["B2", "A3", "A1", "B1", "A2"]}))
+    out = (grouped_string_agg(ds, "k", ["o"], "t", sep="|")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["agg_text"].tolist() == ["A1|A2|A3", "B1|B2"]
+    assert out["n_rows"].tolist() == [3, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_string_agg_matches_sql_string_agg():
+    from migration_pair_ray.stages.analytic import grouped_string_agg
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "event_id", "event_type"])
+    got = (grouped_string_agg(ds, "user_id", ["event_id"], "event_type",
+                              sep=",", out_col="types")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    want = duckdb.sql(f"""
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY event_id) AS types,
+               COUNT(*) AS n_rows
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY user_id ORDER BY user_id""").df()
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["types"].tolist() == want["types"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
