@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_distinct": q.events_approx_distinct,
         "events_sample_hash": q.events_sample_hash,
         "events_stratified_sample": q.events_stratified_sample,
+        "events_redact_pii": q.events_redact_pii,
+        "events_props_extract": q.events_props_extract,
         # embeddings / multimodal
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
         "embed_knn_ivf": q.embed_knn_ivf,
@@ -551,6 +553,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT event_id, event_type, CAST(rn - 1 AS BIGINT) AS rank
             FROM r WHERE rn <= 20 ORDER BY event_type, rank""",
+        # RE2 on both engines: nested regexp_replace chain, counts taken
+        # on the state each pattern saw (email scrub first, then digits)
+        "events_redact_pii": """
+            WITH l AS (SELECT event_id,
+                              'u' || CAST(user_id AS VARCHAR)
+                                  || '@example.com ' || props AS line
+                       FROM events),
+            s AS (SELECT event_id, line,
+                         regexp_replace(line,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS after_email
+                  FROM l)
+            SELECT event_id,
+                   regexp_replace(after_email, '[0-9]+', '<NUM>', 'g')
+                       AS redacted,
+                   len(regexp_extract_all(line,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(after_email, '[0-9]+')) AS n_num
+            FROM s ORDER BY event_id""",
+        "events_props_extract": """
+            WITH x AS (SELECT event_type,
+                              CASE WHEN regexp_matches(props, '"k": ([0-9]+)')
+                                   THEN CAST(regexp_extract(props,
+                                             '"k": ([0-9]+)', 1) AS BIGINT)
+                              END AS k
+                       FROM events)
+            SELECT event_type, COUNT(k) AS n,
+                   CAST(SUM(k) AS BIGINT) AS k_sum,
+                   MIN(k) AS k_min, MAX(k) AS k_max
+            FROM x GROUP BY event_type ORDER BY event_type""",
         # bit-exact HyperLogLog mirror (p=10, m=1024): same md5-derived
         # 64-bit hash, same registers (rho from bin()-length), same
         # exact-HUGEINT inverse-power sum, same single float divide +

@@ -168,3 +168,36 @@ class LangId:
         langs = np.array([l for l, _ in scores])
         pred = np.where(mat.max(axis=0) > 0, langs[best], "und")
         return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+
+
+# ------------------------------------------------------------- redaction
+
+def redact_patterns(col: pa.ChunkedArray | pa.Array,
+                    patterns: list[tuple[str, str]]):
+    """PII scrub: apply ``(regex, replacement)`` pairs IN ORDER to a string
+    column, returning ``(redacted, [match_count_per_pattern])``.  Each
+    count is taken on the column state the pattern actually saw (after the
+    previous replacements), matching a nested SQL ``regexp_replace`` chain
+    exactly.  Arrow's regex engine is RE2, the same engine DuckDB uses, so
+    a pattern restricted to RE2 syntax (no backrefs/lookaround) is
+    bit-mirrorable: ``regexp_replace(x, pat, repl, 'g')`` /
+    ``len(regexp_extract_all(x, pat))``.  Fully vectorized — one
+    ``replace_substring_regex`` + one ``count_substring_regex`` kernel call
+    per pattern, no Python row loop."""
+    counts = []
+    for pat, repl in patterns:
+        counts.append(pc.cast(pc.count_substring_regex(col, pat),
+                              pa.int64()))
+        col = pc.replace_substring_regex(col, pat, repl)
+    return col, counts
+
+
+def extract_int_field(col: pa.ChunkedArray | pa.Array, pattern: str):
+    """Extract one integer capture group from a string column (e.g. a
+    field out of a JSON-ish props blob) as int64; rows without a match
+    become null.  SQL mirror: ``CASE WHEN regexp_matches(x, pat) THEN
+    CAST(regexp_extract(x, pat, 1) AS BIGINT) END``.  Implemented with
+    RE2 via ``extract_regex`` (struct of named groups) — vectorized."""
+    named = pattern.replace("(", "(?P<v>", 1)
+    st = pc.extract_regex(col, named)
+    return pc.cast(pc.struct_field(st, "v"), pa.int64())

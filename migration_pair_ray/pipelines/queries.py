@@ -1251,6 +1251,62 @@ def events_stratified_sample(sf_dir: str, n: int = 20):
     return out.sort(["event_type", "rank"])
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def events_redact_pii(sf_dir: str):
+    """PII redaction (functions/text.redact_patterns): scrub emails then
+    digit runs from a synthetic contact line built from real event columns
+    (``'u'||user_id||'@example.com '||props`` — the fixture tables carry
+    no raw PII, so the line is constructed identically on both sides to
+    make the scrub actually fire).  Pure per-block map, RE2 on both
+    engines — bit-exact vs nested ``regexp_replace``."""
+    from migration_pair_ray.functions.text import redact_patterns
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "props"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            "u", pc.cast(t.column("user_id"), pa.string()),
+            "@example.com ", t.column("props"), "")
+        red, (n_email, n_num) = redact_patterns(
+            line, [(_EMAIL_RE, "<EMAIL>"), (r"[0-9]+", "<NUM>")])
+        return pa.table({"event_id": t.column("event_id"),
+                         "redacted": red,
+                         "n_email": n_email, "n_num": n_num})
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort("event_id")
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    JSON-ish ``props`` blob (functions/text.extract_int_field, vectorized
+    RE2 ``extract_regex``) and aggregate per event type — the
+    parse-a-payload-column step every event pipeline has.  Per-block
+    partial aggregate before the small groupby shuffle."""
+    from migration_pair_ray.functions.text import extract_int_field
+    from ray.data.aggregate import Max, Min, Sum
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = extract_int_field(t.column("props"), r'"k": ([0-9]+)')
+        g = (pa.table({"event_type": t.column("event_type"), "k": k})
+             .group_by("event_type")
+             .aggregate([("k", "count"), ("k", "sum"),
+                         ("k", "min"), ("k", "max")]))
+        return g.rename_columns(["event_type", "n", "k_sum",
+                                 "k_min", "k_max"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("k_sum", alias_name="k_sum"),
+                      Min("k_min", alias_name="k_min"),
+                      Max("k_max", alias_name="k_max")))
+    return out.sort("event_type")
+
+
 def events_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct event_ids (functions/sketch.py)
     in the SQL-portable configuration (md5 hash + exact-integer register

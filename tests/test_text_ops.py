@@ -75,3 +75,29 @@ def test_bpe_token_count_granularity():
     got = bpe_token_count(col).to_pylist()
     # hello|world; a|1|b|2; don|'|t|stop|!; 你|好|吗 (one rune each); 0; 0
     assert got == [2, 4, 5, 3, 0, 0]
+
+
+def test_redact_patterns_ordered_counts():
+    from migration_pair_ray.functions.text import redact_patterns
+
+    col = pa.array(["mail me at bob42@x.io or 555-1234",
+                    "no pii here", None, "a@b.co c@d.org 7"])
+    red, (n_email, n_num) = redact_patterns(
+        col, [(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+              (r"[0-9]+", "<NUM>")])
+    assert red.to_pylist() == [
+        "mail me at <EMAIL> or <NUM>-<NUM>", "no pii here", None,
+        "<EMAIL> <EMAIL> <NUM>"]
+    assert n_email.to_pylist() == [1, 0, None, 2]
+    # digit counts are taken AFTER the email scrub (42 inside the address
+    # must not count) — the nested-regexp_replace SQL semantics
+    assert n_num.to_pylist() == [2, 0, None, 1]
+
+
+def test_extract_int_field_null_on_miss():
+    from migration_pair_ray.functions.text import extract_int_field
+
+    col = pa.array(['{"k": 17, "s": "x"}', '{"s": "no k"}', None, '{"k": 0}'])
+    got = extract_int_field(col, r'"k": ([0-9]+)')
+    assert got.to_pylist() == [17, None, None, 0]
+    assert got.type == pa.int64()
