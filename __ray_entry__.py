@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
         "doc_quality": q.doc_quality,
         "doc_pack_bins": q.doc_pack_bins,
+        "doc_decontaminate": q.doc_decontaminate,
+        "doc_chunk_windows": q.doc_chunk_windows,
+        "doc_term_freq": q.doc_term_freq,
+        "doc_normalize": q.doc_normalize,
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
         "events_approx_distinct": q.events_approx_distinct,
@@ -79,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": q.events_props_extract,
         # embeddings / multimodal
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
+        "embed_label_centroids": q.embed_label_centroids,
         "embed_knn_ivf": q.embed_knn_ivf,
         "embed_near_dedup": q.embed_near_dedup,
         "media_byte_stats": q.media_byte_stats_q,
@@ -632,6 +637,73 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(MIN(doc_id) AS BIGINT) AS first_doc
             FROM o GROUP BY 1 ORDER BY 1""",
+        # shared tokenization contract (stages/curation.py word_lists):
+        # lower → RE2 split on [^a-z0-9]+ → drop empties
+        "doc_decontaminate": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS w
+              FROM documents),
+            expl AS (
+              SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+              FROM words),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g FROM expl),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (SELECT doc_id, COUNT(DISTINCT g.g) AS n_hit
+                     FROM grams g JOIN bench USING (g)
+                     WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(h.n_hit, 0) AS n_hit,
+                   COALESCE(h.n_hit, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
+        # inclusive DuckDB list slice w[a:b]; size=32 stride=24
+        "doc_chunk_windows": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS w
+              FROM documents),
+            n AS (SELECT doc_id, w, len(w) AS wc,
+                         CASE WHEN len(w) <= 32 THEN 1
+                              ELSE 1 + CAST(CEIL((len(w) - 32) / 24.0) AS BIGINT)
+                         END AS n_chunks
+                  FROM words),
+            expl AS (
+              SELECT doc_id, w, wc,
+                     unnest(generate_series(0, n_chunks - 1)) AS i
+              FROM n)
+            SELECT doc_id, i AS chunk_idx,
+                   LEAST(i*24 + 32, wc) - i*24 AS n_tokens,
+                   array_to_string(w[i*24 + 1 : LEAST(i*24 + 32, wc)], ' ')
+                       AS chunk_text
+            FROM expl ORDER BY doc_id, chunk_idx""",
+        "doc_term_freq": """
+            WITH words AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS w
+              FROM documents),
+            t AS (SELECT unnest(w) AS term FROM words)
+            SELECT term, COUNT(*) AS n
+            FROM t GROUP BY term
+            ORDER BY n DESC, term LIMIT 50""",
+        "doc_normalize": """
+            WITH n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '\\s+', ' ', 'g')) AS norm_text
+              FROM documents)
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+                   norm_text <> text AS changed
+            FROM n ORDER BY doc_id""",
+        "embed_label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+                   ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6)
+                       AS mean_val
+            FROM embeddings, LATERAL generate_series(1, 64) t(i)
+            GROUP BY label, i ORDER BY label, dim""",
         "doc_fingerprints": """
             SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents ORDER BY doc_id""",
         "doc_fingerprints_rolling": _rolling_fp_oracle(8),

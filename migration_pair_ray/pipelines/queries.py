@@ -1319,3 +1319,116 @@ def events_approx_distinct(sf_dir: str):
     est, n_rows = approx_distinct_portable(ds, "event_id", p=10)
     return pa.table({"approx_distinct": pa.array([est], pa.int64()),
                      "n_rows": pa.array([n_rows], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# corpus curation II: decontamination, chunking, vocabulary, normalization
+# --------------------------------------------------------------------------
+
+def doc_decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 97):
+    """Benchmark decontamination (stages/curation.py): docs whose
+    ``doc_id % bench_mod == 0`` act as the held-out eval set; every other
+    doc is scored by how many of its distinct word 8-grams appear in that
+    set (n_hit > 0 ⇒ contaminated, the standard pretraining-data hygiene
+    gate).  Broadcast semi-join: eval grams ride the object store once,
+    the corpus streams; hash prefilter + exact string verify of the few
+    candidates makes the result collision-proof (bit-exact vs SQL)."""
+    from migration_pair_ray.stages.curation import decontaminate
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def split(t: pa.Table, want_bench: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % bench_mod == 0) == want_bench
+        return t.filter(pa.array(mask))
+
+    bench = ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=n).sort("doc_id")
+
+
+def doc_chunk_windows(sf_dir: str, size: int = 32, stride: int = 24):
+    """Training-window chunker (stages/curation.py chunk_batch): each doc's
+    token list → overlapping windows of `size` tokens advancing by
+    `stride` — the context-window prep step before packing/tokenization.
+    A pure vectorized flat-map (gather + binary_join), no shuffle; output
+    rows ≈ input tokens / stride."""
+    from migration_pair_ray.stages.curation import chunk_windows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return chunk_windows(ds, size=size, stride=stride).sort(
+        ["doc_id", "chunk_idx"])
+
+
+def doc_term_freq(sf_dir: str, k: int = 50):
+    """Corpus vocabulary top-k (stages/curation.py term_counts/top_terms):
+    the canonical distributed word count — per-block tokenize + local
+    grouped count (combiner), grouped sum, local top-k per block + tiny
+    driver merge.  Ties broken lexicographically for determinism."""
+    from migration_pair_ray.stages.curation import top_terms
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_terms(ds, k=k)
+
+
+def doc_normalize(sf_dir: str):
+    """Text canonicalization: NFC unicode normalize → lowercase → collapse
+    whitespace runs → trim (functions/text kernels are all RE2/utf8 Arrow
+    kernels, so DuckDB's nfc_normalize/lower/regexp_replace/trim chain is
+    bit-exact).  Pure per-block map — the cheap first stage of every
+    curation pipeline."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_normalize(t.column("text"), form="NFC")
+        x = pc.utf8_lower(x)
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim(x, " ")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "norm_text": x,
+            "n_chars_norm": pc.cast(pc.utf8_length(x), pa.int64()),
+            "changed": pc.not_equal(x, t.column("text"))})
+
+    return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
+def embed_label_centroids(sf_dir: str, dim: int = 64):
+    """Per-label embedding centroids in long form (label, dim, mean_val) —
+    the vector aggregation every embedding pipeline needs (cluster
+    centers, class prototypes).  Per-block partial sums via one reshape +
+    np.add.at scatter (no per-row loop), exploded to (label, dim) rows
+    BEFORE the shuffle so the exchange carries tiny partials (labels ×
+    dim × blocks rows), then a grouped sum and one final divide."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(-1, dim)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "c": pa.array(np.repeat(cnts, dim), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = np.round(t.column("s").to_numpy(zero_copy_only=False)
+                        / t.column("c").to_numpy(zero_copy_only=False), 6)
+        return pa.table({"label": t.column("label"),
+                         "dim": t.column("dim"),
+                         "mean_val": pa.array(mean, pa.float64())})
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort(["label", "dim"]))

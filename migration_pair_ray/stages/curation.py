@@ -1,0 +1,241 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination (broadcast n-gram semi-join), sliding-window chunking
+(vectorized flat-map), and corpus vocabulary statistics (word count with a
+per-block combiner).
+
+Reference analog: none — these generalize the curation steps a 100-TB
+text-corpus pipeline needs on top of the reference's row-copy engine
+(SURVEY.md "Beyond the reference").  Design stance per SURVEY.md §7:
+everything is a vectorized Arrow/numpy transform inside ``map_batches``;
+the only driver-side materializations are the benchmark gram table (an
+eval set is small BY CONSTRUCTION — a few thousand documents vs the
+corpus's billions) and the merged top-k partials.
+
+Tokenization contract (shared by every operator here and mirrored 1:1 in
+the SQL oracles): lowercase, split on the RE2 class ``[^a-z0-9]+``, drop
+empty tokens — SQL: ``list_filter(string_split_regex(lower(text),
+'[^a-z0-9]+'), w -> w <> '')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from migration_pair_ray.functions.hashing import _POLY_B, stable_hash64
+
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def word_lists(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Tokenize a string column → ``(flat_tokens, offsets)``.
+
+    ``flat_tokens`` is the concatenation of every row's tokens;
+    ``offsets`` (len = n_rows + 1, starts at 0) delimits row r's tokens as
+    ``flat_tokens[offsets[r]:offsets[r+1]]``.  Fully vectorized: one
+    ``split_pattern_regex`` kernel, one filter for empty tokens, and the
+    offset rebuild is a cumsum gather — no Python row loop.  Returning the
+    flat+offsets pair (instead of a ListArray) sidesteps Arrow child-offset
+    pitfalls and feeds numpy segment tricks directly.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lists = pc.split_pattern_regex(pc.utf8_lower(col), _TOKEN_SPLIT)
+    offs = np.asarray(lists.offsets)
+    offs = (offs - offs[0]).astype(np.int64)
+    flat = lists.flatten()
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    cum = np.concatenate([[0], np.cumsum(keep_np, dtype=np.int64)])
+    return flat.filter(keep), cum[offs]
+
+
+def word_gram_hashes(flat_tokens: pa.Array, offsets: np.ndarray, n: int,
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Word n-gram hashes for a tokenized batch.
+
+    Returns ``(hashes, doc_of, start_pos)``: one entry per n-gram —
+    polynomial rolling hash (uint64 wraparound, process-stable via the
+    SipHash word hash) over each window of ``n`` consecutive tokens, the
+    owning row index, and the gram's starting index into ``flat_tokens``
+    (for exact string reconstruction of a *small* candidate subset).  A row
+    with fewer than ``n`` tokens contributes no grams — mirroring the SQL
+    ``WHERE i <= len(w) - n + 1`` guard.  Vectorized: ``n`` fused
+    multiply-adds over a gather index, no per-doc loop.
+    """
+    wh = stable_hash64(np.asarray(flat_tokens.to_pandas(), dtype=object))
+    wcnt = np.diff(offsets)
+    n_g = np.maximum(wcnt - n + 1, 0)
+    total = int(n_g.sum())
+    if total == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    doc_of = np.repeat(np.arange(len(wcnt), dtype=np.int64), n_g)
+    seg_starts = np.concatenate([[0], np.cumsum(n_g)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, n_g)
+    pos = offsets[:-1][doc_of] + within
+    h = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h = h * _POLY_B + wh[pos + j]
+    return h, doc_of, pos
+
+
+# ---------------------------------------------------------------- decontam
+
+def benchmark_gram_store(bench: rd.Dataset, text_col: str = "text",
+                         n: int = 8) -> "ray.ObjectRef":
+    """Distill a (small) benchmark/eval dataset into a broadcastable gram
+    store: ``{"hashes": sorted unique uint64, "strings": frozenset}``.
+
+    The gram extraction runs distributed (``map_batches``); only the
+    distilled per-block gram tables come back to the driver — bounded by
+    the eval set's size, which is small by construction (the whole point
+    of decontamination is eval sets ≪ corpus).  ``ray.put`` once; every
+    scrubbing task reads it zero-copy from the object store.
+    """
+
+    def grams(t: pa.Table) -> pa.Table:
+        flat, offs = word_lists(t.column(text_col))
+        h, _, pos = word_gram_hashes(flat, offs, n)
+        toks = np.asarray(flat.to_pandas(), dtype=object)
+        # bench side only: materialize gram strings (bounded small)
+        strs = [" ".join(toks[p:p + n]) for p in pos]
+        return pa.table({"gh": pa.array(h, pa.uint64()),
+                         "g": pa.array(strs, pa.string())})
+
+    parts = bench.map_batches(grams, batch_format="pyarrow").to_pandas()
+    hashes = np.unique(parts["gh"].to_numpy(dtype=np.uint64))
+    return ray.put({"hashes": hashes, "strings": frozenset(parts["g"])})
+
+
+class Decontaminator:
+    """Actor-pool stage: count each document's distinct word n-grams that
+    appear in the benchmark store (0 ⇒ clean).
+
+    Hash semi-join first (``np.isin`` against the sorted broadcast hash
+    array — vectorized over every gram in the batch), then EXACT string
+    verification of the few candidate docs only, so a 64-bit hash
+    collision can never flag a clean doc (and a real overlap can never be
+    missed — equal strings hash equal).  The store is fetched once per
+    actor (ST1 discipline, `Tasks/MigrationTask.cs:29-60` analog).
+    """
+
+    def __init__(self, store_ref, n: int = 8, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        store = ray.get(store_ref)
+        self.hashes = store["hashes"]
+        self.strings = store["strings"]
+        self.n, self.text_col, self.id_col = n, text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, offs = word_lists(t.column(self.text_col))
+        h, doc_of, pos = word_gram_hashes(flat, offs, self.n)
+        n_hit = np.zeros(t.num_rows, dtype=np.int64)
+        hit = np.isin(h, self.hashes)
+        if hit.any():
+            toks = np.asarray(flat.to_pandas(), dtype=object)
+            for d in np.unique(doc_of[hit]):     # candidates only
+                sel = pos[doc_of == d]
+                gs = {" ".join(toks[p:p + self.n]) for p in sel}
+                n_hit[d] = len(gs & self.strings)
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "n_hit": pa.array(n_hit, pa.int64()),
+            "contaminated": pa.array(n_hit > 0, pa.bool_())})
+
+
+def decontaminate(docs: rd.Dataset, bench: rd.Dataset, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  concurrency=(2, 8)) -> rd.Dataset:
+    """Benchmark decontamination: (id, n_hit, contaminated) per corpus doc.
+
+    The classic broadcast semi-join shape — the big side streams, the
+    small side rides the object store; no shuffle of the corpus."""
+    store = benchmark_gram_store(bench, text_col=text_col, n=n)
+    return docs.map_batches(
+        Decontaminator, fn_constructor_kwargs=dict(
+            store_ref=store, n=n, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+# ----------------------------------------------------------------- chunker
+
+def chunk_batch(t: pa.Table, size: int, stride: int,
+                text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Sliding-window chunker over one batch: split each doc's token list
+    into windows of ``size`` tokens advancing by ``stride`` (the training
+    context-window prep step).  Emits (id, chunk_idx, n_tokens,
+    chunk_text); every doc emits ≥ 1 chunk (an empty doc yields one empty
+    chunk), n_chunks = 1 + ceil(max(0, n_tokens_doc - size) / stride).
+
+    Fully vectorized flat-map: window membership is a gather index built
+    with repeat/cumsum arithmetic, the chunk text is one Arrow
+    ``take`` + ``binary_join`` — no per-chunk Python string assembly.
+    """
+    flat, offs = word_lists(t.column(text_col))
+    wcnt = np.diff(offs)
+    n_chunks = 1 + np.ceil(np.maximum(wcnt - size, 0) / stride).astype(np.int64)
+    total = int(n_chunks.sum())
+    doc_of = np.repeat(np.arange(len(wcnt), dtype=np.int64), n_chunks)
+    seg = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(seg, n_chunks)
+    start = chunk_idx * stride
+    length = np.minimum(start + size, wcnt[doc_of]) - start
+    g_off = np.concatenate([[0], np.cumsum(length)])
+    within = np.arange(int(g_off[-1]), dtype=np.int64) - np.repeat(g_off[:-1], length)
+    gather = np.repeat(offs[:-1][doc_of] + start, length) + within
+    words = flat.take(pa.array(gather, pa.int64()))
+    chunks = pa.ListArray.from_arrays(pa.array(g_off, pa.int32()), words)
+    return pa.table({
+        id_col: t.column(id_col).take(pa.array(doc_of, pa.int64())),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "n_tokens": pa.array(length, pa.int64()),
+        "chunk_text": pc.binary_join(chunks, " ")})
+
+
+def chunk_windows(docs: rd.Dataset, size: int = 32, stride: int = 24,
+                  text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    return docs.map_batches(
+        lambda t: chunk_batch(t, size, stride, text_col, id_col),
+        batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- term freq
+
+def term_counts(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Distributed word count: per-block tokenize + local grouped count
+    (the combiner — the shuffle moves at most one row per distinct term
+    per block, never the raw token stream), then a grouped sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = word_lists(t.column(text_col))
+        g = (pa.table({"term": flat}).group_by("term")
+             .aggregate([("term", "count")]))
+        return g.rename_columns(["term", "n"])
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("n", alias_name="n")))
+
+
+def top_terms(docs: rd.Dataset, k: int = 50,
+              text_col: str = "text") -> pa.Table:
+    """Top-k terms by frequency (ties → lexicographic) — local top-k per
+    aggregated block + tiny driver merge; the vocabulary itself never
+    funnels through one node (web-scale vocabularies are large)."""
+    keys = [("n", "descending"), ("term", "ascending")]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))
+
+    parts = (term_counts(docs, text_col)
+             .map_batches(local_topk, batch_format="pyarrow").take_all())
+    merged = pa.Table.from_pylist(parts, schema=pa.schema(
+        [pa.field("term", pa.string()), pa.field("n", pa.int64())]))
+    return merged.sort_by(keys).slice(0, k)

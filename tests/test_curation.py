@@ -1,0 +1,135 @@
+"""Curation-operator tests: tokenization contract, word-gram hashing,
+decontamination (planted contamination + collision-proofing), vectorized
+chunker edge semantics, and the distributed word count."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from migration_pair_ray.stages.curation import (
+    chunk_batch,
+    chunk_windows,
+    decontaminate,
+    term_counts,
+    top_terms,
+    word_gram_hashes,
+    word_lists,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_word_lists_contract():
+    flat, offs = word_lists(pa.chunked_array([pa.array(
+        ["  Hello,  WORLD! 42 ", "", None, "a-b_c"])]))
+    toks = flat.to_pylist()
+    assert toks == ["hello", "world", "42", "a", "b", "c"]
+    assert offs.tolist() == [0, 3, 3, 3, 6]
+    # mirror of the SQL side of the contract
+    want = duckdb.sql("""
+        SELECT list_filter(string_split_regex(lower('  Hello,  WORLD! 42 '),
+               '[^a-z0-9]+'), w -> w <> '') AS w""").fetchone()[0]
+    assert list(want) == toks[:3]
+
+
+def test_word_gram_hashes_short_docs_emit_no_grams():
+    flat, offs = word_lists(pa.array(["a b c d", "a b", ""]))
+    h, doc_of, pos = word_gram_hashes(flat, offs, 3)
+    assert doc_of.tolist() == [0, 0]          # only doc 0 has >= 3 words
+    assert len(h) == 2 and pos.tolist() == [0, 1]
+    # identical windows hash identically across docs/batches
+    f2, o2 = word_lists(pa.array(["x a b c", "a b c d"]))
+    h2, d2, _ = word_gram_hashes(f2, o2, 3)
+    assert h2[1] == h[0]   # "a b c" in both
+    assert h2[3] == h[1]   # "b c d" in both
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_planted_overlap():
+    bench = rd.from_arrow(pa.table({
+        "doc_id": [1000], "text": ["alpha beta gamma delta"]}))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["zz alpha beta gamma delta yy",   # contains the bench 4-gram
+                 "alpha beta gamma q delta",        # broken window: clean
+                 "totally unrelated words here"]}))
+    out = (decontaminate(corpus, bench, n=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_hit"].tolist() == [1, 0, 0]
+    assert out["contaminated"].tolist() == [True, False, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_counts_distinct_grams():
+    bench = rd.from_arrow(pa.table({
+        "doc_id": [0], "text": ["a b c d e"]}))   # grams: "a b c","b c d","c d e"
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": [1], "text": ["a b c d e a b c d e"]}))  # repeats grams
+    out = decontaminate(corpus, bench, n=3).to_pandas()
+    # distinct shared grams: a b c / b c d / c d e / (d e a, e a b not in bench)
+    assert out["n_hit"].tolist() == [3]
+
+
+def test_chunk_batch_edges():
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["one two three four five six",  # 6 tokens
+                           "a b",                          # < size: 1 chunk
+                           ""]})                           # empty: 1 empty chunk
+    out = chunk_batch(t, size=4, stride=2)
+    df = out.to_pandas()
+    d1 = df[df.doc_id == 1]
+    assert d1["chunk_text"].tolist() == [
+        "one two three four", "three four five six"]
+    assert d1["n_tokens"].tolist() == [4, 4]
+    assert df[df.doc_id == 2]["chunk_text"].tolist() == ["a b"]
+    assert df[df.doc_id == 3]["chunk_text"].tolist() == [""]
+    assert df[df.doc_id == 3]["n_tokens"].tolist() == [0]
+
+
+def test_chunk_batch_tail_chunk_shorter():
+    t = pa.table({"doc_id": [7], "text": ["w1 w2 w3 w4 w5"]})
+    df = chunk_batch(t, size=3, stride=2).to_pandas()
+    # chunks: [w1 w2 w3], [w3 w4 w5], and (5-3)/2=1 → exactly 2 chunks
+    assert df["chunk_text"].tolist() == ["w1 w2 w3", "w3 w4 w5"]
+    assert df["chunk_idx"].tolist() == [0, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_windows_covers_every_token():
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    chunks = chunk_windows(ds, size=32, stride=24).to_pandas()
+    # stride < size ⇒ consecutive chunks overlap by size-stride; the union
+    # of windows covers all tokens: last chunk must end at the doc's token
+    # count, token count from the independent word_lists path
+    flat, offs = word_lists(pa.array(
+        pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")["text"]))
+    wcnt = dict(zip(
+        pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")["doc_id"],
+        np.diff(offs)))
+    last = chunks.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id").tail(1)
+    for _, r in last.iterrows():
+        assert r.chunk_idx * 24 + r.n_tokens == wcnt[r.doc_id]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_term_counts_matches_duckdb():
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    got = (term_counts(ds).to_pandas()
+           .sort_values("term").reset_index(drop=True))
+    want = duckdb.sql(f"""
+        WITH w AS (SELECT list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS w
+                   FROM read_parquet('{SF}/documents.parquet')),
+        t AS (SELECT unnest(w) AS term FROM w)
+        SELECT term, COUNT(*) AS n FROM t GROUP BY term ORDER BY term""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # top_terms = the same counts, top-k by (n desc, term)
+    top = top_terms(ds, k=5).to_pandas()
+    want_top = want.sort_values(["n", "term"], ascending=[False, True]).head(5)
+    assert top["term"].tolist() == want_top["term"].tolist()
+    assert top["n"].tolist() == want_top["n"].tolist()
