@@ -52,6 +52,8 @@ QUERY_NAMES = [
     "events_approx_distinct",
     "events_sample_hash",
     "events_stratified_sample",
+    "events_redact_pii",
+    "events_props_extract",
     "doc_token_stats",
     "doc_token_stats_bpe",
     "doc_fingerprints_rolling",
@@ -62,8 +64,13 @@ QUERY_NAMES = [
     "doc_near_dedup_minhash",
     "doc_near_dedup_simhash",
     "doc_near_dedup_ngram",
+    "doc_decontaminate",
+    "doc_chunk_windows",
+    "doc_term_freq",
+    "doc_normalize",
     "corpus_curation",
     "embed_topk_bruteforce",
+    "embed_label_centroids",
     "embed_near_dedup",
     "embed_knn_ivf",
 ]
