@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_windows": q.doc_chunk_windows,
         "doc_term_freq": q.doc_term_freq,
         "doc_normalize": q.doc_normalize,
+        "doc_quality_gate": q.doc_quality_gate,
+        "training_prep": q.training_prep,
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
         "events_approx_distinct": q.events_approx_distinct,
@@ -698,6 +700,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
                    norm_text <> text AS changed
             FROM n ORDER BY doc_id""",
+        # integer-scaled score (floor(score*1e6)) so the percentile-gate
+        # membership is an integer compare; quantile_disc == the engine's
+        # exact_quantiles (smallest value reaching ceil(q*n) cum count)
+        "doc_quality_gate": """
+            WITH f AS (
+              SELECT doc_id, lang,
+                     CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                     END AS n_tokens,
+                     CAST(
+                       (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' the ', ''))) / 5
+                     + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' a ', ''))) / 3
+                     + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' and ', ''))) / 5
+                     + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' of ', ''))) / 4
+                     + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' to ', ''))) / 4
+                     + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' in ', ''))) / 4
+                     + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' is ', ''))) / 4
+                     + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' it ', ''))) / 4
+                     AS BIGINT) AS stop_hits
+              FROM documents),
+            s AS (SELECT lang,
+                         CAST(FLOOR((LEAST(n_tokens / 100.0, 1.0) * 0.5
+                              + LEAST(CAST(stop_hits AS DOUBLE)
+                                      / GREATEST(n_tokens, 1), 0.5))
+                              * 1000000) AS BIGINT) AS cs
+                  FROM f),
+            t AS (SELECT quantile_disc(cs, 0.25) AS th FROM s)
+            SELECT lang, COUNT(*) AS n_kept, CAST(SUM(cs) AS BIGINT) AS sum_cs,
+                   CAST(MIN(cs) AS BIGINT) AS min_cs,
+                   CAST(MAX(th) AS BIGINT) AS thresh_cs
+            FROM s, t WHERE cs >= th GROUP BY lang ORDER BY lang""",
+        # the curation chain composed: normalize → decontaminate (8-gram
+        # vs eval split) → 32/24 windows → 512-token pack prefix scan
+        "training_prep": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '\\s+', ' ', 'g')) AS text
+              FROM documents),
+            words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w <> '') AS w
+              FROM norm),
+            expl AS (
+              SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+              FROM words),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g FROM expl),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            dirty AS (SELECT DISTINCT doc_id FROM grams g JOIN bench USING (g)
+                      WHERE doc_id % 97 <> 0),
+            clean AS (SELECT doc_id, w FROM words
+                      WHERE doc_id % 97 <> 0
+                        AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+            n AS (SELECT doc_id, len(w) AS wc,
+                         CASE WHEN len(w) <= 32 THEN 1
+                              ELSE 1 + CAST(CEIL((len(w) - 32) / 24.0) AS BIGINT)
+                         END AS n_chunks
+                  FROM clean),
+            ch AS (SELECT doc_id, wc,
+                          unnest(generate_series(0, n_chunks - 1)) AS i
+                   FROM n),
+            tok AS (SELECT doc_id * 10000 + i AS ord,
+                           LEAST(i*24 + 32, wc) - i*24 AS n_tokens
+                    FROM ch),
+            o AS (SELECT ord, n_tokens,
+                         COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY ord
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS off
+                  FROM tok)
+            SELECT CAST(off // 512 AS BIGINT) AS bin,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(MIN(ord) AS BIGINT) AS first_ord
+            FROM o GROUP BY 1 ORDER BY 1""",
         "embed_label_centroids": """
             SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
                    ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6)

@@ -68,6 +68,8 @@ QUERY_NAMES = [
     "doc_chunk_windows",
     "doc_term_freq",
     "doc_normalize",
+    "doc_quality_gate",
+    "training_prep",
     "corpus_curation",
     "embed_topk_bruteforce",
     "embed_label_centroids",

@@ -1432,3 +1432,112 @@ def embed_label_centroids(sf_dir: str, dim: int = 64):
 
     return (agg.map_batches(finish, batch_format="pyarrow")
             .sort(["label", "dim"]))
+
+
+def doc_quality_gate(sf_dir: str, q: float = 0.25):
+    """Percentile quality gate — the composed filter every curation
+    pipeline runs: score docs (functions/text.quality_features), find the
+    exact q-quantile of the score corpus-wide (stages/analytic
+    exact_quantiles: per-block histograms, exchange = value domain), then
+    keep docs at/above it and aggregate per language.  Scores are scaled
+    to integers (floor(score*1e6), bit-portable — both engines do the
+    identical IEEE double arithmetic) so the gate membership test is an
+    INTEGER compare with no float-boundary flakiness.  The scored pass
+    runs twice (quantile, then gate) — recomputation over streaming
+    blocks, not a driver pin; at 100 TB the scored set would be a Parquet
+    checkpoint (see checkpoint_parquet)."""
+    from ray.data.aggregate import Min, Sum
+    from migration_pair_ray.functions.text import quality_features
+    from migration_pair_ray.stages.analytic import exact_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        f = quality_features(t)
+        cs = np.floor(
+            f.column("quality_score").to_numpy(zero_copy_only=False)
+            * 1_000_000).astype(np.int64)
+        return pa.table({"lang": t.column("lang"), "cs": pa.array(cs)})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    th = int(exact_quantiles(scored, "cs", [q], scale=1)
+             .column("value")[0].as_py())
+
+    def gate_partial(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t.column("cs"), th))
+        g = (kept.group_by("lang")
+             .aggregate([("cs", "count"), ("cs", "sum"), ("cs", "min")]))
+        return g.rename_columns(["lang", "n_kept", "sum_cs", "min_cs"])
+
+    out = (scored.map_batches(gate_partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_kept", alias_name="n_kept"),
+                      Sum("sum_cs", alias_name="sum_cs"),
+                      Min("min_cs", alias_name="min_cs")))
+
+    def add_thresh(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "thresh_cs", pa.array(np.full(t.num_rows, th), pa.int64()))
+
+    return out.map_batches(add_thresh, batch_format="pyarrow").sort("lang")
+
+
+def training_prep(sf_dir: str, n: int = 8, bench_mod: int = 97,
+                  size: int = 32, stride: int = 24, budget: int = 512):
+    """End-to-end training-set preparation — the new curation operators
+    COMPOSED: canonicalize text → benchmark-decontaminate (drop any doc
+    sharing a word-8-gram with the eval split) → cut into overlapping
+    32-token windows → pack windows into 512-token training bins
+    (stages/packing.py distributed prefix scan) → per-bin stats.  Every
+    stage is the operator the standalone query checks; the oracle checks
+    them chained.  A scalar pack order key (doc_id*10000 + chunk_idx)
+    keeps the prefix scan's block-disjointness contract."""
+    from ray.data.aggregate import Min, Sum
+    from migration_pair_ray.stages.curation import chunk_windows, decontaminate
+    from migration_pair_ray.stages.packing import pack_bins
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_normalize(t.column("text"), form="NFC")
+        x = pc.utf8_lower(x)
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pc.utf8_trim(x, " ")})
+
+    ds = ds.map_batches(norm, batch_format="pyarrow")
+
+    def split(t: pa.Table, want_bench: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % bench_mod == 0) == want_bench))
+
+    bench = ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    flagged = decontaminate(corpus, bench, n=n, passthrough=True)
+    clean = flagged.map_batches(
+        lambda t: t.filter(pc.equal(t.column("n_hit"), 0))
+        .select(["doc_id", "text"]), batch_format="pyarrow")
+
+    chunks = chunk_windows(clean, size=size, stride=stride)
+
+    def ordify(t: pa.Table) -> pa.Table:
+        o = (t.column("doc_id").to_numpy(zero_copy_only=False) * 10_000
+             + t.column("chunk_idx").to_numpy(zero_copy_only=False))
+        return pa.table({"ord": pa.array(o, pa.int64()),
+                         "n_tokens": t.column("n_tokens")})
+
+    packed = pack_bins(chunks.map_batches(ordify, batch_format="pyarrow"),
+                       budget=budget, count_col="n_tokens", order_col="ord")
+
+    def per_bin(t: pa.Table) -> pa.Table:
+        g = (t.group_by("bin")
+             .aggregate([("ord", "count"), ("n_tokens", "sum"),
+                         ("ord", "min")]))
+        return g.rename_columns(["bin", "n_chunks", "sum_tokens", "first_ord"])
+
+    return (packed.map_batches(per_bin, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                       Sum("sum_tokens", alias_name="sum_tokens"),
+                       Min("first_ord", alias_name="first_ord"))
+            .sort("bin"))

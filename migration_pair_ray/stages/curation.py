@@ -127,11 +127,12 @@ class Decontaminator:
     """
 
     def __init__(self, store_ref, n: int = 8, text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", passthrough: bool = False):
         store = ray.get(store_ref)
         self.hashes = store["hashes"]
         self.strings = store["strings"]
         self.n, self.text_col, self.id_col = n, text_col, id_col
+        self.passthrough = passthrough
 
     def __call__(self, t: pa.Table) -> pa.Table:
         flat, offs = word_lists(t.column(self.text_col))
@@ -144,23 +145,27 @@ class Decontaminator:
                 sel = pos[doc_of == d]
                 gs = {" ".join(toks[p:p + self.n]) for p in sel}
                 n_hit[d] = len(gs & self.strings)
-        return pa.table({
-            self.id_col: t.column(self.id_col),
-            "n_hit": pa.array(n_hit, pa.int64()),
-            "contaminated": pa.array(n_hit > 0, pa.bool_())})
+        flags = (pa.array(n_hit, pa.int64()), pa.array(n_hit > 0, pa.bool_()))
+        if self.passthrough:     # keep input columns (for composed gates)
+            return (t.append_column("n_hit", flags[0])
+                    .append_column("contaminated", flags[1]))
+        return pa.table({self.id_col: t.column(self.id_col),
+                         "n_hit": flags[0], "contaminated": flags[1]})
 
 
 def decontaminate(docs: rd.Dataset, bench: rd.Dataset, n: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  concurrency=(2, 8)) -> rd.Dataset:
-    """Benchmark decontamination: (id, n_hit, contaminated) per corpus doc.
+                  concurrency=(2, 8), passthrough: bool = False) -> rd.Dataset:
+    """Benchmark decontamination: (id, n_hit, contaminated) per corpus doc
+    (``passthrough=True`` appends the flags to the input columns instead).
 
     The classic broadcast semi-join shape — the big side streams, the
     small side rides the object store; no shuffle of the corpus."""
     store = benchmark_gram_store(bench, text_col=text_col, n=n)
     return docs.map_batches(
         Decontaminator, fn_constructor_kwargs=dict(
-            store_ref=store, n=n, text_col=text_col, id_col=id_col),
+            store_ref=store, n=n, text_col=text_col, id_col=id_col,
+            passthrough=passthrough),
         batch_format="pyarrow", concurrency=concurrency)
 
 
