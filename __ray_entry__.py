@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topn_orders_per_customer": q.topn_orders_per_customer,
         "orders_running_revenue": q.orders_running_revenue,
         "events_value_quantiles": q.events_value_quantiles,
+        "events_type_quantiles": q.events_type_quantiles,
         "events_type_pivot": q.events_type_pivot,
         "lineitem_price_bands": q.lineitem_price_bands,
         # text / documents (training-data ops)
@@ -74,12 +75,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_windows": q.doc_chunk_windows,
         "doc_term_freq": q.doc_term_freq,
         "doc_normalize": q.doc_normalize,
+        "doc_repetition": q.doc_repetition,
+        "doc_tfidf_top": q.doc_tfidf_top,
         "doc_quality_gate": q.doc_quality_gate,
         "training_prep": q.training_prep,
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
         "events_approx_distinct": q.events_approx_distinct,
         "events_sample_hash": q.events_sample_hash,
+        "doc_shuffle_shards": q.doc_shuffle_shards,
         "events_stratified_sample": q.events_stratified_sample,
         "events_redact_pii": q.events_redact_pii,
         "events_props_extract": q.events_props_extract,
@@ -470,6 +474,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 0.75 AS q, CAST(quantile_disc(c, 0.75) / 100.0 AS DOUBLE) AS value FROM v
             UNION ALL SELECT 0.9 AS q, CAST(quantile_disc(c, 0.9) / 100.0 AS DOUBLE) AS value FROM v
             UNION ALL SELECT 0.99 AS q, CAST(quantile_disc(c, 0.99) / 100.0 AS DOUBLE) AS value FROM v) ORDER BY q""",
+        # grouped quantile_disc over floor-scaled cents, same index rule
+        "events_type_quantiles": """
+            WITH v AS (SELECT event_type,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS c
+                       FROM events)
+            SELECT event_type, CAST(q AS DOUBLE) AS q, value FROM (
+              SELECT event_type, 0.25 AS q,
+                     CAST(quantile_disc(c, 0.25) / 100.0 AS DOUBLE) AS value
+              FROM v GROUP BY event_type
+              UNION ALL
+              SELECT event_type, 0.5 AS q,
+                     CAST(quantile_disc(c, 0.5) / 100.0 AS DOUBLE) AS value
+              FROM v GROUP BY event_type
+              UNION ALL
+              SELECT event_type, 0.9 AS q,
+                     CAST(quantile_disc(c, 0.9) / 100.0 AS DOUBLE) AS value
+              FROM v GROUP BY event_type)
+            ORDER BY event_type, q""",
         "events_type_pivot": """
             SELECT user_id,
                    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -541,6 +563,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type""",
         # the sample predicate mirrors stages/sampling.hash_sample in md5
         # mode: first 8 md5 bytes as UBIGINT, keep h % 100 < 5
+        # md5-u64 rank == engine sort order; round-robin shard deal
+        "doc_shuffle_shards": """
+            WITH h AS (SELECT doc_id,
+                              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 16))::UBIGINT AS hh
+                       FROM documents),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY hh) - 1 AS rnk
+                  FROM h)
+            SELECT doc_id, CAST(rnk % 8 AS BIGINT) AS shard,
+                   CAST(rnk // 8 AS BIGINT) AS pos
+            FROM r ORDER BY doc_id""",
         "events_sample_hash": """
             SELECT event_type,
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,
@@ -690,6 +724,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*) AS n
             FROM t GROUP BY term
             ORDER BY n DESC, term LIMIT 50""",
+        # n=2 word-gram repetition counts; gram identity on strings in
+        # both engines (engine side never trusts hashes for the dup call)
+        "doc_repetition": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 w -> w <> '') AS w
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+            wstats AS (SELECT doc_id, COUNT(*) AS n_words,
+                              COUNT(DISTINCT t) AS n_distinct
+                       FROM tok GROUP BY doc_id),
+            expl AS (SELECT doc_id, w,
+                            unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM words WHERE len(w) >= 2),
+            grams AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+                      FROM expl),
+            gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+            gstats AS (SELECT doc_id,
+                              SUM(c) FILTER (WHERE c >= 2) AS dup,
+                              MAX(c) AS top
+                       FROM gc GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(COALESCE(ws.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(ws.n_distinct, 0) AS BIGINT)
+                       AS n_distinct_words,
+                   CAST(GREATEST(len(w.w) - 1, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(gs.dup, 0) AS BIGINT)
+                       AS n_dup_gram_instances,
+                   CAST(COALESCE(gs.top, 0) AS BIGINT) AS top_gram_count
+            FROM words w
+            LEFT JOIN wstats ws USING (doc_id)
+            LEFT JOIN gstats gs USING (doc_id)
+            ORDER BY w.doc_id""",
+        # smoothed tf-idf, identical double arithmetic both sides:
+        # ln((N+1)/(df+1))+1 then floor(tf*idf*1e6); rank on the SCALED int
+        "doc_tfidf_top": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 w -> w <> '') AS w
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+            tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+            df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok
+                   GROUP BY t),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.t, tf.c, df.df,
+                         CAST(FLOOR(tf.c * (ln((nd.n + 1.0) / (df.df + 1.0))
+                                            + 1.0) * 1000000) AS BIGINT)
+                             AS score_s
+                  FROM tf JOIN df ON tf.t = df.t, nd),
+            r AS (SELECT *, row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY score_s DESC, t) AS rn FROM s)
+            SELECT doc_id, t AS top_term, CAST(c AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, score_s
+            FROM r WHERE rn = 1 ORDER BY doc_id""",
         "doc_normalize": """
             WITH n AS (
               SELECT doc_id, text,

@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "topn_orders_per_customer",
     "orders_running_revenue",
     "events_value_quantiles",
+    "events_type_quantiles",
     "events_type_pivot",
     "lineitem_price_bands",
     "events_hourly_windows",
@@ -68,6 +69,9 @@ QUERY_NAMES = [
     "doc_chunk_windows",
     "doc_term_freq",
     "doc_normalize",
+    "doc_repetition",
+    "doc_tfidf_top",
+    "doc_shuffle_shards",
     "doc_quality_gate",
     "training_prep",
     "corpus_curation",

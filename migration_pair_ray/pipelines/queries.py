@@ -1541,3 +1541,54 @@ def training_prep(sf_dir: str, n: int = 8, bench_mod: int = 97,
                        Sum("sum_tokens", alias_name="sum_tokens"),
                        Min("first_ord", alias_name="first_ord"))
             .sort("bin"))
+
+
+def doc_repetition(sf_dir: str, n: int = 2):
+    """Repetition quality signals (the Gopher/MassiveText rules): per
+    document, word count, distinct-word count, word-n-gram count,
+    duplicate-gram instance count, and the hottest gram's count — the
+    integer numerators/denominators of "duplicate 2-gram fraction" and
+    "top 2-gram fraction".  Exact string-identity grams (no hashes in the
+    dup decision), pure per-batch map, no shuffle."""
+    from migration_pair_ray.stages.curation import repetition_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return repetition_stats(ds, n=n).sort("doc_id")
+
+
+def events_type_quantiles(sf_dir: str):
+    """Per-key exact quantiles (stages/analytic.grouped_quantiles):
+    median/p25/p90 of ``value`` per event type — ``quantile_disc``
+    GROUP BY in one coarse shuffle of domain-bounded histogram
+    partials."""
+    from migration_pair_ray.stages.analytic import grouped_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return (grouped_quantiles(ds, "event_type", "value",
+                              qs=[0.25, 0.5, 0.9], scale=100)
+            .sort(["event_type", "q"]))
+
+
+def doc_shuffle_shards(sf_dir: str, n_shards: int = 8):
+    """Deterministic training-order shuffle (stages/sampling.py
+    shuffle_assign): md5-rank every document, deal round-robin into
+    shards.  One hash sort + a block prefix scan; reproducible across
+    runs and cluster shapes, bit-mirrored by the SQL row_number."""
+    from migration_pair_ray.functions.sketch import md5_hash64
+    from migration_pair_ray.stages.sampling import shuffle_assign
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return (shuffle_assign(ds, "doc_id", n_shards, hash64=md5_hash64)
+            .sort("doc_id"))
+
+
+def doc_tfidf_top(sf_dir: str):
+    """Per-document top tf-idf term (stages/curation.tfidf_top_term):
+    distributed document-frequency combiner → broadcast vocabulary store
+    (`ray.put` once, `pc.index_in` exact lookup per batch) → streaming
+    scored scan; int-scaled scores make the ranking bit-portable."""
+    from migration_pair_ray.stages.curation import tfidf_top_term
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_docs = ds.count()
+    return tfidf_top_term(ds, n_docs).sort("doc_id")

@@ -273,3 +273,71 @@ def range_join_broadcast(big: "ray.data.Dataset", ranges: pa.Table,
         return t
 
     return big.map_batches(lookup, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds: "ray.data.Dataset", key_col: str, value_col: str,
+                      qs: list[float], scale: int = 100,
+                      n_coarse: int | None = None) -> "ray.data.Dataset":
+    """EXACT per-key discrete quantiles — ``quantile_disc(v, q) GROUP BY
+    key`` — at fixed precision (``floor(v*scale)``, same bit-portable
+    scaling as :func:`exact_quantiles`).  Scale shape: per-block (key,
+    value) histogram partials (the combiner — exchange size is bounded by
+    keys × value DOMAIN per block, never the row count) → ONE coarse
+    key-hash shuffle → per bucket one Arrow sort + a segmented
+    cumulative-count scan answers every key's quantiles at once (the
+    result row index for q is the first row of the key's segment whose
+    cumulative count reaches ``ceil(q·n_key)``).  Zero per-key dispatch.
+
+    Output: one row per (key, q): ``(key_col, q, value)``.
+    """
+    n_coarse = _default_coarse(n_coarse)
+    qs = list(qs)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column(value_col).to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        g = (pa.table({key_col: t.column(key_col), "__v": pa.array(v)})
+             .group_by([key_col, "__v"]).aggregate([("__v", "count")]))
+        return g.rename_columns([key_col, "__v", "__cnt"])
+
+    def quantiles_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        kt = g.schema.field(key_col).type
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], kt),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        # merge the per-block partials, then sort (key, value)
+        g = (g.group_by([key_col, "__v"]).aggregate([("__cnt", "sum")])
+             .rename_columns([key_col, "__v", "__cnt"])
+             .sort_by([(key_col, "ascending"), ("__v", "ascending")]))
+        cnt = g.column("__cnt").to_numpy(zero_copy_only=False)
+        vals = g.column("__v").to_numpy(zero_copy_only=False)
+        first = _group_first_mask_np(g, key_col)
+        seg_starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(seg_starts, g.num_rows))
+        cum = np.cumsum(cnt)
+        base = np.repeat(cum[seg_starts] - cnt[seg_starts], seg_len)
+        cumseg = cum - base
+        n_key = np.add.reduceat(cnt, seg_starts)
+        idx = np.arange(g.num_rows, dtype=np.int64)
+        keys_out, qs_out, vs_out = [], [], []
+        for q in qs:
+            tgt = np.maximum(np.ceil(q * n_key).astype(np.int64), 1)
+            ok = cumseg >= np.repeat(tgt, seg_len)
+            pick = np.minimum.reduceat(
+                np.where(ok, idx, g.num_rows), seg_starts)
+            keys_out.append(pc.take(g.column(key_col), pa.array(seg_starts)))
+            qs_out.append(np.full(len(seg_starts), q))
+            vs_out.append(vals[pick] / scale)
+        return pa.table({
+            key_col: pa.concat_arrays(
+                [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+                 for k in keys_out]),
+            "q": pa.array(np.concatenate(qs_out), pa.float64()),
+            "value": pa.array(np.concatenate(vs_out), pa.float64())})
+
+    partials = ds.map_batches(hist, batch_format="pyarrow")
+    return (_with_bucket(partials, key_col, n_coarse)
+            .groupby("__b").map_groups(quantiles_bucket,
+                                       batch_format="pyarrow"))

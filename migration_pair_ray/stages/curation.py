@@ -244,3 +244,223 @@ def top_terms(docs: rd.Dataset, k: int = 50,
     merged = pa.Table.from_pylist(parts, schema=pa.schema(
         [pa.field("term", pa.string()), pa.field("n", pa.int64())]))
     return merged.sort_by(keys).slice(0, k)
+
+
+# ------------------------------------------------------------- repetition
+
+def repetition_stats_batch(t: pa.Table, n: int = 2, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Per-document repetition signals (the Gopher/MassiveText quality
+    rules): word counts, distinct-word counts, and duplicate word-n-gram
+    counts.  Everything is an exact INTEGER count so the SQL oracle is a
+    bit-exact compare; callers derive the published fractions
+    (duplicate-n-gram fraction = n_dup_gram_instances / n_grams,
+    top-gram fraction = top_gram_count / n_grams) downstream.
+
+    Exactness: gram identity is decided on the gram STRINGS (one Arrow
+    gather + ``take`` + ``binary_join``, then one sort) — never on 64-bit
+    hashes — so a hash collision can't inflate a duplicate count.  Pure
+    per-batch map (a document is one row, so all its grams live in one
+    batch); no shuffle.
+    """
+    flat, offs = word_lists(t.column(text_col))
+    wcnt = np.diff(offs)
+    n_docs = len(wcnt)
+    d_of_word = np.repeat(np.arange(n_docs, dtype=np.int64), wcnt)
+
+    def _per_doc_run_stats(d: np.ndarray, vals: pa.Array
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """For rows (d, vals): sort by (d, val), run-length the equal
+        runs, return per-doc (n_distinct, n_dup_instances, top_run_len)."""
+        distinct = np.zeros(n_docs, np.int64)
+        dup = np.zeros(n_docs, np.int64)
+        top = np.zeros(n_docs, np.int64)
+        if len(d) == 0:
+            return distinct, dup, top
+        tbl = pa.table({"d": pa.array(d), "v": vals})
+        order = pc.sort_indices(tbl, sort_keys=[("d", "ascending"),
+                                                ("v", "ascending")])
+        ds_ = np.asarray(pc.take(tbl.column("d"), order))
+        vs = pc.take(tbl.column("v"), order).combine_chunks()
+        same_v = pc.equal(vs.slice(1), vs.slice(0, len(vs) - 1)
+                          ).to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True],
+                                (ds_[1:] != ds_[:-1]) | ~same_v])
+        run_id = np.cumsum(first) - 1
+        run_len = np.bincount(run_id)
+        run_doc = ds_[first]
+        distinct = np.bincount(run_doc, minlength=n_docs)
+        dup = np.bincount(run_doc, weights=run_len * (run_len >= 2),
+                          minlength=n_docs).astype(np.int64)
+        doc_first = np.concatenate([[True], run_doc[1:] != run_doc[:-1]])
+        seg_starts = np.flatnonzero(doc_first)
+        top_present = np.maximum.reduceat(run_len, seg_starts)
+        top[run_doc[seg_starts]] = top_present
+        return distinct.astype(np.int64), dup, top
+
+    n_distinct_words, _, _ = _per_doc_run_stats(d_of_word, flat)
+
+    n_g = np.maximum(wcnt - n + 1, 0)
+    total = int(n_g.sum())
+    if total:
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_g)
+        seg = np.concatenate([[0], np.cumsum(n_g)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg, n_g)
+        pos = offs[:-1][doc_of] + within
+        gather = (pos[:, None] + np.arange(n, dtype=np.int64)).ravel()
+        words = flat.take(pa.array(gather, pa.int64()))
+        g_offs = np.arange(total + 1, dtype=np.int64) * n
+        grams = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(g_offs), words), " ")
+        _, n_dup, top_cnt = _per_doc_run_stats(doc_of, grams)
+    else:
+        n_dup = np.zeros(n_docs, np.int64)
+        top_cnt = np.zeros(n_docs, np.int64)
+
+    return pa.table({
+        id_col: t.column(id_col),
+        "n_words": pa.array(wcnt, pa.int64()),
+        "n_distinct_words": pa.array(n_distinct_words, pa.int64()),
+        "n_grams": pa.array(n_g, pa.int64()),
+        "n_dup_gram_instances": pa.array(n_dup, pa.int64()),
+        "top_gram_count": pa.array(top_cnt, pa.int64())})
+
+
+def repetition_stats(docs: rd.Dataset, n: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id") -> rd.Dataset:
+    return docs.map_batches(
+        lambda t: repetition_stats_batch(t, n, text_col, id_col),
+        batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------- tf-idf
+
+def doc_freq(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Distributed document frequency: per block, each doc's DISTINCT
+    terms (one Arrow sort + boundary mask — a doc is one row, so a block
+    sees all of it) grouped into partial df counts; the shuffle then
+    carries one row per distinct term per block (the combiner), never the
+    token stream."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, offs = word_lists(t.column(text_col))
+        wcnt = np.diff(offs)
+        d = np.repeat(np.arange(len(wcnt), dtype=np.int64), wcnt)
+        if len(d) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        tbl = pa.table({"d": pa.array(d), "t": flat})
+        order = pc.sort_indices(tbl, sort_keys=[("d", "ascending"),
+                                                ("t", "ascending")])
+        ds_ = np.asarray(pc.take(tbl.column("d"), order))
+        ts = pc.take(tbl.column("t"), order).combine_chunks()
+        same = pc.equal(ts.slice(1), ts.slice(0, len(ts) - 1)
+                        ).to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], (ds_[1:] != ds_[:-1]) | ~same])
+        g = (pa.table({"term": ts.filter(pa.array(first))})
+             .group_by("term").aggregate([("term", "count")]))
+        return g.rename_columns(["term", "df"])
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("df", alias_name="df")))
+
+
+def tfidf_store(docs: rd.Dataset, n_docs: int, text_col: str = "text",
+                min_df: int = 1) -> "ray.ObjectRef":
+    """Distill the corpus vocabulary into a broadcastable scoring store:
+    ``{"vocab": pa.Array[str], "df": int64[], "idf": float64[]}`` with
+    smoothed ``idf = ln((N+1)/(df+1)) + 1``.  The df computation runs
+    distributed; only the vocabulary table funnels to the driver —
+    bounded by |vocab| (prune with ``min_df`` when a web-scale tail would
+    blow the broadcast ceiling; same stance as the decontamination gram
+    store)."""
+    pdf = doc_freq(docs, text_col=text_col).to_pandas()
+    if min_df > 1:
+        pdf = pdf[pdf["df"] >= min_df]
+    pdf = pdf.sort_values("term").reset_index(drop=True)
+    dfv = pdf["df"].to_numpy(dtype=np.int64)
+    idf = np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
+    return ray.put({"vocab": pa.array(pdf["term"], pa.string()),
+                    "df": dfv, "idf": idf})
+
+
+class TfIdfTop:
+    """Actor-pool stage (ST1: store fetched once per actor): per document,
+    the top-1 term by smoothed tf-idf.  Scores are floor-scaled to int64
+    (``floor(tf·idf·1e6)``) so ranking and output are bit-portable to a
+    SQL mirror doing the identical double arithmetic; ties break on the
+    lexicographically smallest term.  Term→idf lookup is ``pc.index_in``
+    (exact string hash table, vectorized) — never a trusted 64-bit hash.
+    """
+
+    def __init__(self, store_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        store = ray.get(store_ref)
+        self.vocab, self.df, self.idf = (store["vocab"], store["df"],
+                                         store["idf"])
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        it = t.schema.field(self.id_col).type
+        empty = pa.table({self.id_col: pa.array([], it),
+                          "top_term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "score_s": pa.array([], pa.int64())})
+        flat, offs = word_lists(t.column(self.text_col))
+        wcnt = np.diff(offs)
+        d = np.repeat(np.arange(len(wcnt), dtype=np.int64), wcnt)
+        if len(d) == 0:
+            return empty
+        tbl = pa.table({"d": pa.array(d), "t": flat})
+        order = pc.sort_indices(tbl, sort_keys=[("d", "ascending"),
+                                                ("t", "ascending")])
+        ds_ = np.asarray(pc.take(tbl.column("d"), order))
+        ts = pc.take(tbl.column("t"), order).combine_chunks()
+        same = pc.equal(ts.slice(1), ts.slice(0, len(ts) - 1)
+                        ).to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], (ds_[1:] != ds_[:-1]) | ~same])
+        run_id = np.cumsum(first) - 1
+        tf = np.bincount(run_id).astype(np.int64)
+        run_doc = ds_[first]
+        run_term = ts.filter(pa.array(first))
+        vi = pc.fill_null(
+            pc.cast(pc.index_in(run_term, value_set=self.vocab), pa.int64()),
+            -1).to_numpy(zero_copy_only=False)
+        known = vi >= 0            # min_df-pruned terms score nothing
+        if not known.all():
+            keep = pa.array(known)
+            run_term = run_term.filter(keep)
+            run_doc, tf, vi = run_doc[known], tf[known], vi[known]
+        if len(run_doc) == 0:
+            return empty
+        score_s = np.floor(tf * self.idf[vi] * 1_000_000).astype(np.int64)
+        cand = pa.table({"d": pa.array(run_doc), "s": pa.array(score_s),
+                         "t": run_term, "tf": pa.array(tf),
+                         "df": pa.array(self.df[vi])})
+        o2 = pc.sort_indices(cand, sort_keys=[("d", "ascending"),
+                                              ("s", "descending"),
+                                              ("t", "ascending")])
+        cand = cand.take(o2)
+        dd = cand.column("d").to_numpy(zero_copy_only=False)
+        top = np.concatenate([[True], dd[1:] != dd[:-1]])
+        cand = cand.filter(pa.array(top))
+        return pa.table({
+            self.id_col: t.column(self.id_col).take(cand.column("d")),
+            "top_term": cand.column("t"),
+            "tf": cand.column("tf"),
+            "df": cand.column("df"),
+            "score_s": cand.column("s")})
+
+
+def tfidf_top_term(docs: rd.Dataset, n_docs: int, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1,
+                   concurrency=(2, 8)) -> rd.Dataset:
+    """Per-doc top tf-idf term: distributed df → broadcast store →
+    streaming scored scan.  No shuffle of the corpus at all."""
+    store = tfidf_store(docs, n_docs, text_col=text_col, min_df=min_df)
+    return docs.map_batches(
+        TfIdfTop, fn_constructor_kwargs=dict(
+            store_ref=store, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)

@@ -75,3 +75,43 @@ def stratified_sample(ds: "ray.data.Dataset", stratum_col: str,
     out = grouped_top_n(shrunk, stratum_col, "__h", n, descending=False,
                         tie_breakers=[key_col], n_coarse=n_coarse)
     return out.drop_columns(["__h"])
+
+
+def shuffle_assign(ds: "ray.data.Dataset", key_col: str, n_shards: int,
+                   hash64=stable_hash64) -> "ray.data.Dataset":
+    """Deterministic global shuffle for training-order assignment: rank
+    every row by a stable hash of its key and deal ranks round-robin into
+    ``n_shards`` shards (``shard = rank % n_shards``, ``pos = rank //
+    n_shards``).  The same rows land in the same shard at the same
+    position on every run, every cluster shape, every retry —
+    ``ds.random_shuffle`` by contrast is run-dependent and moves every
+    byte through a full exchange twice (shuffle + later sort).
+
+    Scale shape: ONE range-partitioned sort on the 8-byte hash (the only
+    exchange; payload rides it once), then the global rank is the
+    two-pass block prefix scan (stages/packing.py) — tiny per-block
+    partials, no second shuffle.  Hash ties across block boundaries would
+    trip the scan's disjointness gate loudly (never silent corruption);
+    64-bit hashes of unique keys make that practically impossible.  With
+    ``hash64=md5_hash64`` the full assignment is bit-mirrorable in SQL
+    (``row_number() OVER (ORDER BY md5-u64(key))``).
+    """
+    from migration_pair_ray.stages.packing import add_token_offsets
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _key_hash(t, key_col, hash64)
+        return (t.append_column("__h", pa.array(h, pa.uint64()))
+                .append_column("__one",
+                               pa.array(np.ones(t.num_rows, np.int64))))
+
+    ranked = add_token_offsets(
+        ds.map_batches(prep, batch_format="pyarrow").sort("__h"),
+        count_col="__one", order_col="__h", offset_col="__rank")
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("__rank").to_numpy(zero_copy_only=False)
+        return (t.drop_columns(["__h", "__one", "__rank"])
+                .append_column("shard", pa.array(r % n_shards, pa.int64()))
+                .append_column("pos", pa.array(r // n_shards, pa.int64())))
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

@@ -131,3 +131,36 @@ def test_grouped_string_agg_matches_sql_string_agg():
     assert got["user_id"].tolist() == want["user_id"].tolist()
     assert got["types"].tolist() == want["types"].tolist()
     assert got["n_rows"].tolist() == want["n_rows"].tolist()
+
+
+def test_grouped_quantiles_vs_duckdb():
+    import duckdb
+    from migration_pair_ray.stages.analytic import grouped_quantiles
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    got = (grouped_quantiles(ds, "event_type", "value",
+                             qs=[0.25, 0.5, 0.9], scale=100)
+           .sort(["event_type", "q"]).to_pandas())
+    want = duckdb.sql(f"""
+        WITH v AS (SELECT event_type, CAST(FLOOR(value*100) AS BIGINT) c
+                   FROM read_parquet('{SF}/events.parquet'))
+        SELECT event_type, q, value FROM (
+          SELECT event_type, 0.25 q, quantile_disc(c, 0.25)/100.0 AS value
+          FROM v GROUP BY 1
+          UNION ALL SELECT event_type, 0.5, quantile_disc(c, 0.5)/100.0
+          FROM v GROUP BY 1
+          UNION ALL SELECT event_type, 0.9, quantile_disc(c, 0.9)/100.0
+          FROM v GROUP BY 1) ORDER BY event_type, q""").df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["value"].tolist() == want["value"].tolist()
+
+
+def test_grouped_quantiles_single_value_keys():
+    from migration_pair_ray.stages.analytic import grouped_quantiles
+    ds = ray.data.from_arrow(pa.table({"k": ["a", "a", "b"],
+                                 "v": [1.0, 3.0, 7.0]}))
+    got = (grouped_quantiles(ds, "k", "v", qs=[0.5, 1.0], scale=1)
+           .sort(["k", "q"]).to_pandas())
+    # a: values [1,3] -> q0.5 = ceil(0.5*2)=1st -> 1; q1.0 -> 3
+    # b: single value 7 at every quantile
+    assert got["value"].tolist() == [1.0, 3.0, 7.0, 7.0]

@@ -133,3 +133,86 @@ def test_term_counts_matches_duckdb():
     want_top = want.sort_values(["n", "term"], ascending=[False, True]).head(5)
     assert top["term"].tolist() == want_top["term"].tolist()
     assert top["n"].tolist() == want_top["n"].tolist()
+
+
+def test_repetition_stats_hand_cases():
+    from migration_pair_ray.stages.curation import repetition_stats_batch
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b a b c", "x x x", "", "hello world"]})
+    out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    # "a b a b c": grams [a b, b a, a b, b c]; "a b" twice
+    assert out.loc[1].tolist() == [5, 3, 4, 2, 2]
+    # "x x x": grams [x x, x x]
+    assert out.loc[2].tolist() == [3, 1, 2, 2, 2]
+    assert out.loc[3].tolist() == [0, 0, 0, 0, 0]
+    assert out.loc[4].tolist() == [2, 2, 1, 0, 1]
+
+
+def test_repetition_stats_matches_duckdb():
+    from migration_pair_ray.stages.curation import repetition_stats
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    got = repetition_stats(ds).sort("doc_id").to_pandas()
+    want = duckdb.sql(f"""
+        WITH words AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), w -> w <> '') AS w
+          FROM read_parquet('{SF}/documents.parquet')),
+        tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+        ws AS (SELECT doc_id, COUNT(*) n_words, COUNT(DISTINCT t) nd
+               FROM tok GROUP BY doc_id),
+        expl AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) i
+                 FROM words WHERE len(w) >= 2),
+        gc AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') g, COUNT(*) c
+               FROM expl GROUP BY 1, 2),
+        gs AS (SELECT doc_id, SUM(c) FILTER (WHERE c >= 2) dup, MAX(c) top
+               FROM gc GROUP BY doc_id)
+        SELECT w.doc_id, ws.n_words, ws.nd,
+               GREATEST(len(w.w) - 1, 0) AS n_grams,
+               COALESCE(gs.dup, 0) AS dup, COALESCE(gs.top, 0) AS top
+        FROM words w LEFT JOIN ws USING (doc_id)
+        LEFT JOIN gs USING (doc_id) ORDER BY w.doc_id""").df()
+    assert got["n_words"].tolist() == want["n_words"].tolist()
+    assert got["n_distinct_words"].tolist() == want["nd"].tolist()
+    assert got["n_grams"].tolist() == want["n_grams"].tolist()
+    assert got["n_dup_gram_instances"].tolist() == want["dup"].tolist()
+    assert got["top_gram_count"].tolist() == want["top"].tolist()
+
+
+def test_tfidf_top_term_matches_duckdb():
+    from migration_pair_ray.stages.curation import tfidf_top_term
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    got = tfidf_top_term(ds, n_docs=ds.count()).sort("doc_id").to_pandas()
+    want = duckdb.sql(f"""
+        WITH words AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), w -> w <> '') AS w
+          FROM read_parquet('{SF}/documents.parquet')),
+        tok AS (SELECT doc_id, unnest(w) t FROM words),
+        tf AS (SELECT doc_id, t, COUNT(*) c FROM tok GROUP BY 1, 2),
+        df AS (SELECT t, COUNT(DISTINCT doc_id) df FROM tok GROUP BY t),
+        nd AS (SELECT COUNT(*) n
+               FROM read_parquet('{SF}/documents.parquet')),
+        s AS (SELECT tf.doc_id, tf.t, tf.c, df.df,
+                     CAST(FLOOR(tf.c * (ln((nd.n+1.0)/(df.df+1.0)) + 1.0)
+                          * 1000000) AS BIGINT) score_s
+              FROM tf JOIN df ON tf.t = df.t, nd),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_s DESC, t) rn FROM s)
+        SELECT doc_id, t, c, df, score_s FROM r WHERE rn = 1
+        ORDER BY doc_id""").df()
+    assert got["top_term"].tolist() == want["t"].tolist()
+    assert got["score_s"].tolist() == want["score_s"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+
+
+def test_tfidf_min_df_prunes_rare_terms():
+    from migration_pair_ray.stages.curation import tfidf_top_term
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["common rare1", "common rare2", "common common"]}))
+    out = tfidf_top_term(docs, n_docs=3, min_df=2).sort("doc_id").to_pandas()
+    # rare terms pruned from the store -> every doc's top term is "common"
+    assert out["top_term"].tolist() == ["common", "common", "common"]
+    assert out["df"].tolist() == [3, 3, 3]

@@ -7,6 +7,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import pyarrow as pa
 import ray.data
 
 from migration_pair_ray.functions.sketch import md5_hash64
@@ -78,3 +79,31 @@ def test_stratified_sample_block_layout_invariant():
          .to_pandas().sort_values(["event_type", "rank"])
          .reset_index(drop=True))
     assert a["event_id"].tolist() == b["event_id"].tolist()
+
+
+def test_shuffle_assign_matches_sql_row_number():
+    import duckdb
+    from migration_pair_ray.functions.sketch import md5_hash64
+    from migration_pair_ray.stages.sampling import shuffle_assign
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    got = (shuffle_assign(ds, "doc_id", 8, hash64=md5_hash64)
+           .sort("doc_id").to_pandas())
+    want = duckdb.sql(f"""
+        WITH h AS (SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT hh
+                   FROM read_parquet('{SF}/documents.parquet')),
+        r AS (SELECT doc_id, row_number() OVER (ORDER BY hh) - 1 rnk FROM h)
+        SELECT doc_id, rnk % 8 shard, rnk // 8 pos FROM r
+        ORDER BY doc_id""").df()
+    assert got["shard"].tolist() == want["shard"].tolist()
+    assert got["pos"].tolist() == want["pos"].tolist()
+
+
+def test_shuffle_assign_shards_balanced_and_complete():
+    from migration_pair_ray.stages.sampling import shuffle_assign
+    ds = ray.data.from_arrow(pa.table({"k": list(range(100))}))
+    out = shuffle_assign(ds, "k", 4).to_pandas()
+    # every rank 0..99 dealt exactly once; shards balanced to ±0
+    assert sorted(out["shard"] + 4 * out["pos"]) == list(range(100))
+    assert out["shard"].value_counts().tolist() == [25, 25, 25, 25]
