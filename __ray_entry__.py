@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC core (SURVEY.md §2.1/2.3/2.5/2.7: S1/S2/S5, ST1/ST4, A4/A5)
         "cdc_lww_merge": q.cdc_lww_merge,
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
+        "cdc_changefeed": q.cdc_changefeed,
         "cdc_tombstone_keys": q.cdc_tombstone_keys,
         "cdc_changelog_stats": q.cdc_changelog_stats,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
@@ -290,6 +291,37 @@ def oracle_sql() -> dict[str, str]:
         "cdc_two_phase_replay": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # net effect of advancing from the files-0/1 checkpoint state to
+        # the full-log state; cut = 2*ceil(n/4) is the lsn range files
+        # 0-1 own (the engine links exactly those files into log_feed)
+        "cdc_changefeed": lww_winners + """
+            , cut AS (SELECT 2 * CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS c
+                      FROM events),
+            wf AS (SELECT conv_id, turn_idx, role, text, tool, ts
+                   FROM w WHERE rn = 1 AND op <> 'D'),
+            wp AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+                     SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY ts DESC, lsn DESC) rn2
+                     FROM ch, cut WHERE lsn < cut.c)
+                   WHERE rn2 = 1 AND op <> 'D'),
+            j AS (SELECT COALESCE(a.conv_id, b.conv_id) AS conv_id,
+                         COALESCE(a.turn_idx, b.turn_idx) AS turn_idx,
+                         a.conv_id IS NULL AS ins,
+                         b.conv_id IS NULL AS del,
+                         a.text AS before_text, b.text AS after_text,
+                         (a.text IS DISTINCT FROM b.text)
+                         OR (a.role IS DISTINCT FROM b.role)
+                         OR (a.tool IS DISTINCT FROM b.tool)
+                         OR (a.ts IS DISTINCT FROM b.ts) AS differ
+                  FROM wp a FULL OUTER JOIN wf b
+                    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx)
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                   CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                        ELSE 'update' END AS change,
+                   before_text, after_text
+            FROM j WHERE ins OR del OR differ
             ORDER BY conv_id, turn_idx""",
         "cdc_tombstone_keys": lww_winners + """
             SELECT conv_id, turn_idx

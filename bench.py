@@ -32,6 +32,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 QUERY_NAMES = [
     "conv_transcripts",
+    "cdc_changefeed",
     "agg_pricing_summary",
     "join_orders_customer_segment",
     "join_lineitem_part_type",

@@ -1592,3 +1592,92 @@ def doc_tfidf_top(sf_dir: str):
                          columns=["doc_id", "text"])
     n_docs = ds.count()
     return tfidf_top_term(ds, n_docs).sort("doc_id")
+
+
+def cdc_changefeed(sf_dir: str):
+    """Changefeed emission — the downstream-consumer surface of a CDC
+    engine: the NET per-key effect (insert / update / delete with
+    before/after text) of advancing the lake from a checkpoint state
+    (files 0-1 of the derived log) to the current state (the full log).
+    Both states come from REAL replay passes; the diff is a distributed
+    full-outer hash join on the merge key with explicit presence markers
+    (value columns can be legitimately null, so nullity of the payload
+    can't signal absence) and a vectorized null-safe any-column-changed
+    mask.  Keys whose winner is unchanged emit nothing."""
+    from migration_pair_ray.stages.join import hash_join
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    log_pre, lake_pre = str(root / "log_feed"), str(root / "lake_feed")
+    marker = root / "_feed_done"
+    if not marker.exists():
+        shutil.rmtree(log_pre, ignore_errors=True)
+        shutil.rmtree(lake_pre, ignore_errors=True)
+        os.makedirs(log_pre)
+        files = sorted(Path(src.changelog_dir).glob("batch-*.parquet"))
+        for f in files[:2]:
+            os.link(f, Path(log_pre) / f.name)
+        marker.touch()
+    pre_cfg = JobConfig(changelog_dir=log_pre, lake_dir=lake_pre,
+                        num_partitions=16)
+    replay(pre_cfg)   # idempotent no-op when up to date
+
+    def mark(t: pa.Table, prefix: str) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            f"{prefix}_role": t.column("role"),
+            f"{prefix}_text": t.column("text"),
+            f"{prefix}_tool": t.column("tool"),
+            f"{prefix}_ts": t.column("ts"),
+            f"__{prefix}": pa.array(np.ones(t.num_rows, np.int8))})
+
+    a = final_state(pre_cfg, sort=False).map_batches(
+        lambda t: mark(t, "before"), batch_format="pyarrow")
+    b = final_state(src, sort=False).map_batches(
+        lambda t: mark(t, "after"), batch_format="pyarrow")
+    j = hash_join(a, b, on=["conv_id", "turn_idx"], how="outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        in_a = pc.is_valid(t.column("__before"))
+        in_b = pc.is_valid(t.column("__after"))
+
+        def same(col: str):
+            x, y = t.column(f"before_{col}"), t.column(f"after_{col}")
+            eq = pc.fill_null(pc.equal(x, y), False)
+            both_null = pc.and_(pc.is_null(x), pc.is_null(y))
+            return pc.or_(eq, both_null)
+
+        unchanged = same("role")
+        for c in ("text", "tool", "ts"):
+            unchanged = pc.and_(unchanged, same(c))
+        ins = pc.and_(pc.invert(in_a.combine_chunks()
+                                if isinstance(in_a, pa.ChunkedArray)
+                                else in_a), in_b)
+        dele = pc.and_(in_a, pc.invert(in_b.combine_chunks()
+                                       if isinstance(in_b, pa.ChunkedArray)
+                                       else in_b))
+        emit = pc.or_(pc.or_(ins, dele),
+                      pc.and_(pc.and_(in_a, in_b), pc.invert(
+                          unchanged.combine_chunks()
+                          if isinstance(unchanged, pa.ChunkedArray)
+                          else unchanged)))
+        t = t.filter(emit)
+        ins_np = pc.and_(pc.invert(pc.is_valid(t.column("__before")).
+                                   combine_chunks()),
+                         pc.is_valid(t.column("__after"))
+                         ).to_numpy(zero_copy_only=False)
+        del_np = pc.and_(pc.is_valid(t.column("__before")),
+                         pc.invert(pc.is_valid(t.column("__after")).
+                                   combine_chunks())
+                         ).to_numpy(zero_copy_only=False)
+        change = np.where(ins_np, "insert",
+                          np.where(del_np, "delete", "update"))
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "change": pa.array(change.tolist(), pa.string()),
+            "before_text": t.column("before_text"),
+            "after_text": t.column("after_text")})
+
+    return (j.map_batches(classify, batch_format="pyarrow")
+            .sort(["conv_id", "turn_idx"]))

