@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_left": q.join_orders_customer_left,
         "join_customer_orders_semi": q.join_customer_orders_semi,
         "join_customer_orders_anti": q.join_customer_orders_anti,
+        "join_urgent_lineitems": q.join_urgent_lineitems,
         "join_events_orders_asof": q.join_events_orders_asof,
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # analytic / window-function family (stages/analytic.py)
@@ -444,6 +445,14 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 400000.0)
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        # bloom-prefiltered selective join; result is the plain SQL join
+        "join_urgent_lineitems": """
+            SELECT l_returnflag, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
         "join_customer_orders_anti": """
             SELECT c_mktsegment, COUNT(*) AS n_customers,
                    CAST(MIN(c_custkey) AS BIGINT) AS min_custkey

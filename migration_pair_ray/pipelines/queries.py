@@ -1681,3 +1681,42 @@ def cdc_changefeed(sf_dir: str):
 
     return (j.map_batches(classify, batch_format="pyarrow")
             .sort(["conv_id", "turn_idx"]))
+
+
+def join_urgent_lineitems(sf_dir: str):
+    """Selective join with a bloom-prefiltered exchange
+    (stages/join.hash_join bloom_from='left'): only ~20% of orders are
+    1-URGENT, so the build side's bloom drops ~80% of lineitem rows
+    BEFORE their shuffle — the classic probe-side exchange cut.  Result:
+    per-returnflag lineitem count + floor-scaled revenue of urgent
+    orders' items."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.join import hash_join
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderpriority"])
+              .map_batches(lambda t: t.filter(
+                  pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+                  .select(["o_orderkey"]), batch_format="pyarrow")
+              .map_batches(lambda t: t.rename_columns(["l_orderkey"]),
+                           batch_format="pyarrow"))
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag",
+                                     "l_extendedprice"])
+    j = hash_join(orders, items, on="l_orderkey", how="inner",
+                  bloom_from="left")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        t = pa.table({"l_returnflag": t.column("l_returnflag"),
+                      "cents": pa.array(cents)})
+        g = (t.group_by("l_returnflag")
+             .aggregate([("cents", "count"), ("cents", "sum")]))
+        return g.rename_columns(["l_returnflag", "n_items", "rev_cents"])
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("rev_cents", alias_name="rev_cents"))
+            .sort("l_returnflag"))

@@ -33,10 +33,10 @@ _BUCKET_COL = "__bucket"
 right_suffix_default = "_r"
 
 
-def _add_bucket(batch: pa.Table, on: list[str], num_buckets: int, side: int) -> pa.Table:
-    if batch.num_rows == 0:
-        return (batch.append_column(_BUCKET_COL, pa.array([], pa.int64()))
-                     .append_column(_SIDE_COL, pa.array([], pa.int8())))
+def _key_hash64(batch: pa.Table, on: list[str]) -> np.ndarray:
+    """Deterministic 64-bit combined hash of the key columns (the bucket
+    hash of hash_join and the membership hash of the bloom prefilter —
+    the two MUST agree so the bloom can be built from the same batches)."""
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     for col in on:
         c = batch.column(col)
@@ -46,14 +46,91 @@ def _add_bucket(batch: pa.Table, on: list[str], num_buckets: int, side: int) -> 
                 h = h * np.uint64(0x9E3779B97F4A7C15) + vals
         else:
             h = h ^ stable_hash64(c.to_pylist())
+    return h
+
+
+def _add_bucket(batch: pa.Table, on: list[str], num_buckets: int, side: int) -> pa.Table:
+    if batch.num_rows == 0:
+        return (batch.append_column(_BUCKET_COL, pa.array([], pa.int64()))
+                     .append_column(_SIDE_COL, pa.array([], pa.int8())))
+    h = _key_hash64(batch, on)
     bucket = (h % np.uint64(num_buckets)).astype(np.int64)
     return (batch.append_column(_BUCKET_COL, pa.array(bucket))
                  .append_column(_SIDE_COL, pa.array(np.full(batch.num_rows, side, np.int8))))
 
 
+def _bloom_positions(h: np.ndarray, n_bits: int, k: int) -> list[np.ndarray]:
+    """Kirsch-Mitzenmacher double hashing: position_i = (h1 + i*h2) mod m."""
+    with np.errstate(over="ignore"):
+        h2 = h * np.uint64(0xFF51AFD7ED558CCD) + np.uint64(0x2545F4914F6CDD1D)
+        return [((h + np.uint64(i) * h2) % np.uint64(n_bits))
+                for i in range(k)]
+
+
+def build_key_bloom(ds: "ray.data.Dataset", on: list[str] | str,
+                    n_bits: int = 1 << 23, n_hashes: int = 4
+                    ) -> "ray.ObjectRef":
+    """Distributed bloom-filter build over a Dataset's key columns:
+    per-block partial bitmaps (fixed ``n_bits/8`` bytes each, one row per
+    block through the exchange) OR-merged on the driver and broadcast
+    once via ``ray.put``.  Default 2^23 bits = 1 MiB ≈ 1% false positives
+    at ~10^6 distinct keys; size up for bigger build sides (the merge
+    cost is blocks × bitmap bytes — tree-merge via a groupby if block
+    counts ever make the driver OR a bottleneck)."""
+    if isinstance(on, str):
+        on = [on]
+    words = n_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(words, np.uint64)
+        if t.num_rows:
+            h = _key_hash64(t, on)
+            for pos in _bloom_positions(h, n_bits, n_hashes):
+                np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    merged = np.zeros(words, np.uint64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged |= np.frombuffer(r["bm"], np.uint64)
+    return ray.put({"bm": merged, "n_bits": n_bits, "k": n_hashes})
+
+
+def bloom_filter_keys(ds: "ray.data.Dataset", on: list[str] | str,
+                      bloom_ref: "ray.ObjectRef") -> "ray.data.Dataset":
+    """Drop rows whose key definitely isn't in the bloom (no false
+    negatives: every surviving row is re-checked by the real join).  Pure
+    per-block filter — runs BEFORE the join shuffle, so a selective build
+    side cuts the big side's exchange volume by the match rate."""
+    if isinstance(on, str):
+        on = [on]
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        b = ray.get(bloom_ref)
+        bm, n_bits, k = b["bm"], b["n_bits"], b["k"]
+        h = _key_hash64(t, on)
+        mask = np.ones(t.num_rows, bool)
+        for pos in _bloom_positions(h, n_bits, k):
+            mask &= (bm[(pos >> np.uint64(6)).astype(np.int64)]
+                     >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# (bloom_from, side that gets filtered) combinations that preserve join
+# semantics: the filtered side's dropped rows must be provably irrelevant
+_BLOOM_SAFE = {"left": {"inner", "left", "semi", "anti"},
+               "right": {"inner", "right", "semi"}}
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               on: list[str] | str, how: str = "inner",
-              num_buckets: int | None = None) -> "ray.data.Dataset":
+              num_buckets: int | None = None,
+              bloom_from: str | None = None,
+              bloom_bits: int = 1 << 23) -> "ray.data.Dataset":
     """Partitioned hash join of two large Datasets on equality of ``on``.
 
     Both sides shuffle once (bucketed by key hash); each bucket joins
@@ -63,9 +140,27 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     ``num_buckets`` defaults to 2× the cluster's CPU count (min 32) so
     join parallelism scales with cluster size instead of being pinned to
     a constant.
+
+    ``bloom_from='left'|'right'`` builds a bloom filter from that side's
+    keys and prefilters the OTHER side before its shuffle — the classic
+    selective-join exchange cut (build side small/selective, probe side
+    huge).  Only allowed where dropping provably-unmatched probe rows
+    can't change the result (e.g. never the outer-preserved side);
+    invalid combinations raise.  False positives only cost shuffle bytes.
     """
     if isinstance(on, str):
         on = [on]
+    if bloom_from is not None:
+        if how not in _BLOOM_SAFE.get(bloom_from, set()):
+            raise ValueError(
+                f"bloom_from={bloom_from!r} would change how={how!r} "
+                f"semantics (the filtered side is result-preserved)")
+        if bloom_from == "left":
+            right = bloom_filter_keys(
+                right, on, build_key_bloom(left, on, n_bits=bloom_bits))
+        else:
+            left = bloom_filter_keys(
+                left, on, build_key_bloom(right, on, n_bits=bloom_bits))
     if num_buckets is None:
         try:
             num_buckets = max(32, int(ray.cluster_resources().get("CPU", 16)) * 2)

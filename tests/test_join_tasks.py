@@ -244,3 +244,52 @@ def test_asof_join_matches_duckdb_asof():
     """).fetchone()
     assert len(out) == want[0]
     assert int(round(out["price"].sum())) == want[1]
+
+
+def test_bloom_prefilter_join_equivalence():
+    """Bloom-prefiltered join == plain join (no false negatives), and the
+    prefilter actually drops non-matching probe rows before the shuffle."""
+    from migration_pair_ray.stages.join import (bloom_filter_keys,
+                                                build_key_bloom, hash_join)
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 2, 3], "lv": ["a", "b", "c"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": list(range(1000)), "rv": list(range(1000))}))
+    plain = hash_join(left, right, on="k", how="inner").to_pandas()
+    bloomed = hash_join(left, right, on="k", how="inner",
+                        bloom_from="left").to_pandas()
+    key = ["k", "lv", "rv"]
+    assert (plain.sort_values(key).reset_index(drop=True)[key]
+            .equals(bloomed.sort_values(key).reset_index(drop=True)[key]))
+    # the standalone prefilter keeps ~ the 3 matches (false-positive
+    # tolerance: well under the unfiltered 1000)
+    ref = build_key_bloom(left, ["k"])
+    survived = bloom_filter_keys(right, ["k"], ref).count()
+    assert 3 <= survived < 50
+
+
+def test_bloom_prefilter_rejects_semantics_breaking_combos():
+    from migration_pair_ray.stages.join import hash_join
+    left = ray.data.from_arrow(pa.table({"k": [1], "lv": ["a"]}))
+    right = ray.data.from_arrow(pa.table({"k": [1], "rv": ["b"]}))
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", how="outer", bloom_from="left")
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", how="anti", bloom_from="right")
+    # left join keeps every left row: filtering RIGHT by left-bloom is
+    # fine, filtering LEFT by right-bloom is not
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", how="left", bloom_from="right")
+
+
+def test_bloom_prefilter_semi_and_anti_safe_sides():
+    import duckdb
+    from migration_pair_ray.stages.join import hash_join
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 5, 9]}))
+    right = ray.data.from_arrow(pa.table({"k": [2, 9, 11]}))
+    semi = (hash_join(left, right, on="k", how="semi", bloom_from="right")
+            .to_pandas().sort_values("k")["k"].tolist())
+    assert semi == [2, 9]
+    anti = (hash_join(left, right, on="k", how="anti", bloom_from="left")
+            .to_pandas().sort_values("k")["k"].tolist())
+    assert anti == [1, 5]
