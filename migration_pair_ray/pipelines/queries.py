@@ -138,6 +138,23 @@ def _events_lake(sf_dir: str) -> JobConfig:
     return cfg
 
 
+def _push_heavy(fn):
+    """Decorator: build the query's Dataset graph under the push-based
+    sort-shuffle context (replay._push_shuffle).  Applied ONLY to queries
+    whose exchange moves full-table payloads (large-large joins, the
+    changefeed outer join, transcript assembly) — push-based is measured
+    ~25% faster there but SLOWER for the tiny partial-aggregate exchanges
+    most other queries ship (see replay.py for the measurement)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        from migration_pair_ray.pipelines.replay import _push_shuffle
+        with _push_shuffle():
+            return fn(*a, **k)
+    return wrapped
+
+
 def cdc_lww_merge(sf_dir: str):
     """Flagship: LWW-merged final state of the derived change log."""
     cfg = _events_lake(sf_dir)
@@ -186,6 +203,7 @@ def cdc_tombstone_keys(sf_dir: str):
     return ds.sort(["conv_id", "turn_idx"])
 
 
+@_push_heavy
 def conv_transcripts(sf_dir: str):
     """Transcript assembly: the LWW-merged final state rolled up to ONE
     row per conversation — every surviving turn rendered as ``role: text``
@@ -451,6 +469,7 @@ def events_session_windows(sf_dir: str):
     return session_windows(ds, "user_id", "ts", gap_s=1800)
 
 
+@_push_heavy
 def join_orders_customer_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (stages/join.py): every customer
     row survives, order revenue null-filled to 0 — covers the non-inner
@@ -501,6 +520,7 @@ def _orders_keyed_price(sf_dir: str, min_price: float) -> "rd.Dataset":
         batch_format="pyarrow")
 
 
+@_push_heavy
 def join_customer_orders_semi(sf_dir: str):
     """SEMI hash join (stages/join.py ``how="semi"``): customers with at
     least one order above 400k — the EXISTS shape.  Same one-shuffle
@@ -525,6 +545,7 @@ def join_customer_orders_semi(sf_dir: str):
             .sort("c_mktsegment"))
 
 
+@_push_heavy
 def join_customer_orders_anti(sf_dir: str):
     """ANTI hash join (stages/join.py ``how="anti"``): customers with NO
     order above 400k — the NOT-EXISTS shape, the standard retention /
@@ -547,6 +568,7 @@ def join_customer_orders_anti(sf_dir: str):
             .sort("c_mktsegment"))
 
 
+@_push_heavy
 def join_events_orders_asof(sf_dir: str, tolerance_s: int = 725_000_000):
     """Point-in-time (as-of) join: each event picks the LATEST prior order
     of the same user (backward-inclusive, bounded staleness) — the custom
@@ -917,6 +939,7 @@ def media_frame_stats(sf_dir: str):
     return out.sort(["media_id", "frame_idx"])
 
 
+@_push_heavy
 def join_orders_lineitem_priority(sf_dir: str):
     """Large-large partitioned hash join (stages/join.py): orders x
     lineitem on orderkey, revenue by order priority — both sides shuffle
@@ -1594,6 +1617,7 @@ def doc_tfidf_top(sf_dir: str):
     return tfidf_top_term(ds, n_docs).sort("doc_id")
 
 
+@_push_heavy
 def cdc_changefeed(sf_dir: str):
     """Changefeed emission — the downstream-consumer surface of a CDC
     engine: the NET per-key effect (insert / update / delete with
@@ -1683,6 +1707,7 @@ def cdc_changefeed(sf_dir: str):
             .sort(["conv_id", "turn_idx"]))
 
 
+@_push_heavy
 def join_urgent_lineitems(sf_dir: str):
     """Selective join with a bloom-prefiltered exchange
     (stages/join.hash_join bloom_from='left'): only ~20% of orders are
