@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_orders_semi": q.join_customer_orders_semi,
         "join_customer_orders_anti": q.join_customer_orders_anti,
         "join_urgent_lineitems": q.join_urgent_lineitems,
+        "join_events_orders_salted": q.join_events_orders_salted,
         "join_events_orders_asof": q.join_events_orders_asof,
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # analytic / window-function family (stages/analytic.py)
@@ -453,6 +454,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY l_returnflag ORDER BY l_returnflag""",
+        # salted-join result == the plain SQL join (salting is pure layout)
+        "join_events_orders_salted": """
+            SELECT event_type, COUNT(*) AS n_pairs,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS price_cents
+            FROM events JOIN orders ON user_id = o_custkey
+            GROUP BY event_type ORDER BY event_type""",
         "join_customer_orders_anti": """
             SELECT c_mktsegment, COUNT(*) AS n_customers,
                    CAST(MIN(c_custkey) AS BIGINT) AS min_custkey

@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "join_customer_orders_semi",
     "join_customer_orders_anti",
     "join_urgent_lineitems",
+    "join_events_orders_salted",
     "join_events_orders_asof",
     "topk_orders_by_price",
     "topn_orders_per_customer",

@@ -1745,3 +1745,36 @@ def join_urgent_lineitems(sf_dir: str):
             .aggregate(Sum("n_items", alias_name="n_items"),
                        Sum("rev_cents", alias_name="rev_cents"))
             .sort("l_returnflag"))
+
+
+@_push_heavy
+def join_events_orders_salted(sf_dir: str):
+    """Skew-defeating salted join (stages/join.salted_hash_join): events
+    join each user's orders; hot users (auto-detected above 3% of event
+    rows) are sprayed across 8 salt sub-keys so no join bucket owns a hot
+    user, the build side replicating only those users' rows.  Result:
+    per-event-type pair count + floor-scaled matched order value."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.join import salted_hash_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+              .map_batches(lambda t: pa.table({
+                  "user_id": t.column("o_custkey"),
+                  "cents": pa.array(np.floor(
+                      t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64))}), batch_format="pyarrow"))
+    j = salted_hash_join(ev, orders, on="user_id", how="inner",
+                         salt=8, hot_frac=0.03)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["event_type", "cents"]).group_by("event_type")
+             .aggregate([("cents", "count"), ("cents", "sum")]))
+        return g.rename_columns(["event_type", "n_pairs", "price_cents"])
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                       Sum("price_cents", alias_name="price_cents"))
+            .sort("event_type"))

@@ -360,3 +360,101 @@ def broadcast_join(big: "ray.data.Dataset", small: pa.Table,
         return g.join(ray.get(ref), keys=on, join_type=arrow_how)
 
     return big.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _hot_join_keys(ds: "ray.data.Dataset", col: str,
+                   hot_frac: float) -> list:
+    """Keys holding more than ``hot_frac`` of the dataset's rows.
+    Per-block count partials → one small groupby; the threshold filter
+    runs distributed, so the driver receives at most ~1/hot_frac keys,
+    never the distinct-key histogram (same stance as
+    stages/partition.detect_hot_keys)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by(col).aggregate([(col, "count")])
+        return g.rename_columns([col, "cnt"])
+
+    h = (ds.map_batches(hist, batch_format="pyarrow")
+         .groupby(col).aggregate(Sum("cnt", alias_name="cnt"))).materialize()
+    total = int(h.sum("cnt") or 0)
+    if not total:
+        return []
+    hot = h.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.divide(pc.cast(t.column("cnt"), pa.float64()), float(total)),
+            hot_frac)), batch_format="pyarrow")
+    vals = []
+    for b in hot.iter_batches(batch_format="pyarrow", batch_size=None):
+        vals.extend(b.column(col).to_pylist())
+    return vals
+
+
+_SALT_SAFE = {"inner", "left", "semi", "anti"}
+
+
+def salted_hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                     on: str, how: str = "inner", salt: int = 16,
+                     hot_keys: list | None = None, hot_frac: float = 0.01,
+                     num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Skew-defeating hash join on a single key column: the LEFT (probe)
+    side's HOT keys are sprayed across ``salt`` sub-keys so no one join
+    bucket owns a whole hot key's rows; the RIGHT (build) side replicates
+    only its hot-key rows ``salt``× to cover every sub-key.  Cold keys pay
+    nothing (salt 0 both sides).  This is the join-side twin of the
+    replay's salted ``partition_mode="key"`` layout — the engine's answer
+    to the north-star's "explicit salting of hot conversations".
+
+    ``hot_keys=None`` auto-detects keys above ``hot_frac`` of left rows
+    (one tiny aggregate; the raw table never funnels to the driver).
+    Only ``inner/left/semi/anti`` are allowed: replicated right rows that
+    match nothing would surface as duplicate null-left rows in right/full
+    outer results.
+    """
+    import pyarrow.compute as pc
+    if how not in _SALT_SAFE:
+        raise ValueError(f"salted_hash_join cannot preserve how={how!r} "
+                         f"(replicated build rows would duplicate "
+                         f"outer-preserved output)")
+    if hot_keys is None:
+        hot_keys = _hot_join_keys(left, on, hot_frac)
+    if not hot_keys:
+        return hash_join(left, right, on=on, how=how,
+                         num_buckets=num_buckets)
+    key_type = None
+    for name, t in zip(left.schema().names, left.schema().types):
+        if name == on:
+            key_type = t if isinstance(t, pa.DataType) else None
+    hot_arr = pa.array(hot_keys, key_type)
+    hot_ref = ray.put(hot_arr)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__salt", pa.array([], pa.int32()))
+        hot = pc.fill_null(pc.is_in(t.column(on), value_set=ray.get(hot_ref)),
+                           False).to_numpy(zero_copy_only=False)
+        s = np.where(hot,
+                     np.arange(t.num_rows, dtype=np.int64) % salt,
+                     0).astype(np.int32)
+        return t.append_column("__salt", pa.array(s))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__salt", pa.array([], pa.int32()))
+        hot = pc.fill_null(pc.is_in(t.column(on), value_set=ray.get(hot_ref)),
+                           False).to_numpy(zero_copy_only=False)
+        reps = np.where(hot, salt, 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        seg = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        s = (np.arange(len(idx), dtype=np.int64)
+             - np.repeat(seg, reps)).astype(np.int32)
+        return (t.take(pa.array(idx))
+                .append_column("__salt", pa.array(s)))
+
+    lt = left.map_batches(salt_left, batch_format="pyarrow")
+    rt = right.map_batches(replicate_right, batch_format="pyarrow")
+    out = hash_join(lt, rt, on=[on, "__salt"], how=how,
+                    num_buckets=num_buckets)
+    return out.map_batches(lambda t: t.drop_columns(["__salt"]),
+                           batch_format="pyarrow")

@@ -293,3 +293,55 @@ def test_bloom_prefilter_semi_and_anti_safe_sides():
     anti = (hash_join(left, right, on="k", how="anti", bloom_from="left")
             .to_pandas().sort_values("k")["k"].tolist())
     assert anti == [1, 5]
+
+
+def test_salted_join_equivalence_under_skew():
+    """90%-of-rows-one-key skew: salted join == plain join == DuckDB."""
+    import numpy as np
+    from migration_pair_ray.stages.join import hash_join, salted_hash_join
+    rng = np.random.default_rng(7)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.9, 1, rng.integers(2, 50, n))
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(np.arange(n, dtype=np.int64))}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(50, dtype=np.int64)),
+        "name": pa.array([f"n{i}" for i in range(50)])}))
+    plain = (hash_join(left, right, on="k", how="inner")
+             .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    salted = (salted_hash_join(left, right, on="k", how="inner",
+                               salt=8, hot_frac=0.05)
+              .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    assert plain[["k", "v", "name"]].equals(salted[["k", "v", "name"]])
+    assert len(plain) == n     # every left row matched exactly once
+
+
+def test_salted_join_left_and_semi_and_guards():
+    from migration_pair_ray.stages.join import salted_hash_join
+    left = ray.data.from_arrow(pa.table({
+        "k": [1] * 100 + [2, 3], "v": list(range(102))}))
+    right = ray.data.from_arrow(pa.table({"k": [1, 2], "name": ["a", "b"]}))
+    lj = (salted_hash_join(left, right, on="k", how="left", salt=4,
+                           hot_keys=[1]).to_pandas())
+    assert len(lj) == 102
+    assert lj[lj["k"] == 3]["name"].isna().all()
+    semi = (salted_hash_join(left, right, on="k", how="semi", salt=4,
+                             hot_keys=[1]).to_pandas())
+    assert len(semi) == 101          # key 3 has no match; no dup from salt
+    anti = (salted_hash_join(left, right, on="k", how="anti", salt=4,
+                             hot_keys=[1]).to_pandas())
+    assert anti["k"].tolist() == [3]
+    with pytest.raises(ValueError):
+        salted_hash_join(left, right, on="k", how="outer", hot_keys=[1])
+
+
+def test_salted_join_empty_hot_set_falls_back():
+    from migration_pair_ray.stages.join import salted_hash_join
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "v": [9, 8, 7]}))
+    right = ray.data.from_arrow(pa.table({"k": [2, 3], "name": ["b", "c"]}))
+    # uniform keys: auto-detect finds nothing hot; falls back to the
+    # plain (unsalted) join and still returns the right matches
+    out = (salted_hash_join(left, right, on="k", hot_frac=0.5)
+           .to_pandas().sort_values("k"))
+    assert out["k"].tolist() == [2, 3]
