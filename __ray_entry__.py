@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
         "embed_label_centroids": q.embed_label_centroids,
         "embed_knn_ivf": q.embed_knn_ivf,
+        "embed_knn_ivf_incremental": q.embed_knn_ivf_incremental,
         "embed_near_dedup": q.embed_near_dedup,
         "media_byte_stats": q.media_byte_stats_q,
         "media_frame_stats": q.media_frame_stats,
@@ -963,6 +964,20 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive probe (n_probe = n_clusters) reads every IVF bucket,
         # so the persisted-index path must equal the brute-force top-k
         "embed_knn_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 2),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cos
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, vec_id) rn
+              FROM scored)
+            SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 10
+            ORDER BY query_id, cos DESC, vec_id""",
+        # grown-index exhaustive probe == the same brute-force top-k
+        "embed_knn_ivf_incremental": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 2),
             scored AS (

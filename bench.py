@@ -82,6 +82,7 @@ QUERY_NAMES = [
     "embed_label_centroids",
     "embed_near_dedup",
     "embed_knn_ivf",
+    "embed_knn_ivf_incremental",
 ]
 
 

@@ -1778,3 +1778,37 @@ def join_events_orders_salted(sf_dir: str):
             .aggregate(Sum("n_pairs", alias_name="n_pairs"),
                        Sum("price_cents", alias_name="price_cents"))
             .sort("event_type"))
+
+
+def embed_knn_ivf_incremental(sf_dir: str):
+    """Index MAINTENANCE under the hard oracle: the IVF layout is built
+    from only the even vec_ids, the odd half arrives later via
+    stages/similarity.ivf_append (saved-centroid assignment, atomic
+    append segments) — and the exhaustive probe over the grown index must
+    still EQUAL the brute-force top-k over the whole corpus.  The CDC
+    story applied to ANN: the index absorbs new data without a rebuild
+    and without approximation drift at full probe width."""
+    from migration_pair_ray.stages.similarity import (ivf_append, ivf_build,
+                                                      ivf_probe)
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    queries = np.array(q.column("embedding").to_pylist(), dtype=np.float32)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(Path("/tmp/mpr_queries")
+                    / f"ivfinc-{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}")
+    if not Path(index_dir, "_appended").exists():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+        def half(t: pa.Table, even: bool) -> pa.Table:
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 2 == 0) == even))
+
+        ivf_build(ds.map_batches(lambda t: half(t, True),
+                                 batch_format="pyarrow"),
+                  index_dir, n_clusters=16)
+        ivf_append(ds.map_batches(lambda t: half(t, False),
+                                  batch_format="pyarrow"),
+                   index_dir, tag="odd-half")
+        Path(index_dir, "_appended").touch()
+    return ivf_probe(index_dir, queries, k=10, n_probe=16, round_to=4)

@@ -321,3 +321,50 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
                           batch_format="pyarrow"))
     clusters = connected_components(pairs)
     return drop_cluster_losers(ds, clusters, id_col=id_col)
+
+
+def ivf_append(ds: "ray.data.Dataset", index_dir: str, tag: str,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> int:
+    """Incrementally add vectors to a persisted IVF layout — index
+    maintenance for a CDC world where the corpus grows after the build.
+    New rows are assigned with the SAVED centroids (no re-cluster; recall
+    degrades only as the distribution drifts — rebuild when it does) and
+    written as append segments inside each bucket directory.
+
+    Durability mirrors the lake's manifest discipline: every segment file
+    lands via write-temp + atomic ``os.replace`` under a caller-supplied
+    idempotence ``tag`` — a crashed append leaves only ``*.tmp.*`` files
+    (invisible to ``ivf_probe``'s ``*.parquet`` glob) and re-running the
+    same (tag, data) replaces byte-identical files instead of duplicating
+    rows.  Returns the number of vectors appended."""
+    import os
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _l2_normalize(_batch_matrix(batch, vec_col))
+        b = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        b = int(g.column("bucket")[0].as_py())
+        g = g.drop_columns(["bucket"]).sort_by([(id_col, "ascending")])
+        d = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"append-{tag}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        import pyarrow.parquet as pq
+        pq.write_table(g, tmp)
+        os.replace(tmp, path)
+        return pa.table({"bucket": pa.array([b], pa.int32()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    written = (ds.map_batches(assign, batch_format="pyarrow")
+               .groupby("bucket").map_groups(write_bucket,
+                                             batch_format="pyarrow")
+               .take_all())
+    return int(sum(r["rows"] for r in written))

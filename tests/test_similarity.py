@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -146,3 +147,44 @@ def _embedding_table(m):
         "embedding": pa.FixedSizeListArray.from_arrays(
             pa.array(m.reshape(-1)), m.shape[1]),
     })
+
+
+def test_ivf_append_probe_equals_full_rebuild(tmp_path):
+    """Build on half the corpus, append the other half: an exhaustive
+    probe over the appended index == brute force over the FULL corpus,
+    a re-run of the same append is a no-op (idempotent tag), and a
+    crashed append's temp files are invisible to the probe."""
+    import numpy as np
+    import os
+    from migration_pair_ray.stages.similarity import (
+        brute_force_topk, ivf_append, ivf_build, ivf_probe)
+    rng = np.random.default_rng(3)
+    n, dim = 400, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32()))})
+    half_a, half_b = t.slice(0, 200), t.slice(200)
+    idx = str(tmp_path / "ivf")
+    ivf_build(ray.data.from_arrow(half_a), idx, n_clusters=8)
+    added = ivf_append(ray.data.from_arrow(half_b), idx, tag="seg1")
+    assert added == 200
+    q = rng.standard_normal((3, dim)).astype(np.float32)
+    got = ivf_probe(idx, q, k=5, n_probe=8).to_pandas()
+    want = brute_force_topk(ray.data.from_arrow(t), q, k=5).to_pandas()
+    key = ["query_id", "cos", "vec_id"]
+    assert (got.sort_values(key).reset_index(drop=True)[key]
+            .equals(want.sort_values(key).reset_index(drop=True)[key]))
+    # idempotent re-append: same tag rewrites the same files, no dup rows
+    n_files_before = sum(len(files) for _, _, files in os.walk(idx))
+    assert ivf_append(ray.data.from_arrow(half_b), idx, tag="seg1") == 200
+    assert sum(len(files) for _, _, files in os.walk(idx)) == n_files_before
+    got2 = ivf_probe(idx, q, k=5, n_probe=8).to_pandas()
+    assert got2["vec_id"].tolist() == got["vec_id"].tolist()
+    # crashed append: a stray tmp file is invisible to the probe
+    bdir = next(d for d in os.listdir(idx) if d.startswith("bucket="))
+    stray = os.path.join(idx, bdir, "append-crash.parquet.tmp.999")
+    with open(stray, "wb") as f:
+        f.write(b"garbage")
+    got3 = ivf_probe(idx, q, k=5, n_probe=8).to_pandas()
+    assert got3["vec_id"].tolist() == got["vec_id"].tolist()
