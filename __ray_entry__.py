@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
         "events_approx_distinct": q.events_approx_distinct,
+        "events_type_approx_users": q.events_type_approx_users,
+        "events_heavy_users": q.events_heavy_users,
         "events_sample_hash": q.events_sample_hash,
         "doc_shuffle_shards": q.doc_shuffle_shards,
         "events_stratified_sample": q.events_stratified_sample,
@@ -701,6 +703,46 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE raw END) AS BIGINT) AS approx_distinct,
                    (SELECT COUNT(event_id) FROM events) AS n_rows
             FROM est""",
+        # grouped portable HLL: identical register/floor arithmetic per group
+        "events_type_approx_users": """
+            WITH v AS (SELECT DISTINCT event_type,
+                              CAST(user_id AS VARCHAR) AS s
+                       FROM events WHERE user_id IS NOT NULL),
+            h AS (SELECT event_type,
+                         ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h
+                  FROM v),
+            r AS (SELECT event_type, h >> 54 AS idx,
+                         h % (1::UBIGINT << 54) AS rest FROM h),
+            rho AS (SELECT event_type, idx,
+                           CASE WHEN rest = 0 THEN 55
+                                ELSE 55 - length(bin(rest)) END AS rho
+                    FROM r),
+            reg AS (SELECT event_type, idx, MAX(rho) AS reg FROM rho
+                    GROUP BY 1, 2),
+            agg AS (SELECT event_type,
+                           SUM(1::HUGEINT << (64 - reg)) AS nzsum,
+                           COUNT(*) AS nz FROM reg GROUP BY 1),
+            est AS (SELECT event_type,
+                           0.7213::DOUBLE / (1 + 1.079::DOUBLE / 1024)
+                             * 1024 * 1024
+                             * CAST(1::HUGEINT << 64 AS DOUBLE)
+                             / CAST(nzsum + (1024 - nz) * (1::HUGEINT << 64)
+                                    AS DOUBLE) AS raw,
+                           1024 - nz AS zeros FROM agg),
+            n AS (SELECT event_type, COUNT(user_id) AS n_rows FROM events
+                  GROUP BY 1)
+            SELECT e.event_type,
+                   CAST(FLOOR(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                              THEN 1024 * ln(1024 / CAST(zeros AS DOUBLE))
+                              ELSE raw END) AS BIGINT) AS approx_distinct,
+                   n.n_rows
+            FROM est e JOIN n USING (event_type) ORDER BY event_type""",
+        # exact phi-heavy hitters == HAVING cnt*den >= num*n
+        "events_heavy_users": """
+            SELECT user_id % 20 AS cohort, COUNT(*) AS cnt FROM events
+            GROUP BY 1
+            HAVING COUNT(*) * 20 >= (SELECT COUNT(user_id) FROM events)
+            ORDER BY 1""",
         "doc_langid": _langid_oracle(),
         # sequence packing: window cumsum == the engine's distributed
         # two-pass prefix scan; bin = exclusive token offset // 2048

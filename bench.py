@@ -54,6 +54,8 @@ QUERY_NAMES = [
     "events_sessionize",
     "events_session_windows",
     "events_approx_distinct",
+    "events_type_approx_users",
+    "events_heavy_users",
     "events_sample_hash",
     "events_stratified_sample",
     "events_redact_pii",

@@ -155,3 +155,144 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
         for buf in t.column("regs").to_pylist():
             merged = hll_merge(merged, np.frombuffer(buf, dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def grouped_approx_distinct_portable(ds: "ray.data.Dataset", group_col: str,
+                                     col: str, p: int = 10
+                                     ) -> "ray.data.Dataset":
+    """Per-group ``approx_distinct`` in the SQL-portable configuration:
+    every block emits one (group, registers, n) partial row per group it
+    saw — the exchange carries |groups seen| × (2^p + key) bytes per
+    block, never values — and a per-group max-merge folds the registers
+    and reads off the portable estimate.  The group grain is the final
+    ``map_groups`` dispatch unit: right for low-cardinality dimensions
+    (event types, languages, sources); for 10^6+ groups switch to the
+    coarse-bucket pattern (stages/analytic.py) with an in-bucket merge.
+
+    Returns a Dataset of (group_col, approx_distinct, n_rows)."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(col)))
+        gt = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gt),
+                             "regs": pa.array([], pa.binary(m)),
+                             "n": pa.array([], pa.int64())})
+        order = pc.sort_indices(t, sort_keys=[(group_col, "ascending")])
+        t = t.take(order)
+        from migration_pair_ray.functions.lww import _group_first_mask
+        first = _group_first_mask(t, [group_col]).to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], t.num_rows)
+        svals = pc.cast(t.column(col), pa.string())
+        groups, regs_out, counts = [], [], []
+        for s, e in zip(starts, ends):
+            seg = np.unique(np.asarray(svals.slice(s, e - s).to_pylist(),
+                                       dtype=object))
+            regs_out.append(hll_registers(seg, p,
+                                          hash64=md5_hash64).tobytes())
+            groups.append(t.column(group_col)[s].as_py())
+            counts.append(int(e - s))
+        return pa.table({group_col: pa.array(groups, gt),
+                         "regs": pa.array(regs_out, pa.binary(m)),
+                         "n": pa.array(counts, pa.int64())})
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        gt = g.schema.field(group_col).type
+        if g.num_rows == 0:
+            return pa.table({group_col: pa.array([], gt),
+                             "approx_distinct": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        merged = np.zeros(m, dtype=np.uint8)
+        for buf in g.column("regs").to_pylist():
+            merged = hll_merge(merged, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table({
+            group_col: g.column(group_col).slice(0, 1),
+            "approx_distinct": pa.array([hll_estimate_portable(merged)],
+                                        pa.int64()),
+            "n_rows": pa.array([int(pc.sum(g.column("n")).as_py())],
+                               pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(merge_group,
+                                           batch_format="pyarrow"))
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str, num: int = 1,
+                  den: int = 50) -> "ray.data.Dataset":
+    """EXACT φ-heavy hitters (φ = num/den) without a full-table groupby —
+    the frequent-items problem at 10^10 rows.  Two passes:
+
+    1. per-block exact counts, keeping values with ``cnt·den ≥ num·n_block``
+       — by pigeonhole a value with global count ≥ φ·n must clear that
+       bar in at least one block, so the candidate union (≤ den/num rows
+       per block through the exchange) is a SUPERSET of every true heavy
+       hitter;
+    2. the candidate set broadcasts (``ray.put`` once, bounded by
+       blocks × den/num) and one streaming recount gets exact global
+       counts for candidates only — the full value domain never shuffles.
+
+    The φ threshold is an integer compare (``cnt·den ≥ num·n``), so the
+    output is bit-portable to ``GROUP BY … HAVING COUNT(*)·den ≥ num·n``.
+    Returns (col, cnt) for the true heavy hitters."""
+    from ray.data.aggregate import Sum
+
+    def candidates(t: pa.Table) -> pa.Table:
+        ct = t.schema.field(col).type
+        t = t.filter(pc.is_valid(t.column(col)))
+        if t.num_rows == 0:
+            return pa.table({col: pa.array([], ct),
+                             "n_block": pa.array([], pa.int64())})
+        g = (t.select([col]).group_by(col).aggregate([(col, "count")])
+             .rename_columns([col, "cnt"]))
+        keep = pc.greater_equal(
+            pc.multiply(pc.cast(g.column("cnt"), pa.int64()),
+                        pa.scalar(den, pa.int64())),
+            pa.scalar(num * t.num_rows, pa.int64()))
+        g = g.filter(keep)
+        return pa.table({col: g.column(col),
+                         "n_block": pa.array(
+                             np.full(g.num_rows, t.num_rows, np.int64))})
+
+    cand_parts = ds.map_batches(candidates, batch_format="pyarrow")
+    vals: list = []
+    for b in cand_parts.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"):
+        vals.extend(b.column(col).to_pylist())
+    uniq = sorted(set(vals))
+    n_total = int(ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(pc.is_valid(t.column(col)), pa.int64()))
+                 .as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").sum("n") or 0)
+    if not uniq or not n_total:
+        ct = None
+        for name, t in zip(ds.schema().names, ds.schema().types):
+            if name == col and isinstance(t, pa.DataType):
+                ct = t
+        return ray.data.from_arrow(pa.table({
+            col: pa.array([], ct or pa.string()),
+            "cnt": pa.array([], pa.int64())}))
+    cand_ref = ray.put(pa.array(uniq))
+
+    def recount(t: pa.Table) -> pa.Table:
+        ct = t.schema.field(col).type
+        t = t.filter(pc.fill_null(
+            pc.is_in(t.column(col), value_set=ray.get(cand_ref)), False))
+        if t.num_rows == 0:
+            return pa.table({col: pa.array([], ct),
+                             "cnt": pa.array([], pa.int64())})
+        g = (t.select([col]).group_by(col).aggregate([(col, "count")]))
+        return g.rename_columns([col, "cnt"])
+
+    counted = (ds.map_batches(recount, batch_format="pyarrow")
+               .groupby(col).aggregate(Sum("cnt", alias_name="cnt")))
+    thresh = num * n_total
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            pc.multiply(pc.cast(t.column("cnt"), pa.int64()),
+                        pa.scalar(den, pa.int64())),
+            pa.scalar(thresh, pa.int64()))),
+        batch_format="pyarrow")

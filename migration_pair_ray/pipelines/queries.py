@@ -1812,3 +1812,35 @@ def embed_knn_ivf_incremental(sf_dir: str):
                    index_dir, tag="odd-half")
         Path(index_dir, "_appended").touch()
     return ivf_probe(index_dir, queries, k=10, n_probe=16, round_to=4)
+
+
+def events_type_approx_users(sf_dir: str):
+    """Per-event-type approximate distinct users — the grouped HLL
+    (functions/sketch.grouped_approx_distinct_portable): per-block
+    register partials per group, one per-group max-merge, and the
+    SQL-portable estimator makes even the probabilistic answer
+    oracle-exact."""
+    from migration_pair_ray.functions.sketch import (
+        grouped_approx_distinct_portable)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return (grouped_approx_distinct_portable(ds, "event_type", "user_id",
+                                             p=10)
+            .sort("event_type"))
+
+
+def events_heavy_users(sf_dir: str):
+    """Exact φ-heavy hitters (functions/sketch.heavy_hitters): user
+    cohorts (user_id % 20) holding ≥ 5% of all events — two streaming
+    passes (pigeonhole candidate superset, then an exact broadcast
+    recount); the value domain never shuffles and the φ bar is an
+    integer compare, so the frequent-items answer has a plain GROUP
+    BY/HAVING oracle.  Cohorts sit ~5% each, so the 5% bar is
+    discriminative at every scale factor."""
+    from migration_pair_ray.functions.sketch import heavy_hitters
+    ds = (rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+          .map_batches(lambda t: pa.table({
+              "cohort": pa.array(
+                  t.column("user_id").to_numpy(zero_copy_only=False) % 20,
+                  pa.int64())}), batch_format="pyarrow"))
+    return heavy_hitters(ds, "cohort", num=1, den=20).sort("cohort")

@@ -104,3 +104,74 @@ def test_approx_distinct_on_dataset():
     ).fetchone()[0]
     est = approx_distinct(ds, "user_id")
     assert abs(est - true_n) / true_n < 0.05, (est, true_n)
+
+
+def test_grouped_approx_distinct_portable_accuracy_and_merge():
+    """Per-group estimates match a single-group run of the same values
+    (block-layout invariance) and stay within HLL error of the truth."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from migration_pair_ray.functions.sketch import (
+        approx_distinct_portable, grouped_approx_distinct_portable)
+    rng = np.random.default_rng(5)
+    n = 30_000
+    g = np.where(rng.random(n) < 0.5, "a", "b")
+    v = np.where(g == "a", rng.integers(0, 500, n),
+                 rng.integers(10_000, 14_000, n))
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g.tolist()), "v": pa.array(v, pa.int64())}))
+    out = (grouped_approx_distinct_portable(ds, "g", "v", p=10)
+           .to_pandas().set_index("g"))
+    true_a = len(np.unique(v[g == "a"]))
+    true_b = len(np.unique(v[g == "b"]))
+    assert abs(out.loc["a", "approx_distinct"] - true_a) / true_a < 0.15
+    assert abs(out.loc["b", "approx_distinct"] - true_b) / true_b < 0.15
+    assert out["n_rows"].sum() == n
+    # merge correctness: group 'a' alone == the grouped run's 'a' row
+    only_a = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("g"), "a")),
+        batch_format="pyarrow")
+    est_a, n_a = approx_distinct_portable(only_a, "v", p=10)
+    assert est_a == out.loc["a", "approx_distinct"]
+    assert n_a == out.loc["a", "n_rows"]
+
+
+def test_heavy_hitters_exact_vs_duckdb_and_superset_guarantee():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from migration_pair_ray.functions.sketch import heavy_hitters
+    rng = np.random.default_rng(11)
+    # skewed: value 0 is ~30%, 1 is ~10%, the rest a long uniform tail
+    r = rng.random(50_000)
+    v = np.where(r < 0.3, 0, np.where(r < 0.4, 1,
+                 rng.integers(2, 5_000, 50_000))).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v)}))
+    got = (heavy_hitters(ds, "v", num=1, den=20)   # phi = 5%
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT v, COUNT(*) AS cnt FROM t GROUP BY v
+        HAVING COUNT(*) * 20 >= (SELECT COUNT(*) FROM t)
+        ORDER BY v""".replace("t", "df"),
+        ).df() if False else None
+    import pandas as pd
+    df = pd.DataFrame({"v": v})
+    want = duckdb.sql("""
+        SELECT v, COUNT(*) AS cnt FROM df GROUP BY v
+        HAVING COUNT(*) * 20 >= (SELECT COUNT(*) FROM df)
+        ORDER BY v""").df()
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+    assert got["v"].tolist() == [0, 1]          # the planted heavies
+
+
+def test_heavy_hitters_no_hitters_and_nulls():
+    import pyarrow as pa
+    import ray.data
+    from migration_pair_ray.functions.sketch import heavy_hitters
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array(list(range(100)) + [None] * 10, pa.int64())}))
+    out = heavy_hitters(ds, "v", num=1, den=50).to_pandas()
+    assert len(out) == 0          # uniform: nothing reaches 2%
