@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "events_session_windows": q.events_session_windows,
         "events_sliding_windows": q.events_sliding_windows,
+        "events_late_data": q.events_late_data,
         "join_orders_customer_left": q.join_orders_customer_left,
         "join_customer_orders_semi": q.join_customer_orders_semi,
         "join_customer_orders_anti": q.join_customer_orders_anti,
@@ -409,6 +410,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_sum,
                    COUNT(*) AS n
             FROM x GROUP BY window_start ORDER BY window_start""",
+        # watermark late-data: arrival simulates 10 interleaved source
+        # shards (shard = props.k % 10, shifted 40 positions per shard);
+        # wm at row r = max event time of strictly-earlier arrivals
+        "events_late_data": """
+            WITH k AS (
+              SELECT ts,
+                     (event_id + (CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                                       AS BIGINT) % 10) * 40) * 1000000
+                       + event_id AS arrival
+              FROM events),
+            w AS (SELECT ts, MAX(ts) OVER (ORDER BY arrival
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+                  FROM k)
+            SELECT date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN wm IS NOT NULL
+                                  AND ts < wm - INTERVAL 24 HOUR
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM w GROUP BY 1 ORDER BY 1""",
         "events_sessionize": """
             WITH d AS (
               SELECT user_id, ts,

@@ -1844,3 +1844,49 @@ def events_heavy_users(sf_dir: str):
                   t.column("user_id").to_numpy(zero_copy_only=False) % 20,
                   pa.int64())}), batch_format="pyarrow"))
     return heavy_hitters(ds, "cohort", num=1, den=20).sort("cohort")
+
+
+def events_late_data(sf_dir: str, delay_s: int = 86400):
+    """Watermark late-data routing (SURVEY.md §2.9): classify each event
+    as on-time or late against a moving watermark, then count both per
+    hourly window — the side-output accounting a streaming ingest keeps.
+
+    The events table is time-ordered by event_id, so a simulated arrival
+    order models the interleave of 10 source shards, each shifted by a
+    shard-proportional lag: ``arrival = (event_id + (props.k % 10) * 40)
+    * 10^6 + event_id`` (unique, deterministic, SQL-mirrorable).  The
+    watermark seen by a row is max(event time of earlier arrivals) -
+    ``delay_s``; classification is the two-pass distributed prefix-max
+    scan (stages/windows.watermark_lateness) — per-block partials +
+    broadcast prefix, raw rows shuffle only for the arrival sort."""
+    from migration_pair_ray.functions.text import extract_int_field
+    from migration_pair_ray.stages.windows import watermark_lateness
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "props"])
+
+    def add_arrival(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        k = extract_int_field(t.column("props"), r'"k": ([0-9]+)')
+        k = k.to_numpy(zero_copy_only=False)
+        arrival = (eid + (k % 10) * 40) * 1_000_000 + eid
+        return pa.table({"arrival": pa.array(arrival, pa.int64()),
+                         "ts": t.column("ts")})
+
+    ds = ds.map_batches(add_arrival, batch_format="pyarrow").sort("arrival")
+    ds = watermark_lateness(ds, "ts", "arrival", delay_s=delay_s)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        late = pc.cast(t.column("late"), pa.int64())
+        return (pa.table({"hour": hour, "n_late": late,
+                          "one": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by("hour")
+                .aggregate([("one", "sum"), ("n_late", "sum")])
+                .rename_columns(["hour", "n_total", "n_late"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("hour")
+            .aggregate(Sum("n_total", alias_name="n_total"),
+                       Sum("n_late", alias_name="n_late"))
+            .sort("hour"))

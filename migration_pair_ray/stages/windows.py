@@ -198,3 +198,76 @@ def sessionize_counts(ds: "ray.data.Dataset", key_col: str, ts_col: str,
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__b").map_groups(counts_bucket, batch_format="pyarrow"))
+
+
+def watermark_lateness(ds: "ray.data.Dataset", ts_col: str, order_col: str,
+                       delay_s: int, late_col: str = "late"
+                       ) -> "ray.data.Dataset":
+    """Watermark-relative late-data classification (SURVEY.md §2.9).
+
+    Arrival order is ``order_col`` (the log offset / LSN); the watermark
+    seen by row r is ``max(ts of all rows arriving strictly before r)
+    - delay_s``.  Appends ``late_col``: true iff the row's event time is
+    behind that watermark — the standard streaming-engine rule for
+    routing a row to a late-data side output.
+
+    Scale shape: the same two-pass distributed prefix scan as
+    ``stages/packing.add_token_offsets`` — pass 1 computes one (lo, hi,
+    max_ts) partial PER BLOCK (tiny: 3 values per block, collected on the
+    driver and turned into an exclusive prefix-max), pass 2 re-maps each
+    block combining the broadcast block-prefix with an in-block
+    ``np.maximum.accumulate``.  Raw rows never shuffle; input must be
+    block-disjoint and sorted on ``order_col`` (gated, not assumed).
+    """
+    import ray
+
+    ds = ds.materialize()   # pin blocks so both passes see identical ones
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "max_us": pa.array([], pa.int64())})
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "lo": pa.array([t.column(order_col)[0].as_py()], pa.int64()),
+            "hi": pa.array([t.column(order_col)[-1].as_py()], pa.int64()),
+            "max_us": pa.array([pc.max(us).as_py()], pa.int64()),
+        })
+
+    parts = ds.map_batches(block_partial, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: r["lo"])
+    for a, b in zip(parts, parts[1:]):
+        if not a["hi"] < b["lo"]:
+            raise ValueError(
+                f"watermark_lateness: blocks overlap in {order_col!r} "
+                f"({a['hi']!r} >= {b['lo']!r}); input must be sorted and "
+                f"block-disjoint on the order column")
+    los = [r["lo"] for r in parts]
+    # exclusive prefix max of per-block maxima; first block sees the
+    # sentinel (-2**62: small enough that no real epoch-us is ever behind
+    # sentinel - delay, large enough that the subtraction cannot wrap)
+    maxes = np.array([r["max_us"] for r in parts], dtype=np.int64)
+    prefix = np.concatenate(
+        [[-(2 ** 62)],
+         np.maximum.accumulate(maxes)[:-1]]) if parts else np.empty(0, np.int64)
+    ref = ray.put((los, prefix))
+    delay_us = int(delay_s) * 1_000_000
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(late_col, pa.array([], pa.bool_()))
+        los_, prefix_ = ray.get(ref)
+        order = t.column(order_col).to_numpy(zero_copy_only=False)
+        if t.num_rows > 1 and not (order[:-1] <= order[1:]).all():
+            raise ValueError(
+                f"watermark_lateness: block not sorted by {order_col!r}")
+        i = los_.index(int(order[0]))   # exact: pass-2 blocks == pass-1 blocks
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        seen_before = np.concatenate(
+            [[prefix_[i]], np.maximum.accumulate(np.maximum(us, prefix_[i]))[:-1]])
+        late = us < seen_before - delay_us
+        return t.append_column(late_col, pa.array(late))
+
+    return ds.map_batches(classify, batch_format="pyarrow")

@@ -157,3 +157,40 @@ def test_checkpoint_parquet_roundtrip(tmp_path):
     pd.testing.assert_frame_equal(
         a.sort_values("event_id").reset_index(drop=True),
         b.sort_values("event_id").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watermark_lateness_matches_bruteforce():
+    """Multi-block out-of-order stream vs an O(n) numpy reference."""
+    from migration_pair_ray.stages.windows import watermark_lateness
+    rng = np.random.default_rng(7)
+    n = 5_000
+    # event time wanders around the arrival order with heavy jitter so a
+    # real fraction lands behind the watermark
+    base = np.arange(n, dtype=np.int64) * 1_000_000
+    jitter = rng.integers(-300, 60, n) * 1_000_000
+    ts_us = base + jitter
+    import pyarrow as pa
+    tbl = pa.table({"arrival": pa.array(np.arange(n, dtype=np.int64)),
+                    "ts": pa.array(ts_us).cast(pa.timestamp("us"))})
+    ds = ray.data.from_arrow(tbl).repartition(8).sort("arrival")
+    out = watermark_lateness(ds, "ts", "arrival", delay_s=120).to_pandas()
+    out = out.sort_values("arrival").reset_index(drop=True)
+    # brute force: watermark before row i = max(ts[:i]) - delay
+    run = np.maximum.accumulate(ts_us)
+    wm_before = np.concatenate([[np.int64(-2 ** 62)], run[:-1]])
+    want = ts_us < wm_before - 120 * 1_000_000
+    assert want.sum() > 100                      # the case is non-trivial
+    np.testing.assert_array_equal(out["late"].to_numpy(), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watermark_lateness_rejects_overlapping_blocks():
+    from migration_pair_ray.stages.windows import watermark_lateness
+    import pyarrow as pa
+    t = pa.table({"arrival": pa.array([0, 1, 2, 3], pa.int64()),
+                  "ts": pa.array([0, 1, 2, 3], pa.int64()).cast(pa.timestamp("us"))})
+    # two blocks both spanning the full arrival range → overlap
+    ds = ray.data.from_arrow([t, t])
+    with pytest.raises(Exception, match="overlap"):
+        watermark_lateness(ds, "ts", "arrival", delay_s=1).materialize()
