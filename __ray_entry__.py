@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changelog_stats": q.cdc_changelog_stats,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
         "conv_transcripts": q.conv_transcripts,
+        "conv_context_windows": q.conv_context_windows,
+        "conv_tool_stats": q.conv_tool_stats,
         # relational operator coverage (M1-M6 analogs + aggregates/joins)
         "agg_pricing_summary": q.agg_pricing_summary,
         "filter_highvalue_orders": q.filter_highvalue_orders,
@@ -344,6 +346,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND op <> 'D'
               AND role IS NOT NULL AND text IS NOT NULL
             GROUP BY conv_id ORDER BY conv_id""",
+        # last-k context assembly: row_number over turn_idx DESC picks the
+        # tail, string_agg re-joins it ascending (grouped_top_n contract)
+        "conv_context_windows": lww_winners + """
+            , s AS (SELECT conv_id, turn_idx, role, text
+                    FROM w WHERE rn = 1 AND op <> 'D'
+                      AND role IS NOT NULL AND text IS NOT NULL),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx DESC) rk FROM s)
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS context,
+                   COUNT(*) AS n_context
+            FROM r WHERE rk <= 8
+            GROUP BY conv_id ORDER BY conv_id""",
+        "conv_tool_stats": lww_winners + """
+            , s AS (SELECT conv_id, text, tool, ts
+                    FROM w WHERE rn = 1 AND op <> 'D')
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   CAST(COUNT(tool) AS BIGINT) AS n_tool_calls,
+                   CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools,
+                   CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS n_chars,
+                   MAX(ts) AS last_ts
+            FROM s GROUP BY conv_id ORDER BY conv_id""",
         "cdc_changelog_stats": f"""
             WITH ch AS ({DERIVED_CHANGES_SQL})
             SELECT op, COUNT(*) AS n, MIN(lsn) AS lsn_lo, MAX(lsn) AS lsn_hi

@@ -1890,3 +1890,69 @@ def events_late_data(sf_dir: str, delay_s: int = 86400):
             .aggregate(Sum("n_total", alias_name="n_total"),
                        Sum("n_late", alias_name="n_late"))
             .sort("hour"))
+
+
+@_push_heavy
+def conv_context_windows(sf_dir: str, k: int = 8):
+    """Context-window assembly: the last ``k`` surviving turns of every
+    conversation rendered as a single ``role: text`` context block in
+    ascending turn order — the prompt-construction step an agent/training
+    pipeline runs per conversation.  Composition of two vectorized
+    grouped operators over the LWW-merged state: ``grouped_top_n`` (per-key
+    top-k by turn_idx, coarse-bucketed, no global sort) feeding
+    ``grouped_string_agg`` (ordered concat, zero per-key dispatch)."""
+    from migration_pair_ray.stages.analytic import (grouped_string_agg,
+                                                    grouped_top_n)
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+
+    def mkline(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column("role")),
+                       pc.is_valid(t.column("text")))
+        t = t.filter(keep)
+        line = pc.binary_join_element_wise(
+            pc.cast(t.column("role"), pa.string()), t.column("text"), ": ")
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "turn_idx": t.column("turn_idx"),
+                         "line": line})
+
+    last_k = grouped_top_n(st.map_batches(mkline, batch_format="pyarrow"),
+                           "conv_id", "turn_idx", n=k, descending=True)
+    out = grouped_string_agg(last_k, "conv_id", ["turn_idx"], "line",
+                             sep="\n", out_col="context")
+    return out.rename_columns(
+        ["conv_id", "context", "n_context"]).sort("conv_id")
+
+
+@_push_heavy
+def conv_tool_stats(sf_dir: str):
+    """Per-conversation rollup over the merged state: turn count,
+    tool-call count, distinct tools used, total text chars, last
+    event time — the conversation-level metadata table a transcript
+    curation pass filters on.  One shuffle into coarse conv-hash buckets,
+    then exact Arrow group_by aggregates in-bucket (count_distinct needs
+    all of a key's rows together, so partial+merge cannot express the
+    distinct-tool count without a second exchange)."""
+    from migration_pair_ray.stages.analytic import _with_bucket
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+
+    def stats_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        chars = pc.cast(pc.utf8_length(
+            pc.coalesce(g.column("text"), pa.scalar("", pa.string()))),
+            pa.int64())
+        t2 = pa.table({"conv_id": g.column("conv_id"),
+                       "tool": g.column("tool"),
+                       "chars": chars,
+                       "ts": g.column("ts")})
+        out = (t2.group_by("conv_id")
+               .aggregate([("conv_id", "count"), ("tool", "count"),
+                           ("tool", "count_distinct"), ("chars", "sum"),
+                           ("ts", "max")]))
+        return out.rename_columns(["conv_id", "n_turns", "n_tool_calls",
+                                   "n_tools", "n_chars", "last_ts"])
+
+    return (_with_bucket(st, "conv_id", 64)
+            .groupby("__b").map_groups(stats_bucket, batch_format="pyarrow")
+            .sort("conv_id"))
