@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_stats": q.conv_tool_stats,
         # relational operator coverage (M1-M6 analogs + aggregates/joins)
         "agg_pricing_summary": q.agg_pricing_summary,
+        "agg_rollup_pricing": q.agg_rollup_pricing,
         "filter_highvalue_orders": q.filter_highvalue_orders,
         "join_orders_customer_segment": q.join_orders_customer_segment,
         "join_lineitem_part_type": q.join_lineitem_part_type,
@@ -388,6 +389,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
+        # keys are non-null in the data, so 'ALL' markers are unambiguous
+        "agg_rollup_pricing": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY 1, 2""",
         "filter_highvalue_orders": """
             SELECT o_orderkey, o_totalprice,
                    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents

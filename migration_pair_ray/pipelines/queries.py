@@ -1956,3 +1956,29 @@ def conv_tool_stats(sf_dir: str):
     return (_with_bucket(st, "conv_id", 64)
             .groupby("__b").map_groups(stats_bucket, batch_format="pyarrow")
             .sort("conv_id"))
+
+
+def agg_rollup_pricing(sf_dir: str):
+    """ROLLUP grouping sets over (l_returnflag, l_linestatus): quantity
+    sum + row count at the finest level, per-flag subtotals, and the
+    grand total, with 'ALL' markers in rolled-up key columns.  Raw rows
+    are scanned once (stages/analytic.rollup_aggregate derives every
+    coarser level from the finest aggregate, never rescanning)."""
+    from migration_pair_ray.stages.analytic import rollup_aggregate
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+    out = rollup_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                           "l_quantity")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # whole-unit quantities: the double sum is exact below 2^53
+        sq = pc.cast(pc.round(t.column("value_sum"), ndigits=0,
+                              round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "sum_qty": sq,
+                         "count_order": t.column("n")})
+
+    return (out.map_batches(finish, batch_format="pyarrow")
+            .sort(["l_returnflag", "l_linestatus"]))

@@ -341,3 +341,70 @@ def grouped_quantiles(ds: "ray.data.Dataset", key_col: str, value_col: str,
     return (_with_bucket(partials, key_col, n_coarse)
             .groupby("__b").map_groups(quantiles_bucket,
                                        batch_format="pyarrow"))
+
+
+def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str],
+                     value_col: str,
+                     all_marker: str = "ALL") -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(keys): (value sum, count) at every prefix level —
+    (k1..kn), (k1..kn-1), ..., grand total — with rolled-up key columns
+    holding ``all_marker`` (string keys assumed non-null, so the marker is
+    unambiguous; SQL mirror: ``COALESCE(k, marker)`` over ``ROLLUP``).
+
+    Scale shape: raw rows are scanned ONCE — per-block partials feed one
+    groupby exchange producing the finest level; every coarser level is
+    re-aggregated from the finest RESULT (one row per finest group, i.e.
+    group-cardinality-sized, not data-sized), so adding rollup levels
+    costs tiny groupbys, never a rescan.  The finest result is pinned
+    (`materialize`) because it is consumed len(keys)+1 times.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({**{k: t.column(k) for k in keys},
+                       "v": t.column(value_col)})
+        return (t2.group_by(keys).aggregate([("v", "sum"), ("v", "count")])
+                .rename_columns(keys + ["value_sum", "n"]))
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(keys)
+              .aggregate(Sum("value_sum", alias_name="value_sum"),
+                         Sum("n", alias_name="n"))
+              .materialize())
+
+    def with_markers(t: pa.Table, kept: list[str]) -> pa.Table:
+        cols = {}
+        for k in keys:
+            if k in kept:
+                cols[k] = pc.cast(t.column(k), pa.string())
+            else:
+                cols[k] = pa.array([all_marker] * t.num_rows, pa.string())
+        # pin the union schema regardless of the input value dtype
+        cols["value_sum"] = pc.cast(t.column("value_sum"), pa.float64())
+        cols["n"] = pc.cast(t.column("n"), pa.int64())
+        return pa.table(cols)
+
+    levels = [finest.map_batches(
+        lambda t: with_markers(t, keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        kept = keys[:i]
+        lv = (finest.groupby(kept)
+              .aggregate(Sum("value_sum", alias_name="value_sum"),
+                         Sum("n", alias_name="n"))
+              .map_batches(lambda t, kept=kept: with_markers(t, kept),
+                           batch_format="pyarrow"))
+        levels.append(lv)
+    # grand total: a two-value reduce — driver-side by construction
+    tot = finest.aggregate(Sum("value_sum", alias_name="value_sum"),
+                           Sum("n", alias_name="n"))
+    grand = pa.table({**{k: pa.array([all_marker], pa.string()) for k in keys},
+                      "value_sum": pa.array([tot["value_sum"]], pa.float64()),
+                      "n": pa.array([int(tot["n"])], pa.int64())})
+    levels.append(ray.data.from_arrow(grand))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -164,3 +164,28 @@ def test_grouped_quantiles_single_value_keys():
     # a: values [1,3] -> q0.5 = ceil(0.5*2)=1st -> 1; q1.0 -> 3
     # b: single value 7 at every quantile
     assert got["value"].tolist() == [1.0, 3.0, 7.0, 7.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_aggregate_three_keys_matches_duckdb():
+    """Generic 3-level rollup (int value column) vs DuckDB ROLLUP."""
+    from migration_pair_ray.stages.analytic import rollup_aggregate
+    rng = np.random.default_rng(3)
+    n = 2_000
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y"], n)),
+        "b": pa.array(rng.choice(["p", "q", "r"], n)),
+        "c": pa.array(rng.choice(["0", "1"], n)),
+        "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = (rollup_aggregate(ds, ["a", "b", "c"], "v")
+           .sort(["a", "b", "c"]).to_pandas())
+    duckdb.register("t", t)
+    want = duckdb.sql("""
+        SELECT COALESCE(a,'ALL') a, COALESCE(b,'ALL') b, COALESCE(c,'ALL') c,
+               CAST(SUM(v) AS DOUBLE) value_sum, COUNT(*) n
+        FROM t GROUP BY ROLLUP (a, b, c) ORDER BY 1,2,3""").df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
