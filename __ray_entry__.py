@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q.doc_fingerprints,
         "doc_fingerprints_rolling": q.doc_fingerprints_rolling,
         "doc_exact_dedup": q.doc_exact_dedup,
+        "doc_span_dedup": q.doc_span_dedup,
         "doc_langid": q.doc_langid,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
@@ -1030,6 +1031,28 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, text
             FROM documents GROUP BY text ORDER BY doc_id""",
+        # paragraph-grain dedup: 16-word spans, first (doc_id, span_idx)
+        # occurrence of each distinct span wins, docs reassembled from
+        # survivors (zipped unnest = WITH ORDINALITY, absent in this build)
+        "doc_span_dedup": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     unnest(range(len(string_split(text, ' ')))) AS wi
+              FROM documents),
+            spans AS (
+              SELECT doc_id, wi // 16 AS span_idx,
+                     string_agg(word, ' ' ORDER BY wi) AS span
+              FROM words GROUP BY doc_id, wi // 16),
+            keep AS (
+              SELECT *, row_number() OVER (
+                 PARTITION BY span ORDER BY doc_id, span_idx) rn
+              FROM spans)
+            SELECT doc_id,
+                   string_agg(span, ' ' ORDER BY span_idx) AS text_dedup,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM keep WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id""",
         "embed_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 2),

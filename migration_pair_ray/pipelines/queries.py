@@ -1982,3 +1982,16 @@ def agg_rollup_pricing(sf_dir: str):
 
     return (out.map_batches(finish, batch_format="pyarrow")
             .sort(["l_returnflag", "l_linestatus"]))
+
+
+def doc_span_dedup(sf_dir: str, span_words: int = 16):
+    """Paragraph-grain exact dedup over the documents corpus: 16-word
+    spans deduplicated corpus-wide (first (doc_id, span_idx) occurrence
+    wins), docs reassembled from surviving spans
+    (stages/dedup.span_exact_dedup)."""
+    from migration_pair_ray.stages.dedup import span_exact_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = span_exact_dedup(ds, "text", "doc_id", span_words=span_words)
+    return out.rename_columns(
+        ["doc_id", "text_dedup", "n_spans"]).sort("doc_id")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -706,3 +707,76 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
         exact_verify, batch_format="pyarrow")
     clusters = connected_components(verified)
     return drop_cluster_losers(ds, clusters)
+
+
+# ----------------------------------------------------------- span grain
+
+def explode_spans(t: pa.Table, id_col: str, text_col: str,
+                  span_words: int) -> pa.Table:
+    """Split each row's whitespace-tokenized text into consecutive
+    ``span_words``-word spans: one output row per (doc, span_idx), fully
+    vectorized — the span boundaries are pure offset arithmetic over the
+    flattened word buffer (spans tile a doc's words exactly, and docs are
+    contiguous, so the span list-offsets ARE the start positions)."""
+    if t.num_rows == 0:
+        return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                         "span_idx": pa.array([], pa.int64()),
+                         "span": pa.array([], pa.large_string())})
+    words = pc.split_pattern(t.column(text_col).combine_chunks(), " ")
+    flat = pc.cast(words.values, pa.large_string())
+    offs = words.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offs)
+    n_spans = -(-counts // span_words)          # ceil; "" still yields 1
+    doc_rep = np.repeat(np.arange(t.num_rows), n_spans)
+    excl = np.concatenate([[0], np.cumsum(n_spans)[:-1]])
+    span_idx = np.arange(int(n_spans.sum())) - np.repeat(excl, n_spans)
+    starts = offs[doc_rep] + span_idx * span_words
+    span_offsets = np.append(starts, offs[-1])
+    lists = pa.LargeListArray.from_arrays(pa.array(span_offsets), flat)
+    return pa.table({
+        id_col: pc.take(t.column(id_col), pa.array(doc_rep)),
+        "span_idx": pa.array(span_idx.astype(np.int64)),
+        "span": pc.binary_join(lists, pa.scalar(" ", pa.large_string())),
+    })
+
+
+def span_exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id", span_words: int = 16,
+                     num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Paragraph-grain exact dedup (CCNet/RefinedWeb-style, word-window
+    spans standing in for paragraphs in newline-free corpora): explode
+    docs into ``span_words``-word spans, keep ONE copy of every distinct
+    span corpus-wide (the minimum (doc_id, span_idx) occurrence), and
+    reassemble each doc from its surviving spans in order.  Docs whose
+    every span was seen earlier vanish entirely.
+
+    Scale shape: explode is per-batch vectorized (no shuffle); the dedup
+    is the exact_dedup skeleton — coarse content-hash buckets, one Arrow
+    sort + keep-first mask per bucket, span text in the sort key so hash
+    collisions cannot false-merge; reassembly is grouped_string_agg (one
+    doc-hash shuffle, zero per-key dispatch).  Rows exchanged are spans,
+    i.e. ~input-sized — the same weight class as the exact_dedup shuffle.
+    """
+    from migration_pair_ray.functions.lww import _group_first_mask
+    from migration_pair_ray.stages.analytic import grouped_string_agg
+    from migration_pair_ray.stages.windows import _default_coarse
+    num_buckets = _default_coarse(num_buckets)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        s = explode_spans(batch, id_col, text_col, span_words)
+        h = stable_hash64(s.column("span").to_pylist()).astype(np.int64)
+        s = s.append_column("__h", pa.array(h))
+        return s.append_column(
+            "__b", pa.array((h % num_buckets).astype(np.int32)))
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("__h", "ascending"), ("span", "ascending"),
+                       (id_col, "ascending"), ("span_idx", "ascending")])
+        g = g.filter(_group_first_mask(g, ["__h", "span"]))
+        return g.drop_columns(["__h", "__b"])
+
+    kept = (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(keep_first, batch_format="pyarrow"))
+    return grouped_string_agg(kept, id_col, ["span_idx"], "span",
+                              sep=" ", out_col="text_dedup")

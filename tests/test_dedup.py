@@ -248,3 +248,35 @@ def test_minhash_exchange_carries_no_signatures():
     per_row = total_bytes / n_band_rows
     assert per_row < 60, f"exchange carries {per_row:.0f} B/band-row — " \
                          f"signature payload has crept back into the shuffle"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_exact_dedup_crafted():
+    """Cross-doc duplicate spans die, in-doc order survives, a doc whose
+    every span was seen earlier vanishes entirely."""
+    from migration_pair_ray.stages.dedup import span_exact_dedup
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a b c d e f",       # spans (w=2): "a b" "c d" "e f"
+            "c d x y a b",       # "c d" dup, "x y" new, "a b" dup
+            "e f c d",           # all spans already seen -> vanishes
+        ]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(3)
+    got = (span_exact_dedup(ds, "text", "doc_id", span_words=2)
+           .sort("doc_id").to_pandas())
+    assert got["doc_id"].tolist() == [0, 1]
+    assert got["text_dedup"].tolist() == ["a b c d e f", "x y"]
+    assert got["n_rows"].tolist() == [3, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_explode_spans_offsets():
+    from migration_pair_ray.stages.dedup import explode_spans
+    t = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                  "text": pa.array(["w1 w2 w3", "u1"])})
+    s = explode_spans(t, "doc_id", "text", span_words=2)
+    assert s.column("doc_id").to_pylist() == [7, 7, 8]
+    assert s.column("span_idx").to_pylist() == [0, 1, 0]
+    assert s.column("span").to_pylist() == ["w1 w2", "w3", "u1"]
