@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
         "events_approx_distinct": q.events_approx_distinct,
+        "events_user_cm_counts": q.events_user_cm_counts,
         "events_type_approx_users": q.events_type_approx_users,
         "events_heavy_users": q.events_heavy_users,
         "events_sample_hash": q.events_sample_hash,
@@ -737,6 +738,26 @@ def oracle_sql() -> dict[str, str]:
         # 64-bit hash, same registers (rho from bin()-length), same
         # exact-HUGEINT inverse-power sum, same single float divide +
         # floor — see functions/sketch.py hll_estimate_portable
+        # Count-Min: rebuild the (4 x 256) registers with the same md5 row
+        # hashes, estimate = min over rows — collisions inflate both sides
+        # identically, so even the approximate values compare bit-exact
+        "events_user_cm_counts": """
+            WITH r AS (SELECT unnest(range(4)) AS j),
+            h AS (SELECT j,
+                         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                             CAST(user_id AS VARCHAR)), 1, 16)
+                          )::UBIGINT % 256 AS b
+                  FROM events CROSS JOIN r),
+            regs AS (SELECT j, b, COUNT(*) AS c FROM h GROUP BY j, b),
+            probes AS (SELECT DISTINCT user_id FROM events
+                       WHERE user_id < 20)
+            SELECT p.user_id, CAST(MIN(regs.c) AS BIGINT) AS cm_count
+            FROM probes p CROSS JOIN r
+            JOIN regs ON regs.j = r.j
+             AND regs.b = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                                              CAST(p.user_id AS VARCHAR)),
+                                          1, 16))::UBIGINT % 256
+            GROUP BY p.user_id ORDER BY p.user_id""",
         "events_approx_distinct": """
             WITH v AS (SELECT DISTINCT CAST(event_id AS VARCHAR) AS s
                        FROM events WHERE event_id IS NOT NULL),

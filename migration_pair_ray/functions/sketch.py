@@ -296,3 +296,62 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str, num: int = 1,
                         pa.scalar(den, pa.int64())),
             pa.scalar(thresh, pa.int64()))),
         batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- count-min
+
+def cm_partial(values: np.ndarray, counts: np.ndarray, w_p: int,
+               d: int) -> np.ndarray:
+    """(d, 2^w_p) int64 Count-Min register matrix for one batch of
+    (unique stringified value, multiplicity) pairs.  Row j's hash is
+    ``md5_hash64("j:" + v) % 2^w_p`` — the same md5 slice DuckDB computes
+    with ``('0x' || substr(md5(j || ':' || v), 1, 16))::UBIGINT``, so a
+    SQL engine can rebuild the registers bit-for-bit."""
+    m = 1 << w_p
+    regs = np.zeros((d, m), np.int64)
+    if len(values):
+        for j in range(d):
+            h = (md5_hash64([f"{j}:{v}" for v in values])
+                 % np.uint64(m)).astype(np.int64)
+            np.add.at(regs[j], h, counts)
+    return regs
+
+
+def cm_count_portable(ds: "ray.data.Dataset", col: str,
+                      probes: list, w_p: int = 8,
+                      d: int = 4) -> list[tuple[str, int]]:
+    """Count-Min point estimates for ``probes`` over ``ds[col]`` in the
+    SQL-portable configuration (md5 row hashes, stringified values):
+    estimate(q) = min over rows j of regs[j][h_j(q)] — always ≥ the true
+    count, inflated only by bucket collisions, and bit-for-bit
+    reproducible by a relational engine that rebuilds the registers.
+
+    Scale shape: ONE pass — per-block partials scatter-add into a
+    (d × 2^w_p) int64 matrix (values deduped with np.unique first, so
+    the md5 cost is per distinct-per-block, not per row), merged by
+    elementwise SUM (count sketches are additive, unlike HLL's max).
+    The value domain never shuffles; each block ships d·2^w_p·8 bytes.
+    """
+    m = 1 << w_p
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = pc.cast(t.column(col).drop_null(), pa.string())
+        vals, counts = (np.unique(np.asarray(arr.to_pylist(), dtype=object),
+                                  return_counts=True)
+                        if len(arr) else (np.array([], object), np.array([], np.int64)))
+        regs = cm_partial(vals, counts, w_p, d)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          pa.binary(d * m * 8))})
+
+    merged = np.zeros((d, m), np.int64)
+    for t in (ds.map_batches(partial, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for buf in t.column("regs").to_pylist():
+            merged += np.frombuffer(buf, dtype=np.int64).reshape(d, m)
+    out = []
+    for q in probes:
+        # uint64 % python-int promotes to float64 in numpy — keep integral
+        h = np.array([int(md5_hash64([f"{j}:{q}"])[0]) % m for j in range(d)],
+                     dtype=np.int64)
+        out.append((q, int(merged[np.arange(d), h].min())))
+    return out

@@ -1995,3 +1995,25 @@ def doc_span_dedup(sf_dir: str, span_words: int = 16):
     out = span_exact_dedup(ds, "text", "doc_id", span_words=span_words)
     return out.rename_columns(
         ["doc_id", "text_dedup", "n_spans"]).sort("doc_id")
+
+
+def events_user_cm_counts(sf_dir: str, w_p: int = 8, d: int = 4):
+    """Count-Min sketch point counts for the first 20 user ids — the
+    mergeable approximate-counting sketch (additive registers, min-over-
+    rows estimate) in its SQL-portable md5 configuration, so the inflated
+    estimates themselves have a bit-exact oracle.  Probes are derived
+    distributed (distinct user_id < 20); the sketch pass ships only
+    (d × 2^w_p) int64 registers per block."""
+    from migration_pair_ray.functions.sketch import cm_count_portable
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    probe_ds = ds.map_batches(
+        lambda t: (pa.table({"user_id": t.column("user_id")})
+                   .filter(pc.less(t.column("user_id"), 20))
+                   .group_by("user_id").aggregate([])),
+        batch_format="pyarrow").groupby("user_id").count()
+    probes = sorted(r["user_id"] for r in probe_ds.take_all())
+    est = cm_count_portable(ds, "user_id", probes, w_p=w_p, d=d)
+    return pa.table({
+        "user_id": pa.array([u for u, _ in est], pa.int64()),
+        "cm_count": pa.array([c for _, c in est], pa.int64()),
+    })

@@ -175,3 +175,36 @@ def test_heavy_hitters_no_hitters_and_nulls():
         "v": pa.array(list(range(100)) + [None] * 10, pa.int64())}))
     out = heavy_hitters(ds, "v", num=1, den=50).to_pandas()
     assert len(out) == 0          # uniform: nothing reaches 2%
+
+
+def test_cm_partial_additive_merge():
+    """Registers over split batches sum to the whole-batch registers."""
+    from migration_pair_ray.functions.sketch import cm_partial
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 50, 400)
+    u, c = np.unique([str(v) for v in vals], return_counts=True)
+    whole = cm_partial(u, c, w_p=6, d=3)
+    u1, c1 = np.unique([str(v) for v in vals[:137]], return_counts=True)
+    u2, c2 = np.unique([str(v) for v in vals[137:]], return_counts=True)
+    split = cm_partial(u1, c1, w_p=6, d=3) + cm_partial(u2, c2, w_p=6, d=3)
+    np.testing.assert_array_equal(whole, split)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cm_count_bounds():
+    """Estimates never undercount; a wide sketch is exact; a cramped one
+    overcounts at least one probe (collisions are the point)."""
+    from migration_pair_ray.functions.sketch import cm_count_portable
+    import pyarrow as pa
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 200, 3000)
+    exact = {int(k): int(n) for k, n in
+             zip(*np.unique(vals, return_counts=True))}
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    ds = ds.repartition(5)
+    probes = list(range(10))
+    wide = dict(cm_count_portable(ds, "v", probes, w_p=14, d=4))
+    assert wide == {p: exact[p] for p in probes}
+    tight = dict(cm_count_portable(ds, "v", probes, w_p=4, d=2))
+    assert all(tight[p] >= exact[p] for p in probes)
+    assert any(tight[p] > exact[p] for p in probes)
