@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample_hash": q.events_sample_hash,
         "doc_shuffle_shards": q.doc_shuffle_shards,
         "events_stratified_sample": q.events_stratified_sample,
+        "corpus_mixture": q.corpus_mixture,
+        "orders_range_shards": q.orders_range_shards,
+        "conv_split_assign": q.conv_split_assign,
         "events_redact_pii": q.events_redact_pii,
         "events_props_extract": q.events_props_extract,
         # embeddings / multimodal
@@ -371,6 +374,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools,
                    CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS n_chars,
                    MAX(ts) AS last_ts
+            FROM s GROUP BY conv_id ORDER BY conv_id""",
+        # split unit is the conversation (md5(conv_id) % 100 < 80), so no
+        # conversation can straddle train/test
+        "conv_split_assign": lww_winners + """
+            , s AS (SELECT conv_id FROM w WHERE rn = 1 AND op <> 'D')
+            SELECT conv_id,
+                   CASE WHEN ('0x' || substr(md5(conv_id), 1, 16)
+                             )::UBIGINT % 100 < 80
+                        THEN 'train' ELSE 'test' END AS split,
+                   COUNT(*) AS n_turns
             FROM s GROUP BY conv_id ORDER BY conv_id""",
         "cdc_changelog_stats": f"""
             WITH ch AS ({DERIVED_CHANGES_SQL})
@@ -703,6 +716,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT event_id, event_type, CAST(rn - 1 AS BIGINT) AS rank
             FROM r WHERE rn <= 20 ORDER BY event_type, rank""",
+        # weighted mixture: even-numbered sources at 80%, odd at 30%
+        "corpus_mixture": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                  )::UBIGINT % 100
+                  < CASE WHEN CAST(substr(source, 4, 10) AS INTEGER) % 2 = 0
+                         THEN 80 ELSE 30 END
+            ORDER BY doc_id""",
+        "orders_range_shards": """
+            WITH r AS (SELECT o_orderkey,
+                              row_number() OVER (ORDER BY o_orderkey) - 1
+                                  AS rank
+                       FROM orders)
+            SELECT o_orderkey, CAST(rank AS BIGINT) AS rank,
+                   CAST((rank * 16) // (SELECT COUNT(*) FROM orders)
+                        AS BIGINT) AS shard
+            FROM r ORDER BY o_orderkey""",
         # RE2 on both engines: nested regexp_replace chain, counts taken
         # on the state each pattern saw (email scrub first, then digits)
         "events_redact_pii": """

@@ -2017,3 +2017,70 @@ def events_user_cm_counts(sf_dir: str, w_p: int = 8, d: int = 4):
         "user_id": pa.array([u for u, _ in est], pa.int64()),
         "cm_count": pa.array([c for _, c in est], pa.int64()),
     })
+
+
+def corpus_mixture(sf_dir: str):
+    """Training-mix assembly: weighted per-source Bernoulli sampling
+    (even-numbered sources at 80%, odd at 30%) in one deterministic
+    md5-keyed pass (stages/sampling.mixture_sample — no shuffle, no RNG
+    state, same rows on any cluster shape)."""
+    from migration_pair_ray.functions.sketch import md5_hash64
+    from migration_pair_ray.stages.sampling import mixture_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    rates = {f"src{i}": (80 if i % 2 == 0 else 30) for i in range(20)}
+    return (mixture_sample(ds, "source", "doc_id", rates,
+                           hash64=md5_hash64)
+            .sort("doc_id"))
+
+
+def orders_range_shards(sf_dir: str, n_shards: int = 16):
+    """Deterministic range-sharded export layout: each order's global
+    rank by key (stages/packing.global_ranks — two-pass prefix scan, no
+    all-gather) and its shard = rank * n_shards // total.  The layout a
+    sorted multi-file training export writes, computed without ever
+    holding the ranked table in one place."""
+    from migration_pair_ray.stages.packing import global_ranks
+    total = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    ds = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey"])
+          .sort("o_orderkey"))
+    ds = global_ranks(ds, "o_orderkey", rank_col="rank")
+
+    def shard(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array(r * n_shards // total, pa.int64()))
+
+    return ds.map_batches(shard, batch_format="pyarrow").sort("o_orderkey")
+
+
+@_push_heavy
+def conv_split_assign(sf_dir: str):
+    """Leakage-safe train/test split over the merged transcript state:
+    the unit of assignment is the CONVERSATION (md5(conv_id) % 100 < 80
+    → train), never the turn, so no conversation straddles the split.
+    One per-block partial count + tiny conv_id groupby; the split label
+    is recomputed from the key (no join needed)."""
+    from migration_pair_ray.functions.sketch import md5_hash64
+    from ray.data.aggregate import Sum
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"conv_id": t.column("conv_id"),
+                          "one": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by("conv_id").aggregate([("one", "sum")])
+                .rename_columns(["conv_id", "n_turns"]))
+
+    out = (st.map_batches(partial, batch_format="pyarrow")
+           .groupby("conv_id").aggregate(Sum("n_turns", alias_name="n_turns")))
+
+    def label(t: pa.Table) -> pa.Table:
+        h = md5_hash64(t.column("conv_id").to_pylist()) % np.uint64(100)
+        split = np.where(h < 80, "train", "test")
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "split": pa.array(split.tolist(), pa.string()),
+                         "n_turns": t.column("n_turns")})
+
+    return out.map_batches(label, batch_format="pyarrow").sort("conv_id")

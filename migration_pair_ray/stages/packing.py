@@ -98,3 +98,23 @@ def pack_bins(ds: "ray.data.Dataset", budget: int,
             t.column("token_offset").to_numpy(zero_copy_only=False) // budget,
             type=pa.int64())),
         batch_format="pyarrow")
+
+
+def global_ranks(ds: "ray.data.Dataset", order_col: str,
+                 rank_col: str = "rank") -> "ray.data.Dataset":
+    """Append each row's 0-based GLOBAL rank in ``order_col`` order —
+    ``row_number() OVER (ORDER BY order_col) - 1`` — without any
+    all-gather: it is ``add_token_offsets`` with a unit count (the same
+    two-pass block-partial prefix scan; input must be sorted and
+    block-disjoint on ``order_col``, which ``ds.sort(order_col)``
+    guarantees for unique keys).  The building block for deterministic
+    range-sharded exports: shard = rank * n_shards // total."""
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    out = add_token_offsets(ds.map_batches(ones, batch_format="pyarrow"),
+                            "__one", order_col, rank_col)
+    return out.map_batches(lambda t: t.drop_columns(["__one"]),
+                           batch_format="pyarrow")

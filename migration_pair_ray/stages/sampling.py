@@ -115,3 +115,28 @@ def shuffle_assign(ds: "ray.data.Dataset", key_col: str, n_shards: int,
                 .append_column("pos", pa.array(r // n_shards, pa.int64())))
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def mixture_sample(ds: "ray.data.Dataset", stratum_col: str, key_col: str,
+                   rates: dict, hash64=stable_hash64) -> "ray.data.Dataset":
+    """Weighted corpus mixture: per-stratum Bernoulli rates (percent) —
+    the sample that assembles a training mix from heterogeneous sources
+    ("80% of web, 30% of forums, ...") in one deterministic pass.  Strata
+    absent from ``rates`` are dropped.  Same scale shape as
+    ``hash_sample``: a pure per-block filter, no shuffle, reproducible on
+    any cluster shape; the per-row rate lookup is dictionary-encoded (one
+    dict probe per DISTINCT stratum per block, not per row)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        h = _key_hash(t, key_col, hash64)
+        enc = pc.dictionary_encode(
+            pc.cast(t.column(stratum_col), pa.string())).combine_chunks()
+        uniq_rates = np.array(
+            [int(rates.get(s, 0)) for s in enc.dictionary.to_pylist()],
+            dtype=np.uint64)
+        rate = uniq_rates[enc.indices.to_numpy(zero_copy_only=False)]
+        return t.filter(pa.array(h % np.uint64(100) < rate))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

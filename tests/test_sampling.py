@@ -107,3 +107,36 @@ def test_shuffle_assign_shards_balanced_and_complete():
     # every rank 0..99 dealt exactly once; shards balanced to ±0
     assert sorted(out["shard"] + 4 * out["pos"]) == list(range(100))
     assert out["shard"].value_counts().tolist() == [25, 25, 25, 25]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_sample_rates_and_unknown_strata():
+    from migration_pair_ray.stages.sampling import mixture_sample
+    n = 4000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "src": pa.array(np.where(np.arange(n) % 3 == 0, "a",
+                        np.where(np.arange(n) % 3 == 1, "b", "zzz"))),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = mixture_sample(ds, "src", "k", {"a": 100, "b": 25}).to_pandas()
+    by = got.groupby("src").size()
+    assert by.get("zzz", 0) == 0                    # absent stratum dropped
+    assert by["a"] == (np.arange(n) % 3 == 0).sum()  # 100% keeps all
+    assert 0.15 < by["b"] / (n / 3) < 0.35           # ~25%
+    # determinism: same pick on a different partitioning
+    got2 = mixture_sample(ray.data.from_arrow(t).repartition(9),
+                          "src", "k", {"a": 100, "b": 25}).to_pandas()
+    assert sorted(got2["k"]) == sorted(got["k"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_ranks_matches_row_number():
+    from migration_pair_ray.stages.packing import global_ranks
+    rng = np.random.default_rng(2)
+    keys = rng.permutation(3000).astype(np.int64)
+    ds = (ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
+          .repartition(7).sort("k"))
+    got = global_ranks(ds, "k").sort("k").to_pandas()
+    assert got["rank"].tolist() == list(range(3000))
+    assert got["k"].tolist() == sorted(keys.tolist())
