@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q.doc_repetition,
         "doc_tfidf_top": q.doc_tfidf_top,
         "doc_quality_gate": q.doc_quality_gate,
+        "doc_model_gate": q.doc_model_gate,
+        "embed_quantize": q.embed_quantize,
         "training_prep": q.training_prep,
         "corpus_curation": q.corpus_curation,
         "events_value_stats": q.events_value_stats,
@@ -285,6 +287,26 @@ def _rolling_fp_oracle(k: int = 8) -> str:
         )
         SELECT doc_id, MIN(h) AS rfp FROM sh GROUP BY doc_id
         ORDER BY doc_id"""
+
+
+# quality-feature CTE shared by the doc_model_gate oracle (same guarded
+# substring-count stop_hits expression the doc_quality oracle inlines)
+_QFEAT_CTE = """f AS (SELECT doc_id,
+        length(COALESCE(text, '')) AS n_chars,
+        CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+             ELSE length(text) - length(replace(text, ' ', '')) + 1
+        END AS n_tokens,
+        CAST(
+          (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' the ', ''))) / 5
+        + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' a ', ''))) / 3
+        + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' and ', ''))) / 5
+        + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' of ', ''))) / 4
+        + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' to ', ''))) / 4
+        + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' in ', ''))) / 4
+        + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' is ', ''))) / 4
+        + (length(' '||COALESCE(text, '')||' ') - length(replace(' '||COALESCE(text, '')||' ', ' it ', ''))) / 4
+        AS BIGINT) AS stop_hits
+      FROM documents)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -660,6 +682,31 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_bpe_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang""",
+        # integer-weight linear model: w = (-1, +6, +10) bias -30
+        "doc_model_gate": f"""
+            WITH {_QFEAT_CTE}
+            SELECT doc_id,
+                   CAST(-n_chars + 6 * n_tokens + 10 * stop_hits - 30
+                        AS BIGINT) AS score,
+                   CASE WHEN -n_chars + 6 * n_tokens + 10 * stop_hits - 30
+                             >= 0
+                        THEN 'keep' ELSE 'drop' END AS verdict
+            FROM f ORDER BY doc_id""",
+        # float64 IEEE in the same op order as numpy -> bit-exact floor
+        "embed_quantize": """
+            WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+            m AS (SELECT vec_id, MAX(ABS(v)) AS ma FROM x GROUP BY vec_id),
+            q AS (SELECT x.vec_id, m.ma,
+                         CAST(FLOOR((127.0 * x.v) /
+                                    (CASE WHEN m.ma = 0 THEN 1 ELSE m.ma END)
+                                    + 0.5) AS BIGINT) AS qv
+                  FROM x JOIN m ON x.vec_id = m.vec_id)
+            SELECT vec_id,
+                   CAST(FLOOR(MAX(ma) * 1000000) AS BIGINT) AS scale_u,
+                   CAST(SUM(qv) AS BIGINT) AS q_sum,
+                   MIN(qv) AS q_min, MAX(qv) AS q_max
+            FROM q GROUP BY vec_id ORDER BY vec_id""",
         "doc_quality": """
             SELECT doc_id,
                    length(COALESCE(text, '')) AS n_chars_m,

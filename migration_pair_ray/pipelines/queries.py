@@ -2084,3 +2084,59 @@ def conv_split_assign(sf_dir: str):
                          "n_turns": t.column("n_turns")})
 
     return out.map_batches(label, batch_format="pyarrow").sort("conv_id")
+
+
+def doc_model_gate(sf_dir: str):
+    """Classifier-gated filtering: an integer-weight linear model over
+    the quality features (stages/curation.linear_gate — weights
+    broadcast once via ray.put, one int64 matmul per batch) scores every
+    doc and labels keep/drop.  Integer weights keep the score exact, so
+    the model's verdicts themselves are SQL-checkable."""
+    from migration_pair_ray.functions.text import quality_features
+    from migration_pair_ray.stages.curation import linear_gate
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def features(t: pa.Table) -> np.ndarray:
+        f = quality_features(t)
+        return np.stack([
+            f.column("n_chars_m").to_numpy(zero_copy_only=False),
+            f.column("n_tokens").to_numpy(zero_copy_only=False),
+            f.column("stop_hits").to_numpy(zero_copy_only=False),
+            np.ones(t.num_rows, np.int64),
+        ], axis=1).astype(np.int64)
+
+    return (linear_gate(ds, features, np.array([-1, 6, 10, -30]))
+            .sort("doc_id"))
+
+
+def embed_quantize(sf_dir: str):
+    """Int8 embedding quantization (the storage/serving compression step
+    of an embedding pipeline): per-vector symmetric scale q =
+    floor(127·x/max|x| + 0.5), summarized as exact integer aggregates
+    (sum/min/max of the quantized vector) plus the scale in micro-units.
+    All arithmetic is float64 IEEE in the same operation order DuckDB
+    uses, so even the rounded values compare bit-exact.  Pure per-block
+    map — no shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").combine_chunks()
+        offs = emb.offsets.to_numpy()
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        x = emb.values.to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(t.num_rows, d)
+        ma = np.abs(x).max(axis=1)
+        safe = np.where(ma == 0.0, 1.0, ma)
+        q = np.floor((127.0 * x) / safe[:, None] + 0.5).astype(np.int64)
+        q[ma == 0.0] = 0
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "scale_u": pa.array(np.floor(ma * 1e6).astype(np.int64)),
+            "q_sum": pa.array(q.sum(axis=1)),
+            "q_min": pa.array(q.min(axis=1)),
+            "q_max": pa.array(q.max(axis=1)),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow").sort("vec_id")

@@ -464,3 +464,28 @@ def tfidf_top_term(docs: rd.Dataset, n_docs: int, text_col: str = "text",
         TfIdfTop, fn_constructor_kwargs=dict(
             store_ref=store, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def linear_gate(ds: "ray.data.Dataset", feature_fn, weights: np.ndarray,
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Model-scored gating with broadcast parameters: ``feature_fn``
+    turns a batch into an integer feature matrix (n_rows × n_features,
+    LAST feature column = 1 for the bias), the weight vector is shipped
+    to the cluster ONCE (``ray.put``) and read zero-copy per task, and
+    the score is one int64 matmul — an exact-arithmetic stand-in for a
+    learned quality classifier, with the real inference plumbing
+    (broadcast params, vectorized batch scoring, no per-row dispatch).
+    Emits (id, score, verdict) with verdict 'keep' iff score >= 0."""
+    import ray
+    wref = ray.put(np.asarray(weights, dtype=np.int64))
+
+    def score(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        X = feature_fn(t)                       # (n, len(w)) int64
+        s = X @ w
+        verdict = np.where(s >= 0, "keep", "drop")
+        return pa.table({id_col: t.column(id_col),
+                         "score": pa.array(s, pa.int64()),
+                         "verdict": pa.array(verdict.tolist(), pa.string())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -216,3 +216,38 @@ def test_tfidf_min_df_prunes_rare_terms():
     # rare terms pruned from the store -> every doc's top term is "common"
     assert out["top_term"].tolist() == ["common", "common", "common"]
     assert out["df"].tolist() == [3, 3, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_linear_gate_exact_scores():
+    from migration_pair_ray.stages.curation import linear_gate
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "a": pa.array([10, 1], pa.int64())})
+
+    def feats(b: pa.Table) -> np.ndarray:
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        return np.stack([a, np.ones(len(a), np.int64)], axis=1)
+
+    got = (linear_gate(rd.from_arrow(t), feats, np.array([2, -5]))
+           .sort("doc_id").to_pandas())
+    assert got["score"].tolist() == [15, -3]
+    assert got["verdict"].tolist() == ["keep", "drop"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_quantize_zero_vector_guard():
+    import pyarrow.parquet as pq_mod
+    from migration_pair_ray.pipelines.queries import embed_quantize
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.0, 0.0, 0.0], [1.0, -2.0, 0.5]],
+                              pa.list_(pa.float32())),
+    })
+    pq_mod.write_table(t, os.path.join(d, "embeddings.parquet"))
+    got = embed_quantize(d).to_pandas()
+    z = got[got.vec_id == 0].iloc[0]
+    assert (z.scale_u, z.q_sum, z.q_min, z.q_max) == (0, 0, 0, 0)
+    nz = got[got.vec_id == 1].iloc[0]
+    assert nz.q_min == -127 or nz.q_max == 127   # the max-|x| dim saturates
