@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_merge": q.cdc_lww_merge,
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
         "cdc_changefeed": q.cdc_changefeed,
+        "cdc_incremental_agg": q.cdc_incremental_agg,
         "cdc_tombstone_keys": q.cdc_tombstone_keys,
         "cdc_changelog_stats": q.cdc_changelog_stats,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
@@ -363,6 +364,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx
             FROM w WHERE rn = 1 AND op = 'D'
             ORDER BY conv_id, turn_idx""",
+        # IVM check: the incrementally-maintained view must equal the
+        # from-scratch recomputation
+        "cdc_incremental_agg": lww_winners + """
+            SELECT conv_id, COUNT(*) AS n_turns
+            FROM w WHERE rn = 1 AND op <> 'D'
+            GROUP BY conv_id ORDER BY conv_id""",
         # transcript assembly: string_agg skips nulls, so both sides
         # filter null role/text explicitly (grouped_string_agg contract)
         "conv_transcripts": lww_winners + """

@@ -53,7 +53,9 @@ QUERY_NAMES = [
     "events_hourly_windows",
     "events_sessionize",
     "events_session_windows",
+    "events_late_data",
     "events_approx_distinct",
+    "events_user_cm_counts",
     "events_type_approx_users",
     "events_heavy_users",
     "events_sample_hash",
@@ -66,6 +68,8 @@ QUERY_NAMES = [
     "doc_quality",
     "doc_langid",
     "doc_exact_dedup",
+    "doc_span_dedup",
+    "doc_model_gate",
     "doc_pack_bins",
     "doc_near_dedup_minhash",
     "doc_near_dedup_simhash",
@@ -80,7 +84,14 @@ QUERY_NAMES = [
     "doc_quality_gate",
     "training_prep",
     "corpus_curation",
+    "corpus_mixture",
+    "conv_context_windows",
+    "conv_tool_stats",
+    "conv_split_assign",
+    "agg_rollup_pricing",
+    "orders_range_shards",
     "embed_topk_bruteforce",
+    "embed_quantize",
     "embed_label_centroids",
     "embed_near_dedup",
     "embed_knn_ivf",

@@ -2140,3 +2140,48 @@ def embed_quantize(sf_dir: str):
         })
 
     return ds.map_batches(quantize, batch_format="pyarrow").sort("vec_id")
+
+
+@_push_heavy
+def cdc_incremental_agg(sf_dir: str):
+    """Incremental view maintenance — the CDC-native aggregate path: the
+    per-conversation turn-count view is MAINTAINED, not recomputed —
+    base counts from the checkpoint state (files 0-1 replay) plus ±1
+    deltas from the changefeed (insert +1, delete -1, update 0), merged
+    in one tiny groupby.  The full current state is never re-aggregated;
+    the oracle recomputes from scratch, so the check is exactly
+    'maintained view == recomputed view'.  Counts that reach zero drop
+    out (their conversation was fully tombstoned)."""
+    from ray.data.aggregate import Sum
+    feed = cdc_changefeed(sf_dir)        # also builds the checkpoint lake
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    pre_cfg = JobConfig(changelog_dir=str(root / "log_feed"),
+                        lake_dir=str(root / "lake_feed"),
+                        num_partitions=16)
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"conv_id": t.column("conv_id"),
+                          "d": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by("conv_id").aggregate([("d", "sum")])
+                .rename_columns(["conv_id", "delta"]))
+
+    def feed_partial(t: pa.Table) -> pa.Table:
+        ch = t.column("change")
+        keep = pc.or_(pc.equal(ch, "insert"), pc.equal(ch, "delete"))
+        t = t.filter(keep)
+        d = np.where(pc.equal(t.column("change"), "insert")
+                     .to_numpy(zero_copy_only=False), 1, -1)
+        return (pa.table({"conv_id": t.column("conv_id"),
+                          "d": pa.array(d.astype(np.int64))})
+                .group_by("conv_id").aggregate([("d", "sum")])
+                .rename_columns(["conv_id", "delta"]))
+
+    base = final_state(pre_cfg, sort=False).map_batches(
+        base_partial, batch_format="pyarrow")
+    deltas = feed.map_batches(feed_partial, batch_format="pyarrow")
+    out = (base.union(deltas)
+           .groupby("conv_id").aggregate(Sum("delta", alias_name="n_turns")))
+    return (out.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_turns"), 0)),
+        batch_format="pyarrow").sort("conv_id"))
