@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_agg": q.cdc_incremental_agg,
         "cdc_tombstone_keys": q.cdc_tombstone_keys,
         "cdc_changelog_stats": q.cdc_changelog_stats,
+        "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
         "conv_transcripts": q.conv_transcripts,
         "conv_context_windows": q.conv_context_windows,
@@ -418,6 +419,15 @@ def oracle_sql() -> dict[str, str]:
             WITH ch AS ({DERIVED_CHANGES_SQL})
             SELECT op, COUNT(*) AS n, MIN(lsn) AS lsn_lo, MAX(lsn) AS lsn_hi
             FROM ch GROUP BY op ORDER BY op""",
+        # ground truth the engine's manifests/lineage must agree with;
+        # manifest row_count = ALL LWW winners (tombstone rows stay in
+        # the lake as 'D' markers and are filtered at read time)
+        "cdc_lineage_totals": lww_winners + """
+            SELECT (SELECT COUNT(*) FROM w WHERE rn = 1) AS rows_state,
+                   (SELECT COUNT(*) FROM w WHERE rn = 1 AND op = 'D')
+                       AS tombstones,
+                   (SELECT MIN(lsn) FROM ch) AS lsn_lo,
+                   (SELECT MAX(lsn) FROM ch) AS lsn_hi""",
         "cdc_snapshot_unix_ms": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool,
                    epoch_ms(ts) AS ts

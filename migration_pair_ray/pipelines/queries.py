@@ -2185,3 +2185,21 @@ def cdc_incremental_agg(sf_dir: str):
     return (out.map_batches(
         lambda t: t.filter(pc.greater(t.column("n_turns"), 0)),
         batch_format="pyarrow").sort("conv_id"))
+
+
+def cdc_lineage_totals(sf_dir: str):
+    """Lineage/metrics cross-check: the engine's OWN recorded artifacts —
+    per-partition manifests (current state rows, tombstones) and lineage
+    records (applied lsn coverage) — rolled up job-wide and compared to
+    ground truth recomputed by the oracle from the change stream.  Reads
+    only manifests + lineage parquet (split-aware via LakeMeta), never
+    the data files."""
+    from migration_pair_ray.state.lineage import lineage_summary
+    cfg = _events_lake(sf_dir)
+    s = lineage_summary(cfg)
+    return pa.table({
+        "rows_state": pa.array([s["rows_state_last"]], pa.int64()),
+        "tombstones": pa.array([s["tombstones"]], pa.int64()),
+        "lsn_lo": pa.array([s["lsn_lo"]], pa.int64()),
+        "lsn_hi": pa.array([s["lsn_hi"]], pa.int64()),
+    })

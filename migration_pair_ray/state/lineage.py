@@ -38,9 +38,11 @@ def lineage_summary(cfg: JobConfig) -> dict:
     # current-state figures come from the MANIFESTS (each partition's
     # committed latest), never by summing lineage across passes — that
     # would double-count state rows
-    from migration_pair_ray.state.manifest import ManifestStore
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     store = ManifestStore(cfg.manifest_dir)
-    manifests = [m for m in (store.read(pid) for pid in range(cfg.num_partitions)) if m]
+    # split-aware: child partitions live outside range(num_partitions)
+    pids = LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions)
+    manifests = [m for m in (store.read(pid) for pid in pids) if m]
     rows_state_now = sum(m.get("row_count", 0) for m in manifests)
     tombstones_now = sum(m.get("tombstones", 0) for m in manifests)
     return {

@@ -289,3 +289,22 @@ def test_split_validation_and_empty_partition(tmp_lake):
     pd.testing.assert_frame_equal(
         final_state(cfg).to_pandas().reset_index(drop=True), want,
         check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lineage_summary_split_aware(tmp_path):
+    """lineage_summary must count child-partition manifests (which live
+    outside range(num_partitions)) after an incremental split."""
+    from migration_pair_ray.state.lineage import lineage_summary
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    generate_change_log(log, n_events=800, n_convs=8, n_files=1,
+                        tool_epoch=0, shuffle_window=100, seed=23)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    apply_concurrency=2)
+    replay(cfg)
+    before = lineage_summary(cfg)
+    split_partition(cfg, _heaviest(cfg), fanout=2)
+    after = lineage_summary(cfg)
+    assert after["rows_state_last"] == before["rows_state_last"]
+    assert after["tombstones"] == before["tombstones"]
+    assert after["partitions"] == before["partitions"] + 1  # 1 -> 2 children
