@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
         "cdc_changefeed": q.cdc_changefeed,
         "cdc_incremental_agg": q.cdc_incremental_agg,
+        "cdc_log_compaction": q.cdc_log_compaction,
         "cdc_tombstone_keys": q.cdc_tombstone_keys,
         "cdc_changelog_stats": q.cdc_changelog_stats,
         "cdc_lineage_totals": q.cdc_lineage_totals,
@@ -67,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": q.events_value_quantiles,
         "events_type_quantiles": q.events_type_quantiles,
         "events_type_pivot": q.events_type_pivot,
+        "events_type_transitions": q.events_type_transitions,
+        "conv_turn_gaps": q.conv_turn_gaps,
         "lineitem_price_bands": q.lineitem_price_bands,
         # text / documents (training-data ops)
         "doc_token_stats": q.doc_token_stats,
@@ -75,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints_rolling": q.doc_fingerprints_rolling,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_span_dedup": q.doc_span_dedup,
+        "corpus_union_dedup": q.corpus_union_dedup,
         "doc_langid": q.doc_langid,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
@@ -330,6 +334,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
+        # compaction must be lossless: replaying [compacted prefix + tail]
+        # equals the full uncompacted replay
+        "cdc_log_compaction": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
         # net effect of advancing from the files-0/1 checkpoint state to
         # the full-log state; cut = 2*ceil(n/4) is the lsn range files
         # 0-1 own (the engine links exactly those files into log_feed)
@@ -405,6 +415,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS n_chars,
                    MAX(ts) AS last_ts
             FROM s GROUP BY conv_id ORDER BY conv_id""",
+        # lag() shapes: transition bigrams and inter-turn gap latencies
+        "events_type_transitions": """
+            WITH l AS (SELECT event_type,
+                              lag(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_type
+                       FROM events)
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type ORDER BY prev_type, next_type""",
+        "conv_turn_gaps": lww_winners + """
+            , s AS (SELECT conv_id, turn_idx, ts
+                    FROM w WHERE rn = 1 AND op <> 'D'),
+            l AS (SELECT conv_id,
+                         epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx))
+                             AS gap_us
+                  FROM s)
+            SELECT conv_id, COUNT(gap_us) AS n_gaps,
+                   MAX(gap_us) AS max_gap_us,
+                   CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+            FROM l WHERE gap_us IS NOT NULL
+            GROUP BY conv_id ORDER BY conv_id""",
         # split unit is the conversation (md5(conv_id) % 100 < 80), so no
         # conversation can straddle train/test
         "conv_split_assign": lww_winners + """
@@ -1146,6 +1179,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, text
             FROM documents GROUP BY text ORDER BY doc_id""",
+        # cross-corpus dedup: docs keep their id as uid, turns get
+        # 10^12 + conv*200 + turn_idx (turn_idx < 200 by construction)
+        "corpus_union_dedup": lww_winners + """
+            , s AS (SELECT conv_id, turn_idx, text
+                    FROM w WHERE rn = 1 AND op <> 'D'
+                      AND text IS NOT NULL),
+            u AS (
+              SELECT CAST(doc_id AS BIGINT) AS uid, 'doc' AS origin, text
+              FROM documents WHERE text IS NOT NULL
+              UNION ALL
+              SELECT 1000000000000
+                       + CAST(substr(conv_id, 2, 10) AS BIGINT) * 200
+                       + turn_idx,
+                     'turn', text
+              FROM s),
+            k AS (SELECT origin, row_number() OVER (
+                    PARTITION BY text ORDER BY uid) rn2 FROM u)
+            SELECT origin, COUNT(*) AS n_kept
+            FROM k WHERE rn2 = 1 GROUP BY origin ORDER BY origin""",
         # paragraph-grain dedup: 16-word spans, first (doc_id, span_idx)
         # occurrence of each distinct span wins, docs reassembled from
         # survivors (zipped unnest = WITH ORDINALITY, absent in this build)

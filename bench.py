@@ -49,6 +49,7 @@ QUERY_NAMES = [
     "events_value_quantiles",
     "events_type_quantiles",
     "events_type_pivot",
+    "events_type_transitions",
     "lineitem_price_bands",
     "events_hourly_windows",
     "events_sessionize",
@@ -88,6 +89,9 @@ QUERY_NAMES = [
     "conv_context_windows",
     "conv_tool_stats",
     "conv_split_assign",
+    "conv_turn_gaps",
+    "corpus_union_dedup",
+    "cdc_incremental_agg",
     "agg_rollup_pricing",
     "orders_range_shards",
     "embed_topk_bruteforce",

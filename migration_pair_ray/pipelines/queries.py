@@ -2203,3 +2203,156 @@ def cdc_lineage_totals(sf_dir: str):
         "lsn_lo": pa.array([s["lsn_lo"]], pa.int64()),
         "lsn_hi": pa.array([s["lsn_hi"]], pa.int64()),
     })
+
+
+def events_type_transitions(sf_dir: str):
+    """Event-sequence transition counts (the Markov/bigram table a
+    behavioral or next-event model trains on): per user, each event's
+    predecessor type via stages/analytic.grouped_lag (coarse-bucket
+    shifted take, zero per-key dispatch), then a (prev, next) count with
+    per-block partials before the tiny pair groupby."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.analytic import grouped_lag
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    lagged = grouped_lag(ds, "user_id", ["ts", "event_id"], "event_type",
+                         lag_col="prev_type")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("prev_type")))
+        return (pa.table({"prev_type": t.column("prev_type"),
+                          "next_type": t.column("event_type"),
+                          "one": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by(["prev_type", "next_type"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["prev_type", "next_type", "n"]))
+
+    return (lagged.map_batches(partial, batch_format="pyarrow")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["prev_type", "next_type"]))
+
+
+@_push_heavy
+def conv_turn_gaps(sf_dir: str):
+    """Dialogue-latency rollup over the merged transcript state: per
+    conversation, the count / max / sum of inter-turn timestamp gaps in
+    exact microseconds (grouped_lag on ts ordered by turn_idx, then one
+    in-bucket Arrow group_by — turns of a conversation never span
+    buckets)."""
+    from migration_pair_ray.stages.analytic import grouped_lag
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+    lagged = grouped_lag(st, "conv_id", ["turn_idx"], "ts",
+                         lag_col="prev_ts", n_coarse=64)
+
+    def gaps(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("prev_ts")))
+        cur = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        prev = pc.cast(pc.cast(t.column("prev_ts"), pa.timestamp("us")),
+                       pa.int64())
+        gap = pc.subtract(cur, prev)
+        return (pa.table({"conv_id": t.column("conv_id"), "gap_us": gap})
+                .group_by("conv_id")
+                .aggregate([("gap_us", "count"), ("gap_us", "max"),
+                            ("gap_us", "sum")])
+                .rename_columns(["conv_id", "n_gaps", "max_gap_us",
+                                 "sum_gap_us"]))
+
+    from ray.data.aggregate import Max, Sum
+    return (lagged.map_batches(gaps, batch_format="pyarrow")
+            .groupby("conv_id")
+            .aggregate(Sum("n_gaps", alias_name="n_gaps"),
+                       Max("max_gap_us", alias_name="max_gap_us"),
+                       Sum("sum_gap_us", alias_name="sum_gap_us"))
+            .sort("conv_id"))
+
+
+@_push_heavy
+def corpus_union_dedup(sf_dir: str):
+    """Cross-corpus exact dedup: the documents table and the merged
+    transcript turns unioned into ONE corpus (schemas aligned to
+    (uid, origin, text); turn uid = 10^12 + conv*200 + turn_idx so the
+    keeper preference is deterministic and SQL-mirrorable), deduped with
+    the standard coarse content-hash skeleton, reported as per-origin
+    survivor counts.  Turn texts draw from ~100 distinct payloads, so
+    the cross-table dedup does real work."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.dedup import exact_dedup
+    docs = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(lambda t: pa.table({
+                "uid": pc.cast(t.column("doc_id"), pa.int64()),
+                "origin": pa.array(["doc"] * t.num_rows, pa.string()),
+                "text": t.column("text"),
+            }).filter(pc.is_valid(t.column("text"))),
+                batch_format="pyarrow"))
+    cfg = _events_lake(sf_dir)
+
+    def turn_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        conv_n = pc.cast(pc.utf8_slice_codeunits(
+            t.column("conv_id"), 1, 32), pa.int64())
+        uid = pc.add(pa.scalar(1_000_000_000_000, pa.int64()),
+                     pc.add(pc.multiply(conv_n, pa.scalar(200, pa.int64())),
+                            pc.cast(t.column("turn_idx"), pa.int64())))
+        return pa.table({"uid": uid,
+                         "origin": pa.array(["turn"] * t.num_rows,
+                                            pa.string()),
+                         "text": t.column("text")})
+
+    turns = final_state(cfg, sort=False).map_batches(
+        turn_rows, batch_format="pyarrow")
+    kept = exact_dedup(docs.union(turns), text_col="text", id_col="uid")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"origin": t.column("origin"),
+                          "one": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by("origin").aggregate([("one", "sum")])
+                .rename_columns(["origin", "n_kept"]))
+
+    return (kept.map_batches(partial, batch_format="pyarrow")
+            .groupby("origin").aggregate(Sum("n_kept", alias_name="n_kept"))
+            .sort("origin"))
+
+
+@_push_heavy
+def cdc_log_compaction(sf_dir: str):
+    """Changelog compaction (the Kafka-compacted-topic / WAL-truncation
+    feature): the log PREFIX (files 0-1) is replaced by its per-key LWW
+    winners — tombstones preserved, original (ts, lsn) metadata kept, so
+    replaying [compacted prefix + tail] is LWW-equivalent to replaying
+    the full log (file order is irrelevant inside a pass; winners are
+    decided by (ts, lsn) alone).  The compacted segment is written
+    DISTRIBUTED (read_lake -> write_parquet, renamed into the append-only
+    batch-* contract); the oracle recomputes from the uncompacted stream,
+    so the check is compaction-lossless-ness end to end."""
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    # checkpoint state over files 0-1: built (idempotently) by the
+    # changefeed machinery; reuse it
+    cdc_changefeed(sf_dir)
+    pre_cfg = JobConfig(changelog_dir=str(root / "log_feed"),
+                        lake_dir=str(root / "lake_feed"),
+                        num_partitions=16)
+    log_c, lake_c = str(root / "log_compacted"), str(root / "lake_compacted")
+    marker = root / "_compacted_done"
+    if not marker.exists():
+        shutil.rmtree(log_c, ignore_errors=True)
+        shutil.rmtree(lake_c, ignore_errors=True)
+        os.makedirs(log_c)
+        tmp = str(root / "_compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        read_lake(pre_cfg).write_parquet(tmp)
+        for i, f in enumerate(sorted(Path(tmp).glob("*.parquet"))):
+            os.replace(f, Path(log_c) / f"batch-00000-c{i:04d}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+        files = sorted(Path(src.changelog_dir).glob("batch-*.parquet"))
+        for f in files[2:]:
+            os.link(f, Path(log_c) / f.name)
+        marker.touch()
+    cfg_c = JobConfig(changelog_dir=log_c, lake_dir=lake_c,
+                      num_partitions=16)
+    replay(cfg_c)
+    return final_state(cfg_c, sort=True)

@@ -408,3 +408,34 @@ def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str],
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def grouped_lag(ds: "ray.data.Dataset", key_col: str,
+                order_cols: list[str], value_col: str,
+                lag_col: str = "lag",
+                n_coarse: int | None = None) -> "ray.data.Dataset":
+    """Per-key previous value — ``lag(value) OVER (PARTITION BY key
+    ORDER BY order_cols)`` — the primitive under event-sequence
+    transitions, turn-gap latencies, and delta encoding.  Same vectorized
+    family shape: coarse key-hash buckets (ONE shuffle), one Arrow sort
+    per bucket, then the lag is a single shifted ``take`` with key-first
+    rows nulled by the boundary mask — zero per-key dispatch."""
+    n_coarse = _default_coarse(n_coarse)
+    sort_keys = ([(key_col, "ascending")]
+                 + [(c, "ascending") for c in order_cols])
+
+    def lag_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        vt = g.schema.field(value_col).type
+        if g.num_rows == 0:
+            return g.append_column(lag_col, pa.array([], vt))
+        g = g.sort_by(sort_keys)
+        first = _group_first_mask_np(g, key_col)
+        idx = np.arange(g.num_rows, dtype=np.int64) - 1
+        idx[0] = 0
+        shifted = pc.take(g.column(value_col), pa.array(idx))
+        lag = pc.if_else(pa.array(first), pa.scalar(None, vt), shifted)
+        return g.append_column(lag_col, lag)
+
+    return (_with_bucket(ds, key_col, n_coarse)
+            .groupby("__b").map_groups(lag_bucket, batch_format="pyarrow"))

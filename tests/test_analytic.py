@@ -189,3 +189,25 @@ def test_rollup_aggregate_three_keys_matches_duckdb():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_lag_matches_duckdb():
+    from migration_pair_ray.stages.analytic import grouped_lag
+    rng = np.random.default_rng(9)
+    n = 2_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "o": pa.array(rng.permutation(n), pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    got = (grouped_lag(ray.data.from_arrow(t).repartition(6),
+                       "k", ["o"], "v", lag_col="prev")
+           .sort(["k", "o"]).to_pandas())
+    duckdb.register("lt", t)
+    want = duckdb.sql("""
+        SELECT k, o, v, lag(v) OVER (PARTITION BY k ORDER BY o) AS prev
+        FROM lt ORDER BY k, o""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
