@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changelog_stats": q.cdc_changelog_stats,
         "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
+        "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
+        "events_value_outliers": q.events_value_outliers,
         "conv_transcripts": q.conv_transcripts,
         "conv_context_windows": q.conv_context_windows,
         "conv_tool_stats": q.conv_tool_stats,
@@ -466,6 +468,27 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(ts) AS ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
+        "cdc_snapshot_jsonl": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool,
+                   epoch_ms(ts) AS ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # IQR anomaly rule on exact quantile_disc quartiles: identical
+        # float threshold arithmetic on both engines
+        "events_value_outliers": """
+            WITH vc AS (SELECT event_type,
+                               CAST(FLOOR(value * 100) AS BIGINT) AS c
+                        FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(c, 0.25) AS q1,
+                         quantile_disc(c, 0.75) AS q3
+                  FROM vc GROUP BY event_type)
+            SELECT vc.event_type,
+                   CAST(SUM(CASE WHEN vc.c > q.q3 + 1.5 * (q.q3 - q.q1)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   COUNT(*) AS n
+            FROM vc JOIN q ON vc.event_type = q.event_type
+            GROUP BY vc.event_type ORDER BY vc.event_type""",
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,

@@ -55,6 +55,7 @@ QUERY_NAMES = [
     "events_sessionize",
     "events_session_windows",
     "events_late_data",
+    "events_value_outliers",
     "events_approx_distinct",
     "events_user_cm_counts",
     "events_type_approx_users",

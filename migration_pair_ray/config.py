@@ -63,6 +63,12 @@ class JobConfig:
     # whose key range the incoming changes touch (COMPACTION.md: merge I/O
     # proportional to the touched key range, not the partition size).
     state_chunk_rows: int = 0
+    # Auto-compaction: 0 = splits are manual (CLI `split` task); > 0 =
+    # every replay pass ends with a size-guard sweep that incrementally
+    # splits any partition whose committed state exceeds this many rows
+    # (pipelines/compact.maybe_split_oversized — other partitions
+    # untouched, crash-safe via the atomic _lake_meta commit).
+    auto_split_max_rows: int = 0
 
     def __post_init__(self) -> None:
         if self.batch_size <= 0:  # reference behavior: <=0 falls back to default

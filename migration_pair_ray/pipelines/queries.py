@@ -2356,3 +2356,71 @@ def cdc_log_compaction(sf_dir: str):
                       num_partitions=16)
     replay(cfg_c)
     return final_state(cfg_c, sort=True)
+
+
+@_push_heavy
+def cdc_snapshot_jsonl(sf_dir: str):
+    """JSONL sink + source parity — the training-data interchange format:
+    the merged state exported to JSON-lines (snapshot fmt='jsonl',
+    partition-parallel write, unix-ms timestamps so values survive JSON
+    as exact integers), read back via sources/readers.read_jsonl with
+    schema normalization (all-null tool files infer as null type and must
+    conform by name), and compared to the LWW oracle."""
+    from migration_pair_ray.pipelines.snapshot import snapshot
+    from migration_pair_ray.sources.readers import read_jsonl
+    cfg = _events_lake(sf_dir)
+    out_dir = f"/tmp/mpr_queries/{Path(sf_dir).name}/state_jsonl"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    snapshot(cfg, out_dir, fmt="jsonl", unix_ms_ts=True, sort=False)
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("text", pa.string()),
+        ("tool", pa.string()), ("ts", pa.int64()),
+    ])
+    return (read_jsonl(f"{out_dir}/", schema=schema)
+            .sort(["conv_id", "turn_idx"]))
+
+
+def events_value_outliers(sf_dir: str):
+    """Per-type IQR anomaly counts: events whose value exceeds
+    q3 + 1.5·IQR of their type.  The quartiles are EXACT
+    (stages/analytic.grouped_quantiles, quantile_disc semantics — real
+    data values, so the float threshold arithmetic is identical on both
+    engines); thresholds are a tiny per-type table broadcast into a
+    per-block filter — raw events shuffle only as quantile histogram
+    partials."""
+    import ray
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.analytic import grouped_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    # work in the floor(v*100) integer domain end to end (the quantile
+    # operator's own fixed-precision scaling), so the quartiles are exact
+    # integers and the 1.5*IQR threshold arithmetic is identical in SQL
+    qt = (grouped_quantiles(ds, "event_type", "value",
+                            qs=[0.25, 0.75], scale=100).take_all())
+    q1 = {r["event_type"]: int(round(r["value"] * 100))
+          for r in qt if r["q"] == 0.25}
+    q3 = {r["event_type"]: int(round(r["value"] * 100))
+          for r in qt if r["q"] == 0.75}
+    thr = {k: q3[k] + 1.5 * (q3[k] - q1[k]) for k in q3}
+    tref = ray.put(thr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        enc = pc.dictionary_encode(t.column("event_type")).combine_chunks()
+        bar = np.array([th[s] for s in enc.dictionary.to_pylist()])
+        v = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        out = v > bar[enc.indices.to_numpy(zero_copy_only=False)]
+        return (pa.table({"event_type": t.column("event_type"),
+                          "o": pa.array(out.astype(np.int64))})
+                .group_by("event_type").aggregate([("o", "sum"),
+                                                   ("o", "count")])
+                .rename_columns(["event_type", "n_outliers", "n"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_outliers", alias_name="n_outliers"),
+                       Sum("n", alias_name="n"))
+            .sort("event_type"))

@@ -130,9 +130,17 @@ def replay(cfg: JobConfig) -> dict:
         pass_id, files,
         stats={"events_in": events_in, "partitions": lineage.num_rows},
     )
+    splits_done = 0
+    if cfg.auto_split_max_rows > 0:
+        # post-pass size-guard: incrementally split any partition whose
+        # committed state outgrew the bound (only oversized partitions are
+        # touched; a crash mid-split is invisible and completed on re-run)
+        from migration_pair_ray.pipelines.compact import maybe_split_oversized
+        splits_done = len(maybe_split_oversized(cfg, cfg.auto_split_max_rows))
     dt = time.perf_counter() - t0
     return {
         "pass_id": pass_id,
+        "splits": splits_done,
         "files": len(files),
         "events_in": events_in,
         "partitions": lineage.num_rows,

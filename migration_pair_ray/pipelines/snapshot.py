@@ -60,6 +60,10 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
                 delimiter=delim, include_header=header)}
 
         ds.write_csv(out_dir, arrow_csv_args_fn=_csv_args)
+    elif fmt == "jsonl":
+        # training-data interchange format; pair with unix_ms_ts=True so
+        # timestamps survive the JSON roundtrip as exact integers
+        ds.write_json(out_dir)
     else:
         raise ValueError(f"unknown snapshot format {fmt!r}")
     from migration_pair_ray.state.manifest import LakeMeta, ManifestStore

@@ -308,3 +308,29 @@ def test_lineage_summary_split_aware(tmp_path):
     assert after["rows_state_last"] == before["rows_state_last"]
     assert after["tombstones"] == before["tombstones"]
     assert after["partitions"] == before["partitions"] + 1  # 1 -> 2 children
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_split_on_replay(tmp_path):
+    """auto_split_max_rows > 0: replay ends with a size-guard sweep that
+    splits oversized partitions automatically; a second incremental
+    replay routes through the children and the final state matches the
+    SQL oracle over the full log."""
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    generate_change_log(log, n_events=1200, n_convs=8, n_files=2,
+                        tool_epoch=1, shuffle_window=150, seed=31)
+    # hide the second file, replay, then reveal it (incremental pass)
+    files = sorted(glob.glob(f"{log}/batch-*.parquet"))
+    hidden = files[1] + ".hidden"
+    os.rename(files[1], hidden)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=2,
+                    apply_concurrency=2, auto_split_max_rows=120)
+    r1 = replay(cfg)
+    assert r1["splits"] >= 1                      # guard fired in-pass
+    n_active_1 = len(LakeMeta(lake).active_partition_ids())
+    assert n_active_1 > 2
+    os.rename(hidden, files[1])
+    r2 = replay(cfg)
+    assert r2["files"] == 1                       # only the new file
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _oracle(log), check_dtype=False)
