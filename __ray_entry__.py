@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_urgent_lineitems": q.join_urgent_lineitems,
         "join_events_orders_salted": q.join_events_orders_salted,
         "join_events_orders_asof": q.join_events_orders_asof,
+        "join_events_orders_range": q.join_events_orders_range,
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # analytic / window-function family (stages/analytic.py)
         "topn_orders_per_customer": q.topn_orders_per_customer,
@@ -659,6 +660,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS matched_rev
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.user_id AND e.ts >= r.ts
+            GROUP BY e.event_type ORDER BY e.event_type""",
+        "join_events_orders_range": """
+            SELECT e.event_type,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice, 0) AS BIGINT))
+                        AS BIGINT) AS rev,
+                   MIN(epoch_us(o.o_orderdate)) AS ts_min_us,
+                   MAX(epoch_us(o.o_orderdate)) AS ts_max_us
+            FROM events e JOIN orders o ON o.o_custkey = e.user_id
+              AND epoch_us(o.o_orderdate)
+                  BETWEEN epoch_us(e.ts) - 725000000000000
+                      AND epoch_us(e.ts) - 700000000000000
             GROUP BY e.event_type ORDER BY e.event_type""",
         "topn_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice,

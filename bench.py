@@ -43,6 +43,7 @@ QUERY_NAMES = [
     "join_urgent_lineitems",
     "join_events_orders_salted",
     "join_events_orders_asof",
+    "join_events_orders_range",
     "topk_orders_by_price",
     "topn_orders_per_customer",
     "orders_running_revenue",

@@ -631,6 +631,58 @@ def join_events_orders_asof(sf_dir: str, tolerance_s: int = 725_000_000):
         batch_format="pyarrow")
 
 
+def join_events_orders_range(sf_dir: str,
+                             lo_s: int = -725_000_000,
+                             hi_s: int = -700_000_000):
+    """Interval (range) join: every (event, order) pair of the same user
+    with the order placed inside a fixed window RELATIVE to the event —
+    the one-to-many temporal join (stages/join.py:range_join; asof is the
+    one-to-one sibling).  The ~22-year event/order gap puts the
+    [-725Ms, -700Ms] window in the data's mass so the join is selective
+    but non-trivial.  Result per event_type: pair count, exact revenue of
+    matched orders (per-pair whole-unit rounding so the int64 sum is
+    bit-portable), and the matched orders' date span as epoch-µs ints."""
+    from ray.data.aggregate import Max, Min, Sum
+    from migration_pair_ray.stages.join import range_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+    right = orders.map_batches(
+        lambda t: pa.table({"user_id": t.column("o_custkey"),
+                            "ts": t.column("o_orderdate"),
+                            "price": t.column("o_totalprice")}),
+        batch_format="pyarrow")
+    pairs = range_join(events, right, key="user_id", ts_col="ts",
+                       lo_s=lo_s, hi_s=hi_s, how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column("ts_r"), pa.timestamp("us")),
+                        pa.int64())
+        t2 = pa.table({
+            "event_type": t.column("event_type"),
+            "rev": pc.cast(pc.round(t.column("price"), ndigits=0,
+                                    round_mode="half_towards_infinity"),
+                           pa.int64()),
+            "ts_us": ts_us,
+        })
+        return (t2.group_by("event_type")
+                .aggregate([("rev", "count"), ("rev", "sum"),
+                            ("ts_us", "min"), ("ts_us", "max")])
+                .rename_columns(["event_type", "n_pairs", "rev",
+                                 "ts_min_us", "ts_max_us"]))
+
+    return (pairs.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                       Sum("rev", alias_name="rev"),
+                       Min("ts_min_us", alias_name="ts_min_us"),
+                       Max("ts_max_us", alias_name="ts_max_us"))
+            .sort("event_type"))
+
+
 def topn_orders_per_customer(sf_dir: str, n: int = 3):
     """Per-key top-N (stages/analytic.py): every customer's 3 priciest
     orders with a 0-based rank — the ``row_number() OVER (PARTITION BY

@@ -345,6 +345,178 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                                 batch_format="pyarrow")
 
 
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key: str, ts_col: str, lo_s: float, hi_s: float,
+               how: str = "inner",
+               n_coarse: int | None = None) -> "ray.data.Dataset":
+    """Interval (range) join: each left row matches EVERY right row of the
+    same ``key`` with ``right.ts in [left.ts + lo_s, left.ts + hi_s]``
+    (both ends inclusive; ``lo_s`` may be negative).  One-to-many — the
+    other custom temporal join Ray Data lacks (``asof_join`` is the
+    one-to-one sibling and shares the shuffle skeleton).
+
+    Execution: coarse-hash-bucket both sides on ``key`` (ONE shuffle, keys
+    never span buckets).  Inside a bucket the left side is exploded into a
+    LOWER and an UPPER probe row, unioned with the right rows, and ONE
+    Arrow sort by (key, ts, tie) orders probes around equal-ts rights so
+    that a running count of right rows read off at the two probe positions
+    IS the per-key searchsorted pair: the matching rights for left row i
+    are exactly the compacted right indices ``[cum[lo_i], cum[hi_i])`` —
+    the per-key segment offsets cancel because both probes carry the same
+    key, so no per-key loop and no segment arithmetic exist at all.  Pair
+    emission is the standard ragged ``repeat + arange`` gather.
+
+    ``how``: "inner" emits matched pairs only; "left" additionally keeps
+    unmatched left rows with null right payload.  Right payload columns
+    keep their names (``_r`` suffix on collisions); the matched right
+    timestamp is emitted as ``ts_col + "_r"``.
+
+    Partitioning assumption: one coarse bucket's rows (plus its emitted
+    pairs) fit one task's memory — same contract as ``asof_join``; raise
+    ``n_coarse`` for extreme skew, and keep the window tight: output size
+    is the number of TRUE matches, which the window width controls.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"range_join: how={how!r} (use 'left' or 'inner')")
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    n_coarse = _default_coarse(n_coarse)
+    lo_us, hi_us = int(lo_s * 1_000_000), int(hi_s * 1_000_000)
+    if lo_us > hi_us:
+        raise ValueError("range_join: lo_s must be <= hi_s")
+
+    lschema, rschema = left.schema(), right.schema()
+    lnames, rnames = list(lschema.names), list(rschema.names)
+    l_only = [c for c in lnames if c not in (key, ts_col)]
+    r_ts = ts_col + right_suffix_default
+    new_rnames = [c if c in (key, ts_col) else
+                  (c + right_suffix_default if c in lnames else c)
+                  for c in rnames]
+    if new_rnames != rnames:
+        # a renamed empty dataset can no longer report a schema, so the
+        # type maps below come from the pre-rename schemas
+        right = right.map_batches(
+            lambda b, names=tuple(new_rnames): b.rename_columns(list(names)),
+            batch_format="pyarrow")
+    r_only = [c for c in new_rnames if c not in (key, ts_col)]
+
+    def tag(side: int):
+        def _tag(t: pa.Table) -> pa.Table:
+            cols = {key: t.column(key), ts_col: t.column(ts_col)}
+            for c in (l_only if side == 1 else r_only):
+                cols[c] = t.column(c)
+            out = pa.table(cols)
+            for c in (r_only if side == 1 else l_only):
+                out = out.append_column(c, pa.nulls(t.num_rows))
+            out = out.append_column(
+                _SIDE_COL, pa.array(np.full(t.num_rows, side, np.int8)))
+            return out.append_column(_BUCKET_COL, pa.array(
+                _coarse_key_bucket(t.column(key), n_coarse)))
+        return _tag
+
+    def _arrow_types(schema) -> dict:
+        out = {}
+        for n, t in zip(schema.names, schema.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
+            out[n] = t
+        return out
+
+    ltypes = _arrow_types(lschema)
+    rtypes0 = _arrow_types(rschema)
+    rtypes = {n: rtypes0[o] for n, o in zip(new_rnames, rnames)}
+    union_schema = pa.schema(
+        [pa.field(key, ltypes[key]), pa.field(ts_col, ltypes[ts_col])]
+        + [pa.field(c, ltypes[c]) for c in l_only]
+        + [pa.field(c, rtypes[c]) for c in r_only]
+        + [pa.field(_SIDE_COL, pa.int8()), pa.field(_BUCKET_COL, pa.int32())])
+    from migration_pair_ray.schemas import conform_batch
+
+    lt = left.map_batches(lambda t: conform_batch(tag(1)(t), union_schema),
+                          batch_format="pyarrow")
+    rt = right.map_batches(lambda t: conform_batch(tag(0)(t), union_schema),
+                           batch_format="pyarrow")
+    both = lt.union(rt)
+    out_fields = ([pa.field(key, ltypes[key]), pa.field(ts_col, ltypes[ts_col])]
+                  + [pa.field(c, ltypes[c]) for c in l_only]
+                  + [pa.field(r_ts, rtypes[ts_col])]
+                  + [pa.field(c, rtypes[c]) for c in r_only])
+
+    def _empty() -> pa.Table:
+        return pa.table({f.name: pa.array([], f.type) for f in out_fields})
+
+    def range_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if g.num_rows == 0:
+            return _empty()
+        side = g.column(_SIDE_COL).to_numpy(zero_copy_only=False)
+        lefts = g.filter(pa.array(side == 1)).select([key, ts_col] + l_only)
+        rights = g.filter(pa.array(side == 0)).select([key, ts_col] + r_only)
+        nl, nr = lefts.num_rows, rights.num_rows
+        if nl == 0:
+            return _empty()
+        l_ts = pc.cast(pc.cast(lefts.column(ts_col), pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        r_ts_us = pc.cast(pc.cast(rights.column(ts_col), pa.timestamp("us")),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+        # probe stream: rights(tie=1) + lo-probes(tie=0, so equal-ts rights
+        # count as >= lo) + hi-probes(tie=2, so equal-ts rights count as
+        # <= hi); src = row index within its own side's table
+        stream = pa.table({
+            key: pa.concat_arrays([
+                rights.column(key).combine_chunks().cast(ltypes[key]),
+                lefts.column(key).combine_chunks(),
+                lefts.column(key).combine_chunks()]),
+            "__ts": pa.array(np.concatenate([r_ts_us, l_ts + lo_us,
+                                             l_ts + hi_us])),
+            "__tie": pa.array(np.concatenate([
+                np.full(nr, 1, np.int8), np.zeros(nl, np.int8),
+                np.full(nl, 2, np.int8)])),
+            "__src": pa.array(np.concatenate([
+                np.arange(nr, dtype=np.int64),
+                np.arange(nl, dtype=np.int64),
+                np.arange(nl, dtype=np.int64)])),
+        }).sort_by([(key, "ascending"), ("__ts", "ascending"),
+                    ("__tie", "ascending")])
+        tie = stream.column("__tie").to_numpy(zero_copy_only=False)
+        src = stream.column("__src").to_numpy(zero_copy_only=False)
+        cum_r = np.cumsum(tie == 1)           # rights at-or-before position
+        lb = np.zeros(nl, np.int64)
+        ub = np.zeros(nl, np.int64)
+        lb[src[tie == 0]] = cum_r[tie == 0]   # rights strictly before lo
+        ub[src[tie == 2]] = cum_r[tie == 2]   # rights at-or-before hi
+        # compacted right order = right rows in (key, ts) sorted order
+        r_perm = src[tie == 1]
+        counts = ub - lb
+        total = int(counts.sum())
+        l_idx = np.repeat(np.arange(nl, dtype=np.int64), counts)
+        starts = np.zeros(nl, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        r_pos = np.repeat(lb, counts) + (np.arange(total, dtype=np.int64)
+                                         - np.repeat(starts, counts))
+        r_idx = pa.array(r_perm[r_pos]) if total else pa.array([], pa.int64())
+        if how == "left":
+            miss = np.flatnonzero(counts == 0)
+            l_idx = np.concatenate([l_idx, miss])
+            r_idx = pa.array(
+                np.concatenate([r_perm[r_pos], np.zeros(len(miss), np.int64)]),
+                pa.int64(),
+                mask=np.concatenate([np.zeros(total, bool),
+                                     np.ones(len(miss), bool)]))
+        lsel = lefts.take(pa.array(l_idx))
+        cols = {c: lsel.column(c) for c in [key, ts_col] + l_only}
+        cols[r_ts] = pc.take(rights.column(ts_col), r_idx)
+        for c in r_only:
+            cols[c] = pc.take(rights.column(c), r_idx)
+        return pa.table(cols)
+
+    return both.groupby(_BUCKET_COL).map_groups(range_bucket,
+                                                batch_format="pyarrow")
+
+
 def broadcast_join(big: "ray.data.Dataset", small: pa.Table,
                    on: list[str] | str, how: str = "inner") -> "ray.data.Dataset":
     """Broadcast hash join: the small side is ``ray.put`` once (zero-copy

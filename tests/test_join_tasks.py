@@ -246,6 +246,66 @@ def test_asof_join_matches_duckdb_asof():
     assert int(round(out["price"].sum())) == want[1]
 
 
+def test_range_join_matches_duckdb():
+    """range_join == DuckDB interval join, inner and left, randomized
+    (duplicate keys/ts on both sides, keys present on only one side)."""
+    import numpy as np
+    from migration_pair_ray.stages.join import range_join
+    rng = np.random.default_rng(3)
+    nl, nr = 2000, 1500
+    lt = pa.table({"user_id": rng.integers(0, 40, nl),
+                   "ts": pa.array(rng.integers(0, 10**9, nl) * 1000,
+                                  pa.timestamp("us")),
+                   "ev": rng.integers(0, 5, nl)})
+    rt = pa.table({"user_id": rng.integers(0, 50, nr),
+                   "ts": pa.array(rng.integers(0, 10**9, nr) * 1000,
+                                  pa.timestamp("us")),
+                   "price": rng.random(nr).round(3)})
+    for how, jt in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        out = range_join(ray.data.from_arrow(lt).repartition(7),
+                         ray.data.from_arrow(rt).repartition(5),
+                         key="user_id", ts_col="ts", lo_s=-5000.0,
+                         hi_s=12000.0, how=how, n_coarse=16)
+        key = ["user_id", "ts", "ev", "ts_r", "price"]
+        got = out.to_pandas().sort_values(key).reset_index(drop=True)
+        want = duckdb.sql(f"""
+            SELECT l.user_id, l.ts, l.ev, r.ts AS ts_r, r.price
+            FROM lt l {jt} rt r ON r.user_id = l.user_id
+              AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 5000000000
+                                     AND epoch_us(l.ts) + 12000000000
+        """).df().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=False)
+
+
+def test_range_join_edges():
+    """Inclusive bounds at both ends, right-payload name collision gets
+    the _r suffix, empty right side null-fills under how='left'."""
+    from migration_pair_ray.stages.join import range_join
+    left = ray.data.from_arrow(pa.table(
+        {"k": [1, 1, 2], "ts": [10_000_000, 50_000_000, 10_000_000],
+         "v": ["a", "b", "c"]}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": [1, 1, 1, 3], "ts": [5_000_000, 10_000_000, 15_000_000, 1],
+         "v": [100, 200, 300, 400]}))
+    out = (range_join(left, right, key="k", ts_col="ts",
+                      lo_s=-5.0, hi_s=5.0, how="left", n_coarse=4)
+           .to_pandas().sort_values(["k", "ts", "v_r"], na_position="last")
+           .reset_index(drop=True))
+    # left row (1, 10s) matches rights at 5s, 10s, 15s (ends inclusive);
+    # (1, 50s) and key 2 are unmatched -> one null-filled row each
+    assert [None if pd.isna(x) else int(x) for x in out["v_r"]] == \
+        [100, 200, 300, None, None]
+    empty = ray.data.from_arrow(pa.table(
+        {"k": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
+         "v": pa.array([], pa.int64())}))
+    out2 = range_join(left, empty, key="k", ts_col="ts", lo_s=0, hi_s=1,
+                      how="left", n_coarse=4)
+    assert out2.count() == 3
+    assert range_join(left, empty, key="k", ts_col="ts", lo_s=0, hi_s=1,
+                      how="inner", n_coarse=4).count() == 0
+
+
 def test_bloom_prefilter_join_equivalence():
     """Bloom-prefiltered join == plain join (no false negatives), and the
     prefilter actually drops non-matching probe rows before the shuffle."""
