@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
         "events_value_outliers": q.events_value_outliers,
         "conv_transcripts": q.conv_transcripts,
+        "conv_near_dup": q.conv_near_dup,
         "conv_context_windows": q.conv_context_windows,
         "conv_tool_stats": q.conv_tool_stats,
         # relational operator coverage (M1-M6 analogs + aggregates/joins)
@@ -395,6 +396,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND op <> 'D'
               AND role IS NOT NULL AND text IS NOT NULL
             GROUP BY conv_id ORDER BY conv_id""",
+        # transcript-grain near-dedup: the dedup decision is the EXACT
+        # 5-gram Jaccard (the engine's LSH banding at rows-per-band=1 has
+        # miss probability (1-j)^64 at the 0.5 threshold — negligible),
+        # components via recursive min-label propagation on the NUMERIC
+        # conv id (the engine's keep-min rule is numeric, and 'c10' < 'c2'
+        # lexicographically would diverge)
+        "conv_near_dup": f"""
+            WITH RECURSIVE ch AS ({DERIVED_CHANGES_SQL}),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM ch),
+            tr AS (SELECT CAST(substr(conv_id, 2) AS BIGINT) AS did,
+                          string_agg(role || ': ' || text, chr(10)
+                                     ORDER BY turn_idx) AS t
+                   FROM w WHERE rn = 1 AND op <> 'D'
+                     AND role IS NOT NULL AND text IS NOT NULL
+                   GROUP BY 1),
+            nums AS (SELECT i FROM range(1, 60000) x(i)),
+            sh AS (SELECT DISTINCT did, substr(t, i, 5) AS s
+                   FROM tr JOIN nums
+                     ON i <= GREATEST(length(t) - 4, 1)),
+            sz AS (SELECT did, COUNT(*) n FROM sh GROUP BY 1),
+            inter AS (SELECT a.did ai, b.did bi, COUNT(*) c
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+                      GROUP BY 1, 2),
+            pairs AS (SELECT ai, bi FROM inter
+                      JOIN sz x ON x.did = ai JOIN sz y ON y.did = bi
+                      WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+            edges AS (SELECT ai a, bi b FROM pairs
+                      UNION ALL SELECT bi, ai FROM pairs),
+            cc(id, lbl) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.id
+            ),
+            losers AS (SELECT id FROM
+                       (SELECT id, MIN(lbl) AS root FROM cc GROUP BY id)
+                       WHERE root < id)
+            SELECT 'c' || CAST(did AS VARCHAR) AS conv_id,
+                   CAST(length(t) AS BIGINT) AS n_chars
+            FROM tr WHERE did NOT IN (SELECT id FROM losers)
+            ORDER BY conv_id""",
         # last-k context assembly: row_number over turn_idx DESC picks the
         # tail, string_agg re-joins it ascending (grouped_top_n contract)
         "conv_context_windows": lww_winners + """

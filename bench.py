@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "join_events_orders_salted",
     "join_events_orders_asof",
     "join_events_orders_range",
+    "conv_near_dup",
     "topk_orders_by_price",
     "topn_orders_per_customer",
     "orders_running_revenue",

@@ -232,6 +232,42 @@ def conv_transcripts(sf_dir: str):
         ["conv_id", "transcript", "n_turns"]).sort("conv_id")
 
 
+def conv_near_dup(sf_dir: str, threshold: float = 0.5):
+    """Near-duplicate CONVERSATION detection — the transcript-grain twin
+    of doc_near_dedup_ngram, composed on the CDC path: replay → LWW state
+    → transcript assembly (conv_transcripts) → EXACT 5-gram-Jaccard dedup
+    over whole transcripts.  The LSH banding is re-tuned for the low
+    threshold (rows-per-band = 1, i.e. n_bands = n_perm: a true pair at
+    j ≥ 0.5 escapes every band with probability (1-j)^64 ≈ 5e-20, so
+    candidate recall is effectively exact and the SQL oracle can demand
+    exactness); precision is the true shingle-set Jaccard either way.
+    Survivors keep the smallest numeric conv id per near-dup cluster;
+    n_chars pins the assembled transcript bytes."""
+    from migration_pair_ray.stages.dedup import ngram_jaccard_dedup
+    tr = conv_transcripts(sf_dir)
+
+    def to_doc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(pc.utf8_slice_codeunits(
+                t.column("conv_id"), 1, 32), pa.int64()),
+            "text": t.column("transcript")})
+
+    docs = tr.map_batches(to_doc, batch_format="pyarrow")
+    kept = ngram_jaccard_dedup(docs, threshold=threshold, n=5,
+                               n_perm=64, n_bands=64)
+
+    def back(t: pa.Table) -> pa.Table:
+        cid = pc.binary_join_element_wise(
+            pa.array(["c"] * t.num_rows, pa.string()),
+            pc.cast(t.column("doc_id"), pa.string()), "")
+        return pa.table({
+            "conv_id": cid,
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    return kept.map_batches(back, batch_format="pyarrow").sort("conv_id")
+
+
 def cdc_changelog_stats(sf_dir: str):
     """Per-op event counts + lsn range of the derived change stream
     (lineage/metrics-shaped aggregate; partial per-batch then tiny merge)."""
