@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
         "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
+        "cdc_turn_versions": q.cdc_turn_versions,
         "events_value_outliers": q.events_value_outliers,
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
@@ -517,6 +518,22 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(ts) AS ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
+        # SCD2 validity intervals: valid_to = next version's valid_from
+        # per (conv_id, turn_idx), year-9999 sentinel for open intervals
+        "cdc_turn_versions": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL})
+            SELECT conv_id, turn_idx, lsn, op,
+                   epoch_us(ts) AS valid_from_us,
+                   COALESCE(lead(epoch_us(ts)) OVER (
+                                PARTITION BY conv_id, turn_idx
+                                ORDER BY ts, lsn),
+                            253402300800000000) AS valid_to_us,
+                   CAST(CASE WHEN lead(ts) OVER (
+                                      PARTITION BY conv_id, turn_idx
+                                      ORDER BY ts, lsn) IS NULL
+                              AND op <> 'D'
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_current
+            FROM ch ORDER BY conv_id, turn_idx, lsn""",
         # IQR anomaly rule on exact quantile_disc quartiles: identical
         # float threshold arithmetic on both engines
         "events_value_outliers": """

@@ -2469,6 +2469,61 @@ def cdc_snapshot_jsonl(sf_dir: str):
             .sort(["conv_id", "turn_idx"]))
 
 
+_SCD2_MAX_US = 253402300800000000        # 9999-01-01, the open-interval end
+
+
+def cdc_turn_versions(sf_dir: str):
+    """SCD2 version history from the change stream: every change to a
+    (conv_id, turn_idx) key becomes a versioned row with a validity
+    interval — ``valid_to`` is the NEXT version's ``valid_from`` (open
+    intervals get the year-9999 sentinel so the column stays a plain
+    int64), ``is_current`` marks the live non-tombstone tip.  The lead()
+    is ``stages/analytic.grouped_lead`` over a composite key (coarse
+    buckets, one shuffle, one Arrow sort + shifted take per bucket —
+    zero per-key dispatch), exactly the temporal-table/versioned-lake
+    shape a CDC consumer materializes."""
+    from migration_pair_ray.stages.analytic import grouped_lead
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "props", "ts"])
+    ds = ds.map_batches(_derive_changes, batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("conv_id").cast(pa.string()),
+            pc.cast(t.column("turn_idx"), pa.string()), "#")
+        return pa.table({
+            "__k": k,
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "lsn": t.column("lsn"),
+            "op": t.column("op"),
+            "ts_us": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                             pa.int64()),
+        })
+
+    led = grouped_lead(ds.map_batches(prep, batch_format="pyarrow"),
+                       key_col="__k", order_cols=["ts_us", "lsn"],
+                       value_col="ts_us", lead_col="valid_to_us")
+
+    def finish(t: pa.Table) -> pa.Table:
+        vt = pc.fill_null(t.column("valid_to_us"), _SCD2_MAX_US)
+        cur = pc.and_(pc.is_null(t.column("valid_to_us")),
+                      pc.not_equal(t.column("op"), "D"))
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "lsn": t.column("lsn"),
+            "op": t.column("op"),
+            "valid_from_us": t.column("ts_us"),
+            "valid_to_us": vt,
+            "is_current": pc.cast(cur, pa.int64()),
+        })
+
+    return (led.map_batches(finish, batch_format="pyarrow")
+            .sort(["conv_id", "turn_idx", "lsn"]))
+
+
 def events_value_outliers(sf_dir: str):
     """Per-type IQR anomaly counts: events whose value exceeds
     q3 + 1.5·IQR of their type.  The quartiles are EXACT

@@ -439,3 +439,35 @@ def grouped_lag(ds: "ray.data.Dataset", key_col: str,
 
     return (_with_bucket(ds, key_col, n_coarse)
             .groupby("__b").map_groups(lag_bucket, batch_format="pyarrow"))
+
+
+def grouped_lead(ds: "ray.data.Dataset", key_col: str,
+                 order_cols: list[str], value_col: str,
+                 lead_col: str = "lead",
+                 n_coarse: int | None = None) -> "ray.data.Dataset":
+    """Per-key NEXT value — ``lead(value) OVER (PARTITION BY key ORDER BY
+    order_cols)`` — ``grouped_lag``'s mirror (shift -1, key-LAST rows
+    nulled): the primitive under SCD2 validity intervals (a version's
+    ``valid_to`` is the next version's ``valid_from``) and lookahead
+    features.  Same skeleton: coarse key-hash buckets, ONE shuffle, one
+    Arrow sort + one shifted ``take`` per bucket."""
+    n_coarse = _default_coarse(n_coarse)
+    sort_keys = ([(key_col, "ascending")]
+                 + [(c, "ascending") for c in order_cols])
+
+    def lead_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        vt = g.schema.field(value_col).type
+        if g.num_rows == 0:
+            return g.append_column(lead_col, pa.array([], vt))
+        g = g.sort_by(sort_keys)
+        first = _group_first_mask_np(g, key_col)
+        last = np.concatenate([first[1:], [True]])   # key-LAST rows
+        idx = np.arange(g.num_rows, dtype=np.int64) + 1
+        idx[-1] = g.num_rows - 1
+        shifted = pc.take(g.column(value_col), pa.array(idx))
+        lead = pc.if_else(pa.array(last), pa.scalar(None, vt), shifted)
+        return g.append_column(lead_col, lead)
+
+    return (_with_bucket(ds, key_col, n_coarse)
+            .groupby("__b").map_groups(lead_bucket, batch_format="pyarrow"))

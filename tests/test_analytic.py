@@ -211,3 +211,24 @@ def test_grouped_lag_matches_duckdb():
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_grouped_lead_matches_duckdb():
+    from migration_pair_ray.stages.analytic import grouped_lead
+    rng = np.random.default_rng(11)
+    n = 2_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "o": pa.array(rng.permutation(n), pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    got = (grouped_lead(ray.data.from_arrow(t).repartition(6),
+                        "k", ["o"], "v", lead_col="nxt")
+           .sort(["k", "o"]).to_pandas())
+    duckdb.register("ldt", t)
+    want = duckdb.sql("""
+        SELECT k, o, v, lead(v) OVER (PARTITION BY k ORDER BY o) AS nxt
+        FROM ldt ORDER BY k, o""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
