@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
         "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
         "cdc_turn_versions": q.cdc_turn_versions,
+        "cdc_state_asof": q.cdc_state_asof,
         "events_value_outliers": q.events_value_outliers,
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
@@ -516,6 +517,18 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_jsonl": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool,
                    epoch_ms(ts) AS ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # point-in-time reconstruction: LWW winners over the change
+        # prefix with ts <= cutoff (2024-01-15)
+        "cdc_state_asof": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            f AS (SELECT * FROM ch
+                  WHERE epoch_us(ts) <= 1705276800000000),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM f)
+            SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         # SCD2 validity intervals: valid_to = next version's valid_from

@@ -2469,6 +2469,50 @@ def cdc_snapshot_jsonl(sf_dir: str):
             .sort(["conv_id", "turn_idx"]))
 
 
+def cdc_state_asof(sf_dir: str, cutoff_us: int = 1705276800000000):
+    """Point-in-time (time-travel) state: the LWW-merged table AS OF a
+    cutoff timestamp (2024-01-15, mid-stream — the reconstruction differs
+    from the final state).  Pure streaming composition of the replay
+    kernels, no lake needed: derive → filter + per-batch partial
+    ``lww_reduce`` (monotone combiner, so the shuffle carries winners
+    only) → coarse key-bucket groupby → per-bucket ``lww_reduce`` +
+    ``visible_state``.  This is the ad-hoc audit/repro read every CDC
+    consumer wants ('what did the table look like at T?') without
+    maintaining per-T lakes."""
+    from migration_pair_ray.functions.lww import lww_reduce, visible_state
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    n_coarse = _default_coarse(None)
+    # the delivered form has no `tool` on the first quarter of the log
+    # (schema evolution); footer-only row count, no data read
+    n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    tool_from = -(-n_events // 4)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "props", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _derive_changes(t)
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+        t = t.filter(pc.less_equal(ts_us, cutoff_us))
+        pre = pc.less(t.column("lsn"), tool_from)
+        t = t.set_column(t.schema.get_field_index("tool"), "tool",
+                         pc.if_else(pre, pa.scalar(None, pa.string()),
+                                    t.column("tool")))
+        t = lww_reduce(t)
+        return t.append_column("__b", pa.array(
+            _coarse_key_bucket(t.column("conv_id"), n_coarse)))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        return visible_state(lww_reduce(g))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(merge_bucket, batch_format="pyarrow")
+            .sort(["conv_id", "turn_idx"]))
+
+
 _SCD2_MAX_US = 253402300800000000        # 9999-01-01, the open-interval end
 
 
