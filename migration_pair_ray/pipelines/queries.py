@@ -252,7 +252,12 @@ def conv_near_dup(sf_dir: str, threshold: float = 0.5):
                 t.column("conv_id"), 1, 32), pa.int64()),
             "text": t.column("transcript")})
 
-    docs = tr.map_batches(to_doc, batch_format="pyarrow")
+    # the dedup skeleton executes its input several times (candidate
+    # sketch, shingle, survivor passes); pin the assembled transcripts so
+    # the replay+assembly upstream runs ONCE.  One row per conversation,
+    # so this is small by construction here; at 10^9-conversation scale
+    # spill via checkpoint_parquet (pipelines/curation) instead.
+    docs = tr.map_batches(to_doc, batch_format="pyarrow").materialize()
     kept = ngram_jaccard_dedup(docs, threshold=threshold, n=5,
                                n_perm=64, n_bands=64)
 
