@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
+        "cdc_quarantine_stats": q.cdc_quarantine_stats,
         "events_value_outliers": q.events_value_outliers,
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
@@ -519,6 +520,24 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(ts) AS ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
+        # dead-letter routing: same corruption pattern, reasons with
+        # null_key precedence, merged state excludes every reject
+        "cdc_quarantine_stats": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            c2 AS (SELECT *, CASE WHEN lsn % 97 = 13 THEN 'null_key'
+                                  WHEN lsn % 101 = 7 THEN 'bad_op'
+                             END AS reason FROM ch),
+            qc AS (SELECT reason, COUNT(*) AS n FROM c2
+                   WHERE reason IS NOT NULL GROUP BY 1),
+            good AS (SELECT * FROM c2 WHERE reason IS NULL),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM good)
+            SELECT reason, n FROM qc
+            UNION ALL
+            SELECT '_state_rows', COUNT(*) FROM w
+            WHERE rn = 1 AND op <> 'D'
+            ORDER BY reason""",
         # point-in-time reconstruction: LWW winners over the change
         # prefix with ts <= cutoff (2024-01-15)
         "cdc_state_asof": f"""

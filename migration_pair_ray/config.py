@@ -69,6 +69,12 @@ class JobConfig:
     # (pipelines/compact.maybe_split_oversized — other partitions
     # untouched, crash-safe via the atomic _lake_meta commit).
     auto_split_max_rows: int = 0
+    # Dead-letter sink: "" = gate off (a malformed row poisons the merge,
+    # reference behavior); a directory path routes unroutable/unmergeable
+    # rows (null key, unknown op) to content-addressed Parquet files under
+    # <dir>/pass-<id>/ with a per-row reason (stages/quarantine), and the
+    # pass result reports the count.
+    quarantine_dir: str = ""
 
     def __post_init__(self) -> None:
         if self.batch_size <= 0:  # reference behavior: <=0 falls back to default

@@ -2474,6 +2474,88 @@ def cdc_snapshot_jsonl(sf_dir: str):
             .sort(["conv_id", "turn_idx"]))
 
 
+def cdc_quarantine_stats(sf_dir: str):
+    """Dead-letter routing, end to end: the derived change log with a
+    DETERMINISTIC malformation pattern (lsn % 97 == 13 → null conv_id;
+    else lsn % 101 == 7 → op 'X') replayed through the quarantine gate
+    (stages/quarantine): bad rows land in the side sink with per-row
+    reasons, good rows merge normally.  Result: per-reason quarantine
+    counts plus the surviving state's row count ('_state_rows'), so the
+    oracle pins BOTH what was rejected and that rejects never reached the
+    merged state."""
+    from migration_pair_ray.stages.quarantine import quarantine_counts
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
+    root = Path("/tmp/mpr_queries") / tag / "quar"
+    log_dir, lake_dir = str(root / "log"), str(root / "lake")
+    q_dir = str(root / "q")
+    os.makedirs(log_dir, exist_ok=True)
+    done_marker = Path(log_dir) / "_COMPLETE"
+    if not done_marker.exists():
+        for stale in Path(log_dir).glob("batch-*.parquet"):
+            stale.unlink()
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        per = (n + 3) // 4
+
+        def corrupt(t: pa.Table) -> pa.Table:
+            lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+            nk = lsn % 97 == 13
+            bo = ~nk & (lsn % 101 == 7)
+            conv = pc.if_else(pa.array(nk), pa.scalar(None, pa.string()),
+                              t.column("conv_id"))
+            op = pc.if_else(pa.array(bo), pa.scalar("X", pa.string()),
+                            t.column("op"))
+            t = t.set_column(t.schema.get_field_index("conv_id"),
+                             "conv_id", conv)
+            return t.set_column(t.schema.get_field_index("op"), "op", op)
+
+        def assign_file(t: pa.Table) -> pa.Table:
+            f = pc.cast(pc.floor(pc.divide(
+                pc.cast(t.column("lsn"), pa.float64()), float(per))),
+                pa.int32())
+            return t.append_column("__f", f)
+
+        def write_file(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"rows": pa.array([], pa.int64())})
+            i = int(g.column("__f")[0].as_py())
+            g = g.drop_columns(["__f"]).sort_by([("lsn", "ascending")])
+            lo = int(g.column("lsn")[0].as_py())
+            hi = int(g.column("lsn")[-1].as_py())
+            if i == 0:
+                g = g.drop_columns(["tool"])
+            path = f"{log_dir}/batch-{i:05d}-{lo:012d}-{hi:012d}.parquet"
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(g, tmp)
+            os.replace(tmp, path)
+            return pa.table({"rows": pa.array([g.num_rows], pa.int64())})
+
+        written = (rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "props", "ts"])
+            .map_batches(_derive_changes, batch_format="pyarrow")
+            .map_batches(corrupt, batch_format="pyarrow")
+            .map_batches(assign_file, batch_format="pyarrow")
+            .groupby("__f").map_groups(write_file, batch_format="pyarrow")
+            .take_all())
+        assert sum(r["rows"] for r in written) == n
+        done_marker.touch()
+    cfg = JobConfig(changelog_dir=log_dir, lake_dir=lake_dir,
+                    num_partitions=16, quarantine_dir=q_dir)
+    replay(cfg)   # no-op when already up to date
+    counts = quarantine_counts(q_dir)
+    state_rows = final_state(cfg, sort=False).count()
+    out = pa.table({
+        "reason": pa.concat_arrays(
+            [counts.column("reason").combine_chunks(),
+             pa.array(["_state_rows"], pa.string())]),
+        "n": pa.concat_arrays(
+            [pc.cast(counts.column("n"), pa.int64()).combine_chunks(),
+             pa.array([state_rows], pa.int64())]),
+    })
+    return out.sort_by([("reason", "ascending")])
+
+
 def cdc_state_asof(sf_dir: str, cutoff_us: int = 1705276800000000):
     """Point-in-time (time-travel) state: the LWW-merged table AS OF a
     cutoff timestamp (2024-01-15, mid-stream — the reconstruction differs

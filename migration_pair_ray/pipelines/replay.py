@@ -117,8 +117,22 @@ def replay(cfg: JobConfig) -> dict:
 
     pass_id = compute_pass_id(files)
     schema = unified_schema(files)
+    qdir = None
+    if cfg.quarantine_dir:
+        # this pass is uncommitted (discover() returned its files), so any
+        # existing subdir is a crashed attempt — wipe it: its files may
+        # have been produced under a different block split and would
+        # double-count (stages/quarantine contract)
+        import shutil
+        qdir = Path(cfg.quarantine_dir) / f"pass-{pass_id}"
+        shutil.rmtree(qdir, ignore_errors=True)
+        qdir.mkdir(parents=True, exist_ok=True)
     with _push_shuffle():
         ds = read_changes(files, schema)
+        if qdir is not None:
+            from migration_pair_ray.stages.quarantine import make_quarantine_gate
+            ds = ds.map_batches(make_quarantine_gate(str(qdir)),
+                                batch_format="pyarrow")
         lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits())
 
     import pyarrow.compute as pc
@@ -130,6 +144,10 @@ def replay(cfg: JobConfig) -> dict:
         pass_id, files,
         stats={"events_in": events_in, "partitions": lineage.num_rows},
     )
+    quarantined = 0
+    if qdir is not None:
+        from migration_pair_ray.stages.quarantine import quarantined_total
+        quarantined = quarantined_total(str(qdir))
     splits_done = 0
     if cfg.auto_split_max_rows > 0:
         # post-pass size-guard: incrementally split any partition whose
@@ -141,6 +159,7 @@ def replay(cfg: JobConfig) -> dict:
     return {
         "pass_id": pass_id,
         "splits": splits_done,
+        "quarantined": quarantined,
         "files": len(files),
         "events_in": events_in,
         "partitions": lineage.num_rows,

@@ -1,0 +1,112 @@
+"""Dead-letter (quarantine) gate for the CDC ingest.
+
+A malformed change row — null merge key, unknown op — cannot be routed or
+merged; without a gate it either poisons the whole pass (the reference
+aborts the migration on the first bad row, ``Tasks/EndToEnd.cs:51-85``) or
+silently corrupts per-key state.  The gate splits every batch in-stream:
+good rows continue to the merge, bad rows are written to a side Parquet
+sink under ``<quarantine_dir>/pass-<pass_id>/`` with a per-row ``reason``,
+so an operator can inspect/replay them after the pass commits.
+
+Crash/retry safety mirrors the lake's idempotent-commit discipline:
+
+* quarantine files are CONTENT-ADDRESSED (``q-<sha256(rows)>.parquet``,
+  atomic tmp+rename): a retried Ray task rewrites identical bytes to the
+  identical path — no duplicates, no torn files;
+* the per-pass subdirectory is wiped by the driver before an uncommitted
+  pass runs, so a crashed attempt's files (possibly produced under a
+  different block split) can never double-count;
+* a committed pass never re-runs (manifest gate), so its quarantine
+  directory is stable.
+
+Rules are vectorized Arrow kernels over whole blocks — the gate adds one
+fused map stage, no shuffle, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REASON_COL = "reason"
+REASON_NULL_KEY = "null_key"
+REASON_BAD_OP = "bad_op"
+VALID_OPS = ("I", "U", "D")
+
+
+def classify(batch: pa.Table) -> pa.Array:
+    """Per-row quarantine reason (null = row is good).  First match wins:
+    ``null_key`` (conv_id or turn_idx null — unroutable/unmergeable), then
+    ``bad_op`` (op outside {I,U,D} or null — no defined merge semantics)."""
+    null_key = pc.or_(pc.is_null(batch.column("conv_id")),
+                      pc.is_null(batch.column("turn_idx")))
+    bad_op = pc.invert(pc.fill_null(
+        pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS)), False))
+    reason = pc.if_else(
+        null_key, pa.scalar(REASON_NULL_KEY, pa.string()),
+        pc.if_else(bad_op, pa.scalar(REASON_BAD_OP, pa.string()),
+                   pa.scalar(None, pa.string())))
+    return reason
+
+
+def quarantine_split(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(good rows, bad rows + reason column) — both zero-copy filters."""
+    reason = classify(batch)
+    good = batch.filter(pc.is_null(reason))
+    bad_mask = pc.is_valid(reason)
+    bad = batch.filter(bad_mask).append_column(
+        REASON_COL, reason.filter(bad_mask) if isinstance(reason, pa.ChunkedArray)
+        else pc.filter(reason, bad_mask))
+    return good, bad
+
+
+def make_quarantine_gate(pass_dir: str):
+    """Batch fn for ``map_batches``: passes good rows through, writes bad
+    rows to a content-addressed Parquet file under ``pass_dir``."""
+    def gate(batch: pa.Table) -> pa.Table:
+        good, bad = quarantine_split(batch)
+        if bad.num_rows:
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, bad.schema) as w:
+                w.write_table(bad)
+            digest = hashlib.sha256(sink.getvalue()).hexdigest()[:24]
+            final = Path(pass_dir) / f"q-{digest}.parquet"
+            if not final.exists():
+                tmp = Path(pass_dir) / f".q-{digest}.{os.getpid()}.tmp"
+                pq.write_table(bad, str(tmp))
+                os.replace(tmp, final)  # atomic: readers never see torn files
+        return good
+    return gate
+
+
+def quarantined_total(pass_dir: str) -> int:
+    """Row count across a pass's quarantine files — footers only."""
+    return sum(pq.ParquetFile(str(p)).metadata.num_rows
+               for p in sorted(Path(pass_dir).glob("q-*.parquet")))
+
+
+def quarantine_counts(quarantine_dir: str) -> pa.Table:
+    """Per-reason row counts across ALL passes' quarantine files.  Reads
+    only the ``reason`` column (column-pruned), distributed."""
+    import ray.data
+    paths = sorted(str(p) for p in Path(quarantine_dir).glob("pass-*/q-*.parquet"))
+    if not paths:
+        return pa.table({REASON_COL: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    ds = ray.data.read_parquet(paths, columns=[REASON_COL],
+                               file_extensions=None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by(REASON_COL).aggregate([(REASON_COL, "count")])
+                .rename_columns([REASON_COL, "n"]))
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(REASON_COL).aggregate(Sum("n", alias_name="n"))
+           .sort(REASON_COL))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

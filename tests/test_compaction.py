@@ -334,3 +334,63 @@ def test_auto_split_on_replay(tmp_path):
     assert r2["files"] == 1                       # only the new file
     got = final_state(cfg).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, _oracle(log), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quarantine_gate(tmp_path):
+    """Malformed change rows (null merge key, unknown op) are routed to
+    the dead-letter sink with per-row reasons instead of poisoning the
+    pass; good rows in the same file still merge; re-replay is a no-op
+    and the quarantine files are stable."""
+    import pyarrow as pa
+    from migration_pair_ray.stages.quarantine import quarantine_counts
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    qdir = str(tmp_path / "quar")
+    generate_change_log(log, n_events=800, n_convs=6, n_files=2,
+                        tool_epoch=1, shuffle_window=100, seed=17)
+    # craft a third batch file mixing malformed and good rows (lsns past
+    # the generated range)
+    import numpy as np
+    ts = np.datetime64("2024-02-01", "us")
+    bad_and_good = pa.table({
+        "conv_id": pa.array([None, None, "conv-0", "conv-1", "conv-0",
+                             "conv-2", "conv-3"], pa.string()),
+        "turn_idx": pa.array([1, None, 2, 3, 4, 5, 6], pa.int32()),
+        "role": pa.array(["user"] * 7, pa.string()),
+        "text": pa.array([f"t{i}" for i in range(7)], pa.string()),
+        "tool": pa.array([None] * 7, pa.string()),
+        "ts": pa.array([ts] * 7, pa.timestamp("us")),
+        "op": pa.array(["I", "I", "X", None, "I", "U", "I"], pa.string()),
+        "lsn": pa.array([9001, 9002, 9003, 9004, 9005, 9006, 9007],
+                        pa.int64()),
+    })
+    import pyarrow.parquet as pq
+    pq.write_table(bad_and_good,
+                   f"{log}/batch-00099-000000009001-000000009007.parquet")
+
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    apply_concurrency=2, quarantine_dir=qdir)
+    r = replay(cfg)
+    assert r["quarantined"] == 4          # 2 null_key + 2 bad_op
+    counts = quarantine_counts(qdir).to_pydict()
+    assert dict(zip(counts["reason"], counts["n"])) == \
+        {"bad_op": 2, "null_key": 2}
+    # good rows (lsn 9005-9007) merged; state equals the oracle over the
+    # log MINUS the malformed rows
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH ch AS (SELECT * FROM read_parquet('{log}/*.parquet',
+                                               union_by_name=true)
+                    WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                      AND op IN ('I','U','D')),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC) rn FROM ch)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM w WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # idempotent: committed pass never re-runs, quarantine files stable
+    files_before = sorted(glob.glob(f"{qdir}/pass-*/q-*.parquet"))
+    assert replay(cfg)["up_to_date"]
+    assert sorted(glob.glob(f"{qdir}/pass-*/q-*.parquet")) == files_before
