@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_span_dedup": q.doc_span_dedup,
         "corpus_union_dedup": q.corpus_union_dedup,
         "doc_langid": q.doc_langid,
+        "doc_dedup_incremental": q.doc_dedup_incremental,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
         "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
@@ -1372,6 +1373,20 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(COALESCE(text, ''))) // 4 AS n_bytes
             FROM documents CROSS JOIN range(0, 4) t(i)
             ORDER BY media_id, frame_idx""",
+        # incremental dedup == full exact dedup restricted to the new
+        # half: survivors are new texts unseen in the committed half,
+        # min doc_id among equal new texts
+        "doc_dedup_incremental": """
+            WITH half AS (SELECT COUNT(*) // 2 AS h FROM documents),
+            ex AS (SELECT DISTINCT COALESCE(text, '') AS t
+                   FROM documents, half WHERE doc_id < h),
+            newd AS (SELECT doc_id, COALESCE(text, '') AS t
+                     FROM documents, half WHERE doc_id >= h),
+            k AS (SELECT doc_id, t, row_number() OVER (
+                    PARTITION BY t ORDER BY doc_id) rn FROM newd)
+            SELECT doc_id FROM k
+            WHERE rn = 1 AND t NOT IN (SELECT t FROM ex)
+            ORDER BY doc_id""",
         "doc_near_dedup_ngram": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_minhash": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_simhash": _simhash_dedup_oracle(3),

@@ -951,6 +951,38 @@ def doc_langid(sf_dir: str):
             .select_columns(["doc_id", "lang", "lang_pred"]).sort("doc_id"))
 
 
+def doc_dedup_incremental(sf_dir: str):
+    """Continuous-ingestion dedup: the first half of the corpus is
+    COMMITTED (persisted 128-bit fingerprint index, ~16 B/doc — the whole
+    point: the corpus is never re-read or re-deduped per batch); the
+    second half arrives as a new batch, probes ONLY its own index bucket,
+    keeps the min-id row per unseen text, and commits its own prints as
+    an append segment (idempotent by tag — re-running this query probes
+    the pre-append state).  stages/dedup.exact_dedup_incremental."""
+    from migration_pair_ray.stages.dedup import (build_fingerprint_index,
+                                                 exact_dedup_incremental)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    half = n // 2
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
+    idx_dir = f"/tmp/mpr_queries/{tag}/fp_idx"
+
+    def select(lo: int | None, hi: int | None):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            m = pc.greater_equal(ids, lo) if lo is not None else \
+                pc.less(ids, hi)
+            return t.filter(m)
+        return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+                .map_batches(f, batch_format="pyarrow"))
+
+    if not os.path.exists(f"{idx_dir}/_meta.json"):
+        build_fingerprint_index(select(None, half), idx_dir)
+    kept = exact_dedup_incremental(select(half, None), idx_dir, tag="b1")
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
 def doc_near_dedup_minhash(sf_dir: str):
     """Rows-only check (probabilistic sketch)."""
     from migration_pair_ray.stages.dedup import minhash_lsh_dedup

@@ -69,6 +69,155 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
               .map_groups(keep_first, batch_format="pyarrow"))
 
 
+# ----------------------------------------------------- incremental exact
+
+_FP_SALT = "\x00mpr-fp2"   # second-hash salt: (h1, h2) is a 128-bit print
+
+
+def _fingerprints(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    h1 = stable_hash64(texts)
+    h2 = stable_hash64([("" if t is None else t) + _FP_SALT for t in texts])
+    return h1.astype(np.uint64), h2.astype(np.uint64)
+
+
+def _fp_struct(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    out = np.empty(len(h1), dtype="u8,u8")
+    out["f0"], out["f1"] = h1, h2
+    return out
+
+
+def _read_bucket_fps(bdir: str, skip_tag: str | None) -> np.ndarray:
+    """A bucket's committed fingerprints as a sorted structured array.
+    Segments named ``append-<skip_tag>.parquet`` are EXCLUDED so a retried
+    pass probes the index state as of before itself (idempotent re-run)."""
+    import os
+    import pyarrow.parquet as pq
+    parts = []
+    if os.path.isdir(bdir):
+        for f in sorted(os.listdir(bdir)):
+            if not f.endswith(".parquet"):
+                continue
+            if skip_tag is not None and f == f"append-{skip_tag}.parquet":
+                continue
+            t = pq.read_table(os.path.join(bdir, f), columns=["h1", "h2"])
+            parts.append(_fp_struct(
+                t.column("h1").to_numpy(zero_copy_only=False),
+                t.column("h2").to_numpy(zero_copy_only=False)))
+    if not parts:
+        return np.empty(0, dtype="u8,u8")
+    fp = np.concatenate(parts)
+    fp.sort()
+    return fp
+
+
+def build_fingerprint_index(ds: "ray.data.Dataset", index_dir: str,
+                            text_col: str = "text",
+                            num_buckets: int = 64) -> int:
+    """Persist a corpus's exact-content fingerprint index: the distinct
+    128-bit text prints (two independent 64-bit hashes — a false match
+    needs a 128-bit collision, ~n²/2¹²⁹, negligible at any corpus size;
+    the full text is deliberately NOT stored: the index must stay ~16 B
+    per distinct document to be broadcastable/bucket-readable at 10^10
+    docs).  Layout: ``<index_dir>/bucket=<h1 % num_buckets>/base.parquet``
+    — probes read ONLY their bucket's files.  ``_meta.json`` is the commit
+    marker (written last; a crashed build is invisible).  Returns the
+    distinct-print count."""
+    import json
+    import os
+    import pyarrow.parquet as pq
+    from migration_pair_ray.state.manifest import _atomic_write
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        h1, h2 = _fingerprints(batch.column(text_col).to_pylist())
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                         "__b": pa.array((h1 % num_buckets).astype(np.int32))})
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        b = int(g.column("__b")[0].as_py())
+        fp = np.unique(_fp_struct(
+            g.column("h1").to_numpy(zero_copy_only=False),
+            g.column("h2").to_numpy(zero_copy_only=False)))
+        bdir = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, "base.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.table({"h1": pa.array(fp["f0"]),
+                                 "h2": pa.array(fp["f1"])}), tmp)
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([len(fp)], pa.int64())})
+
+    rows = (ds.map_batches(add_fp, batch_format="pyarrow")
+            .groupby("__b").map_groups(write_bucket, batch_format="pyarrow")
+            .take_all())
+    total = sum(r["n"] for r in rows)
+    _atomic_write(os.path.join(index_dir, "_meta.json"),
+                  json.dumps({"num_buckets": num_buckets,
+                              "distinct": int(total)}).encode())
+    return int(total)
+
+
+def exact_dedup_incremental(ds: "ray.data.Dataset", index_dir: str,
+                            tag: str, text_col: str = "text",
+                            id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Dedup a NEW batch against the persisted corpus index — the
+    continuous-ingestion shape: the corpus is never re-deduped per batch;
+    a new document probes only its own fingerprint bucket.
+
+    Per bucket (one Ray group): load the committed prints (base + earlier
+    appends; segments of THIS ``tag`` are excluded so a retried/re-run
+    pass is idempotent), drop members, keep the min-id row per distinct
+    new text (text participates in the within-batch sort key, so equal-
+    print new rows cannot false-merge), then commit the surviving prints
+    as ``append-<tag>.parquet`` (deterministic bytes, atomic rename — a
+    retry rewrites the identical file).  Returns the surviving rows.
+
+    Equals ``exact_dedup`` over (indexed corpus + new batch) restricted to
+    the new batch, up to a 128-bit print collision against the index."""
+    import json
+    import os
+    import pyarrow.parquet as pq
+    from migration_pair_ray.functions.lww import _group_first_mask
+    meta = json.loads(open(os.path.join(index_dir, "_meta.json")).read())
+    num_buckets = int(meta["num_buckets"])
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        h1, h2 = _fingerprints(batch.column(text_col).to_pylist())
+        batch = batch.append_column("__h1", pa.array(h1))
+        batch = batch.append_column("__h2", pa.array(h2))
+        return batch.append_column(
+            "__b", pa.array((h1 % num_buckets).astype(np.int32)))
+
+    def probe_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["__h1", "__h2", "__b"])
+        b = int(g.column("__b")[0].as_py())
+        bdir = os.path.join(index_dir, f"bucket={b}")
+        idx = _read_bucket_fps(bdir, skip_tag=tag)
+        fp = _fp_struct(g.column("__h1").to_numpy(zero_copy_only=False),
+                        g.column("__h2").to_numpy(zero_copy_only=False))
+        fresh = g.filter(pa.array(~np.isin(fp, idx)))
+        fresh = fresh.sort_by([("__h1", "ascending"), ("__h2", "ascending"),
+                               (text_col, "ascending"), (id_col, "ascending")])
+        fresh = fresh.filter(
+            _group_first_mask(fresh, ["__h1", "__h2", text_col]))
+        new_fp = np.unique(_fp_struct(
+            fresh.column("__h1").to_numpy(zero_copy_only=False),
+            fresh.column("__h2").to_numpy(zero_copy_only=False)))
+        if len(new_fp):
+            os.makedirs(bdir, exist_ok=True)
+            path = os.path.join(bdir, f"append-{tag}.parquet")
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(pa.table({"h1": pa.array(new_fp["f0"]),
+                                     "h2": pa.array(new_fp["f1"])}), tmp)
+            os.replace(tmp, path)
+        return fresh.drop_columns(["__h1", "__h2", "__b"])
+
+    return (ds.map_batches(add_fp, batch_format="pyarrow")
+            .groupby("__b").map_groups(probe_bucket, batch_format="pyarrow"))
+
+
 # ------------------------------------------------ candidate-pair machinery
 
 # An LSH bucket larger than this is degenerate (near-constant content across

@@ -280,3 +280,38 @@ def test_explode_spans_offsets():
     assert s.column("doc_id").to_pylist() == [7, 7, 8]
     assert s.column("span_idx").to_pylist() == [0, 1, 0]
     assert s.column("span").to_pylist() == ["w1 w2", "w3", "u1"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_incremental(tmp_path):
+    """Incremental dedup against a persisted fingerprint index equals
+    full exact_dedup restricted to the new batch; re-running the same
+    tag is idempotent (probes the pre-append state); a later batch sees
+    the earlier batch's appends."""
+    from migration_pair_ray.stages.dedup import (build_fingerprint_index,
+                                                 exact_dedup_incremental)
+    df = corpus(n_uniq=40)
+    half = len(df) // 2
+    old, new = df.iloc[:half], df.iloc[half:]
+    idx = str(tmp_path / "fp_idx")
+    build_fingerprint_index(ray.data.from_pandas(old.reset_index(drop=True)),
+                            idx, num_buckets=8)
+    got = sorted(exact_dedup_incremental(
+        ray.data.from_pandas(new.reset_index(drop=True)), idx,
+        tag="b1").to_pandas()["doc_id"])
+    # oracle: full exact dedup over old+new, survivors restricted to new
+    full = df.sort_values("doc_id").drop_duplicates("text")
+    want = sorted(full[full["doc_id"] >= new["doc_id"].min()]["doc_id"])
+    assert got == want
+    # idempotent re-run of the same tag
+    again = sorted(exact_dedup_incremental(
+        ray.data.from_pandas(new.reset_index(drop=True)), idx,
+        tag="b1").to_pandas()["doc_id"])
+    assert again == got
+    # a later batch that repeats batch-1 content is fully deduped, and a
+    # genuinely new text survives
+    b2 = pd.DataFrame({"doc_id": [10_000, 10_001],
+                       "text": [new.iloc[0]["text"], "entirely new text"]})
+    got2 = sorted(exact_dedup_incremental(
+        ray.data.from_pandas(b2), idx, tag="b2").to_pandas()["doc_id"])
+    assert got2 == [10_001]
