@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_state_asof": q.cdc_state_asof,
         "cdc_quarantine_stats": q.cdc_quarantine_stats,
         "events_value_outliers": q.events_value_outliers,
+        "events_funnel": q.events_funnel,
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
         "conv_context_windows": q.conv_context_windows,
@@ -567,6 +568,22 @@ def oracle_sql() -> dict[str, str]:
                               AND op <> 'D'
                              THEN 1 ELSE 0 END AS BIGINT) AS is_current
             FROM ch ORDER BY conv_id, turn_idx, lsn""",
+        # greedy-earliest chaining is exact for existence funnels:
+        # t1 = first view, t2 = first click after t1, ...
+        "events_funnel": """
+            WITH u1 AS (SELECT user_id, MIN(ts) t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            u2 AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+                   JOIN u1 ON e.user_id = u1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY 1),
+            u3 AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+                   JOIN u2 ON e.user_id = u2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > u2.t
+                   GROUP BY 1)
+            SELECT '1_view' AS stage, COUNT(*) AS n_users FROM u1
+            UNION ALL SELECT '2_click', COUNT(*) FROM u2
+            UNION ALL SELECT '3_purchase', COUNT(*) FROM u3
+            ORDER BY stage""",
         # IQR anomaly rule on exact quantile_disc quartiles: identical
         # float threshold arithmetic on both engines
         "events_value_outliers": """

@@ -58,6 +58,10 @@ QUERY_NAMES = [
     "events_session_windows",
     "events_late_data",
     "events_value_outliers",
+    "events_funnel",
+    "cdc_turn_versions",
+    "cdc_state_asof",
+    "doc_dedup_incremental",
     "events_approx_distinct",
     "events_user_cm_counts",
     "events_type_approx_users",

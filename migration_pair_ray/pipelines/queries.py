@@ -2687,6 +2687,57 @@ def cdc_turn_versions(sf_dir: str):
             .sort(["conv_id", "turn_idx", "lsn"]))
 
 
+def events_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase): per stage, how many
+    users reached it with STRICTLY increasing timestamps.  Greedy-earliest
+    chaining (t₁ = first view, t₂ = first click after t₁, …) is exact for
+    existence funnels.  Scale shape: coarse user-hash buckets (ONE
+    shuffle), one Arrow sort per bucket, then each stage is one masked
+    segmented-min (`np.minimum.reduceat`) over the whole bucket — zero
+    per-user dispatch, 3 vector passes regardless of user count."""
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    from migration_pair_ray.functions.lww import _group_first_mask
+    from ray.data.aggregate import Sum
+    steps = ["view", "click", "purchase"]
+    n_coarse = _default_coarse(None)
+    INF = np.iinfo(np.int64).max
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", pa.array(
+            _coarse_key_bucket(t.column("user_id"), n_coarse)))
+
+    def funnel_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"stage": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        ts = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pandas(), dtype=object)
+        first = _group_first_mask(g, ["user_id"]).to_numpy(
+            zero_copy_only=False)
+        seg_starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        t_prev = np.full(len(seg_starts), -1, np.int64)
+        names, counts = [], []
+        for i, step in enumerate(steps):
+            ok = (et == step) & (ts > t_prev[seg_id])
+            vals = np.where(ok, ts, INF)
+            t_prev = np.minimum.reduceat(vals, seg_starts)
+            names.append(f"{i + 1}_{step}")
+            counts.append(int((t_prev < INF).sum()))
+        return pa.table({"stage": pa.array(names, pa.string()),
+                         "n_users": pa.array(counts, pa.int64())})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(funnel_bucket, batch_format="pyarrow")
+            .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
+            .sort("stage"))
+
+
 def events_value_outliers(sf_dir: str):
     """Per-type IQR anomaly counts: events whose value exceeds
     q3 + 1.5·IQR of their type.  The quartiles are EXACT

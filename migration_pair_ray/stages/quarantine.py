@@ -90,6 +90,56 @@ def quarantined_total(pass_dir: str) -> int:
                for p in sorted(Path(pass_dir).glob("q-*.parquet")))
 
 
+def requeue(quarantine_dir: str, changelog_dir: str,
+            fix=None, reasons: list[str] | None = None,
+            epoch: int = 90000) -> dict:
+    """Operational closure of the dead-letter loop: read quarantined rows,
+    apply an operator-supplied ``fix`` (batch → batch, e.g. backfill the
+    op code), RE-GATE them (rows still malformed stay quarantined — a bad
+    fix cannot smuggle bad rows past the gate), and write the now-good
+    rows back into the change log as a normal ``batch-<epoch>-…`` file
+    for the next replay pass to consume.
+
+    Idempotence leans on the lake's existing contracts: the output name
+    is derived from the rows' lsn range under a fixed ``epoch``, so
+    re-running the same requeue rewrites the identical file — if the
+    first one was already committed, discover()'s append-only size check
+    sees identical bytes and skips it; and even a duplicated requeue is
+    state-harmless because replay dedups exact (conv, turn, lsn) repeats
+    and LWW is insensitive to replays.  Requeues whose quarantine content
+    EVOLVED between runs must pass a fresh ``epoch`` (the append-only
+    gate aborts a same-name different-size write rather than corrupting).
+
+    The quarantine set is bounded by definition (it is the anomaly set),
+    so this runs on the driver; ``reasons`` restricts which classes are
+    retried.  Returns {"requeued": n, "still_bad": n}.
+    """
+    files = sorted(Path(quarantine_dir).glob("pass-*/q-*.parquet"))
+    tabs = [pq.read_table(str(f)) for f in files]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return {"requeued": 0, "still_bad": 0}
+    allq = pa.concat_tables(tabs, promote_options="permissive")
+    if reasons is not None:
+        allq = allq.filter(pc.is_in(allq.column(REASON_COL),
+                                    value_set=pa.array(list(reasons))))
+    allq = allq.drop_columns([REASON_COL])
+    if fix is not None:
+        allq = fix(allq)
+    good, still_bad = quarantine_split(allq)
+    if good.num_rows == 0:
+        return {"requeued": 0, "still_bad": still_bad.num_rows}
+    good = good.sort_by([("lsn", "ascending")])
+    lo = int(good.column("lsn")[0].as_py() or 0)
+    hi = int(good.column("lsn")[-1].as_py() or 0)
+    path = Path(changelog_dir) / \
+        f"batch-{epoch:05d}-{lo:012d}-{hi:012d}.parquet"
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(good, tmp)
+    os.replace(tmp, path)
+    return {"requeued": good.num_rows, "still_bad": still_bad.num_rows}
+
+
 def quarantine_counts(quarantine_dir: str) -> pa.Table:
     """Per-reason row counts across ALL passes' quarantine files.  Reads
     only the ``reason`` column (column-pruned), distributed."""

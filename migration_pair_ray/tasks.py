@@ -105,6 +105,20 @@ def task_split(cfg: JobConfig, base_pid: int = -1, fanout: int = 2,
     return {"splits": maybe_split_oversized(cfg, max_rows, fanout=fanout)}
 
 
+def task_requeue(cfg: JobConfig, reasons: str = "", epoch: int = 90000,
+                 **kw) -> dict:
+    """Requeue quarantined rows into the change log (identity fix from
+    the CLI: only rows that now pass the gate — e.g. after a rule change
+    — are re-ingested; programmatic callers pass ``fix=``).  ``reasons``
+    is a comma-separated filter ('' = all)."""
+    from migration_pair_ray.stages.quarantine import requeue
+    if not cfg.quarantine_dir:
+        raise ValueError("task_requeue needs cfg.quarantine_dir")
+    rs = [r for r in reasons.split(",") if r] or None
+    return requeue(cfg.quarantine_dir, cfg.changelog_dir,
+                   fix=kw.pop("fix", None), reasons=rs, epoch=epoch)
+
+
 TASKS: dict[str, Callable[..., dict]] = {
     "replay": task_replay,
     "snapshot": task_snapshot,
@@ -113,6 +127,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "lineage": task_lineage,
     "repartition": task_repartition,
     "split": task_split,
+    "requeue": task_requeue,
     "tail": task_tail,
 }
 

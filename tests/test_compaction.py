@@ -394,3 +394,56 @@ def test_quarantine_gate(tmp_path):
     files_before = sorted(glob.glob(f"{qdir}/pass-*/q-*.parquet"))
     assert replay(cfg)["up_to_date"]
     assert sorted(glob.glob(f"{qdir}/pass-*/q-*.parquet")) == files_before
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_requeue_quarantined(tmp_path):
+    """Fix-and-requeue closes the dead-letter loop: quarantined rows with
+    a repaired op flow back through a normal replay pass and land in the
+    state; rows the fix does not repair stay out; a repeated requeue is
+    a no-op for the state (identical file + append-only skip)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from migration_pair_ray.stages.quarantine import requeue
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    qdir = str(tmp_path / "quar")
+    generate_change_log(log, n_events=400, n_convs=4, n_files=1,
+                        tool_epoch=1, shuffle_window=50, seed=23)
+    ts = np.datetime64("2024-02-01", "us")
+    bad = pa.table({
+        "conv_id": pa.array(["conv-0", "conv-1", None], pa.string()),
+        "turn_idx": pa.array([201, 202, 203], pa.int32()),
+        "role": pa.array(["user"] * 3, pa.string()),
+        "text": pa.array(["fixed-a", "fixed-b", "lost"], pa.string()),
+        "tool": pa.array([None] * 3, pa.string()),
+        "ts": pa.array([ts] * 3, pa.timestamp("us")),
+        "op": pa.array(["X", None, "I"], pa.string()),
+        "lsn": pa.array([8001, 8002, 8003], pa.int64()),
+    })
+    pq.write_table(bad, f"{log}/batch-00098-000000008001-000000008003.parquet")
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    apply_concurrency=2, quarantine_dir=qdir)
+    assert replay(cfg)["quarantined"] == 3
+
+    def fix(t: pa.Table) -> pa.Table:
+        # repair unknown/missing ops to inserts; null keys stay broken
+        good_op = pc.is_in(t.column("op"), value_set=pa.array(["I", "U", "D"]))
+        repaired = pc.if_else(good_op, t.column("op"),
+                              pa.scalar("I", pa.string()))
+        return t.set_column(t.schema.get_field_index("op"), "op", repaired)
+
+    r = requeue(qdir, log, fix=fix)
+    assert r == {"requeued": 2, "still_bad": 1}
+    r2 = replay(cfg)
+    assert r2["files"] == 1 and r2["quarantined"] == 0
+    st = final_state(cfg).to_pandas()
+    fixed = st[st["turn_idx"].isin([201, 202, 203])]
+    assert sorted(fixed["text"]) == ["fixed-a", "fixed-b"]
+    # repeat: identical requeue file -> append-only skip, state unchanged
+    assert requeue(qdir, log, fix=fix) == {"requeued": 2, "still_bad": 1}
+    assert replay(cfg)["up_to_date"]
+    pd.testing.assert_frame_equal(
+        final_state(cfg).to_pandas().reset_index(drop=True),
+        st.reset_index(drop=True), check_dtype=False)
