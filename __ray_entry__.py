@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_union_dedup": q.corpus_union_dedup,
         "doc_langid": q.doc_langid,
         "doc_dedup_incremental": q.doc_dedup_incremental,
+        "doc_split_leakage": q.doc_split_leakage,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
         "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
@@ -1404,6 +1405,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM k
             WHERE rn = 1 AND t NOT IN (SELECT t FROM ex)
             ORDER BY doc_id""",
+        # leakage matrix: exact-Jaccard pairs x md5 80/10/10 split; the
+        # engine's LSH recall is margin-protected on this corpus (no pair
+        # between 0.36 and 0.92), so the exact-pair oracle is fair
+        "doc_split_leakage": """
+            WITH nums AS (SELECT i FROM range(1, 2000) t(i)),
+            sh AS (SELECT DISTINCT doc_id, substr(COALESCE(text,''), i, 5) s
+                   FROM documents JOIN nums
+                     ON i <= GREATEST(length(COALESCE(text,'')) - 4, 1)),
+            sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id ai, b.doc_id bi, COUNT(*) c
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            p AS (SELECT ai, bi FROM inter
+                  JOIN sz x ON x.doc_id = ai JOIN sz y ON y.doc_id = bi
+                  WHERE c * 1.0 / (x.n + y.n - c) >= 0.8),
+            lab AS (SELECT doc_id,
+                      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 16))::UBIGINT % 10 < 8
+                             THEN 'train'
+                           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 16))::UBIGINT % 10 = 8
+                             THEN 'val' ELSE 'test' END AS sp
+                    FROM documents)
+            SELECT LEAST(la.sp, lb.sp) AS split_lo,
+                   GREATEST(la.sp, lb.sp) AS split_hi,
+                   COUNT(*) AS n_pairs
+            FROM p JOIN lab la ON la.doc_id = p.ai
+                   JOIN lab lb ON lb.doc_id = p.bi
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "doc_near_dedup_ngram": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_minhash": _jaccard_dedup_oracle(0.8),
         "doc_near_dedup_simhash": _simhash_dedup_oracle(3),

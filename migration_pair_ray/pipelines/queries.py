@@ -983,6 +983,47 @@ def doc_dedup_incremental(sf_dir: str):
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def doc_split_leakage(sf_dir: str, threshold: float = 0.8):
+    """Split-leakage audit: near-duplicate document pairs (exact 5-gram
+    Jaccard ≥ threshold via the verified pair stage,
+    stages/dedup.ngram_jaccard_pairs) crossed with a deterministic
+    md5-hash train/val/test assignment (80/10/10) — the full
+    (split_lo, split_hi) → pair-count matrix.  Off-diagonal rows ARE the
+    leaks: a near-dup of a test document sitting in train silently
+    inflates eval.  The split is computed per pair endpoint directly from
+    the doc id (pure function, no join); pair extraction reuses the
+    standard LSH-recall / exact-precision skeleton."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.functions.sketch import md5_hash64
+    from migration_pair_ray.stages.dedup import ngram_jaccard_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=threshold)
+    names = np.array(["train"] * 8 + ["val", "test"], dtype=object)
+
+    def split_of(ids: np.ndarray) -> np.ndarray:
+        return names[md5_hash64(ids.tolist()) % 10]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"split_lo": pa.array([], pa.string()),
+                             "split_hi": pa.array([], pa.string()),
+                             "n_pairs": pa.array([], pa.int64())})
+        sa = split_of(t.column("a").to_numpy(zero_copy_only=False))
+        sb = split_of(t.column("b").to_numpy(zero_copy_only=False))
+        lo, hi = np.minimum(sa, sb), np.maximum(sa, sb)
+        return (pa.table({"split_lo": pa.array(lo.tolist(), pa.string()),
+                          "split_hi": pa.array(hi.tolist(), pa.string()),
+                          "n": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by(["split_lo", "split_hi"]).aggregate([("n", "sum")])
+                .rename_columns(["split_lo", "split_hi", "n_pairs"]))
+
+    return (pairs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["split_lo", "split_hi"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+            .sort(["split_lo", "split_hi"]))
+
+
 def doc_near_dedup_minhash(sf_dir: str):
     """Rows-only check (probabilistic sketch)."""
     from migration_pair_ray.stages.dedup import minhash_lsh_dedup

@@ -730,17 +730,20 @@ def simhash_dedup(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dat
 
 # ----------------------------------------------------------- ngram-jaccard
 
-def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                         n: int = 5, n_perm: int = 64, n_bands: int = 16
                         ) -> "ray.data.Dataset":
-    """MinHash-LSH recall, EXACT n-gram Jaccard precision.
+    """Verified EXACT n-gram-Jaccard pairs (a < b, sim ≥ threshold) —
+    the pair stage under ``ngram_jaccard_dedup``, exposed for consumers
+    that need the pairs themselves (split-leakage audits, cluster
+    inspection) rather than the deduped survivors.
 
     Candidates are the LSH bucket-collision pairs PREFILTERED in-group by
     the signature estimate at a threshold a little BELOW the target
     (estimator noise ~1/sqrt(n_perm), so recall is preserved): raw bucket
     collisions on boilerplate-heavy corpora run ~1000× the true pair set,
     and each surviving candidate costs an exact shingle-set intersection —
-    the prefilter keeps that quadratic honest.  The merge decision itself
+    the prefilter keeps that quadratic honest.  The pair decision itself
     is the true n-gram Jaccard.  Only the candidate docs' shingle sets are
     broadcast — never the whole corpus.
 
@@ -852,8 +855,18 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
     # candidate pipeline is NOT re-executed
     pairs_tbl = pa.table({"a": pa.array(ab[:, 0]), "b": pa.array(ab[:, 1]),
                           "sim": pa.array(np.zeros(len(ab), dtype=np.float64))})
-    verified = ray.data.from_arrow(pairs_tbl).map_batches(
+    return ray.data.from_arrow(pairs_tbl).map_batches(
         exact_verify, batch_format="pyarrow")
+
+
+def ngram_jaccard_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
+                        n: int = 5, n_perm: int = 64, n_bands: int = 16
+                        ) -> "ray.data.Dataset":
+    """MinHash-LSH recall, EXACT n-gram Jaccard precision: the verified
+    pair stage (``ngram_jaccard_pairs``, design notes there) → connected
+    components → keep the minimum doc id per cluster."""
+    verified = ngram_jaccard_pairs(ds, threshold=threshold, n=n,
+                                   n_perm=n_perm, n_bands=n_bands)
     clusters = connected_components(verified)
     return drop_cluster_losers(ds, clusters)
 
