@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_quarantine_stats": q.cdc_quarantine_stats,
         "events_value_outliers": q.events_value_outliers,
         "events_funnel": q.events_funnel,
+        "events_retention_cohorts": q.events_retention_cohorts,
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
         "conv_context_windows": q.conv_context_windows,
@@ -569,6 +570,14 @@ def oracle_sql() -> dict[str, str]:
                               AND op <> 'D'
                              THEN 1 ELSE 0 END AS BIGINT) AS is_current
             FROM ch ORDER BY conv_id, turn_idx, lsn""",
+        "events_retention_cohorts": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 604800000000 AS week
+                        FROM events),
+            c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1)
+            SELECT c.cohort, uw.week, COUNT(*) AS n_users
+            FROM uw JOIN c ON uw.user_id = c.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         # greedy-earliest chaining is exact for existence funnels:
         # t1 = first view, t2 = first click after t1, ...
         "events_funnel": """

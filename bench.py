@@ -59,6 +59,7 @@ QUERY_NAMES = [
     "events_late_data",
     "events_value_outliers",
     "events_funnel",
+    "events_retention_cohorts",
     "cdc_turn_versions",
     "cdc_state_asof",
     "doc_dedup_incremental",

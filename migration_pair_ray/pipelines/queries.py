@@ -2728,6 +2728,62 @@ def cdc_turn_versions(sf_dir: str):
             .sort(["conv_id", "turn_idx", "lsn"]))
 
 
+_WEEK_US = 604800000000     # 7 * 86400 * 1e6
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix: users grouped by their FIRST active week
+    (the cohort), counted in every week they return — the (cohort, week,
+    n_users) table behind every retention curve.  Scale shape: per-batch
+    distinct-(user, week) partial (the only thing that shuffles — at most
+    users × weeks rows, not events), coarse user-hash buckets, then one
+    Arrow sort per bucket derives distinct user-weeks, per-user cohort
+    (first week) and the emitted (cohort, week) pairs with boundary
+    masks — zero per-user dispatch."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    from migration_pair_ray.functions.lww import _group_first_mask
+    n_coarse = _default_coarse(None)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                                 pa.int64()), _WEEK_US)
+        uw = (pa.table({"user_id": t.column("user_id"), "week": week})
+              .group_by(["user_id", "week"]).aggregate([])
+              .select(["user_id", "week"]))
+        return uw.append_column("__b", pa.array(
+            _coarse_key_bucket(uw.column("user_id"), n_coarse)))
+
+    def cohort_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "week": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = g.sort_by([("user_id", "ascending"), ("week", "ascending")])
+        uw_first = _group_first_mask(g, ["user_id", "week"]).to_numpy(
+            zero_copy_only=False)
+        g = g.filter(pa.array(uw_first))          # distinct (user, week)
+        week = g.column("week").to_numpy(zero_copy_only=False)
+        u_first = _group_first_mask(g, ["user_id"]).to_numpy(
+            zero_copy_only=False)
+        seg_id = np.cumsum(u_first) - 1
+        cohort = week[np.flatnonzero(u_first)][seg_id]
+        return (pa.table({"cohort": pa.array(cohort),
+                          "week": pa.array(week),
+                          "n": pa.array(np.ones(len(week), np.int64))})
+                .group_by(["cohort", "week"]).aggregate([("n", "sum")])
+                .rename_columns(["cohort", "week", "n"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(cohort_bucket, batch_format="pyarrow")
+            .groupby(["cohort", "week"])
+            .aggregate(Sum("n", alias_name="n_users"))
+            .sort(["cohort", "week"]))
+
+
 def events_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase): per stage, how many
     users reached it with STRICTLY increasing timestamps.  Greedy-earliest
