@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": q.events_value_outliers,
         "events_funnel": q.events_funnel,
         "events_retention_cohorts": q.events_retention_cohorts,
+        "events_value_moments": q.events_value_moments,
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
         "conv_context_windows": q.conv_context_windows,
@@ -570,6 +571,25 @@ def oracle_sql() -> dict[str, str]:
                               AND op <> 'D'
                              THEN 1 ELSE 0 END AS BIGINT) AS is_current
             FROM ch ORDER BY conv_id, turn_idx, lsn""",
+        # variance from exact integer sums, ONE float expression mirrored
+        # verbatim -> bit-identical, no tolerance needed
+        "events_value_moments": """
+            WITH vc AS (SELECT event_type,
+                               CAST(FLOOR(value * 100) AS BIGINT) AS c
+                        FROM events),
+            a AS (SELECT event_type, SUM(c) AS s, SUM(c * c) AS s2,
+                         COUNT(*) AS n
+                  FROM vc GROUP BY 1)
+            SELECT event_type, n,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+                   (CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_c,
+                   sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)) AS stddev_c
+            FROM a ORDER BY event_type""",
         "events_retention_cohorts": """
             WITH uw AS (SELECT DISTINCT user_id,
                                epoch_us(ts) // 604800000000 AS week

@@ -60,6 +60,7 @@ QUERY_NAMES = [
     "events_value_outliers",
     "events_funnel",
     "events_retention_cohorts",
+    "events_value_moments",
     "cdc_turn_versions",
     "cdc_state_asof",
     "doc_dedup_incremental",

@@ -2728,6 +2728,50 @@ def cdc_turn_versions(sf_dir: str):
             .sort(["conv_id", "turn_idx", "lsn"]))
 
 
+def events_value_moments(sf_dir: str):
+    """Grouped second moments (population variance / stddev) from EXACT
+    integer sums: values enter the fixed-precision floor(v·100) domain,
+    each batch ships only (n, Σc, Σc²) partials (c² bounded: |c| < 2³¹ ⇒
+    Σc² < 2⁶²·rows, int64-safe at this fixture; production would widen to
+    float128/two-part sums), and the final variance is ONE float
+    expression over the three exact integers — bit-identical on any
+    engine that evaluates the same expression, so the oracle needs no
+    tolerance.  The moments every feature-normalization pass needs."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return (pa.table({"event_type": t.column("event_type"),
+                          "s": pa.array(c), "s2": pa.array(c * c),
+                          "n": pa.array(np.ones(len(c), np.int64))})
+                .group_by("event_type")
+                .aggregate([("s", "sum"), ("s2", "sum"), ("n", "sum")])
+                .rename_columns(["event_type", "s", "s2", "n"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        var = (s2 - (s * s) / n) / n
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": t.column("n"),
+            "mean_c": pa.array(s / n),
+            "var_c": pa.array(var),
+            "stddev_c": pa.array(np.sqrt(var)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
+                       Sum("n", alias_name="n"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("event_type"))
+
+
 _WEEK_US = 604800000000     # 7 * 86400 * 1e6
 
 
