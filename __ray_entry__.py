@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_moments": q.events_value_moments,
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
+        "conv_token_packing": q.conv_token_packing,
         "conv_context_windows": q.conv_context_windows,
         "conv_tool_stats": q.conv_tool_stats,
         # relational operator coverage (M1-M6 analogs + aggregates/joins)
@@ -446,6 +447,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS n_chars
             FROM tr WHERE did NOT IN (SELECT id FROM losers)
             ORDER BY conv_id""",
+        # transcript -> BPE-ish tokens -> 4096-token packs; the cumsum
+        # window mirrors the distributed two-pass prefix scan
+        "conv_token_packing": lww_winners + r"""
+            , tr AS (SELECT CAST(substr(conv_id, 2) AS BIGINT) AS did,
+                            string_agg(role || ': ' || text, chr(10)
+                                       ORDER BY turn_idx) AS t
+                     FROM w WHERE rn = 1 AND op <> 'D'
+                       AND role IS NOT NULL AND text IS NOT NULL
+                     GROUP BY 1),
+            d AS (SELECT did,
+                         len(regexp_extract_all(COALESCE(t, ''),
+                             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]'))
+                             AS n_tokens
+                  FROM tr),
+            o AS (SELECT did, n_tokens,
+                         COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY did
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS off
+                  FROM d)
+            SELECT CAST(off // 4096 AS BIGINT) AS bin,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   COUNT(*) AS n_convs,
+                   CAST(MIN(did) AS BIGINT) AS first_conv
+            FROM o GROUP BY 1 ORDER BY 1""",
         # last-k context assembly: row_number over turn_idx DESC picks the
         # tail, string_agg re-joins it ascending (grouped_top_n contract)
         "conv_context_windows": lww_winners + """

@@ -273,6 +273,49 @@ def conv_near_dup(sf_dir: str, threshold: float = 0.5):
     return kept.map_batches(back, batch_format="pyarrow").sort("conv_id")
 
 
+def conv_token_packing(sf_dir: str, budget: int = 4096):
+    """Transcript → training-pack layout, composed END TO END on the CDC
+    path: replay → LWW state → transcript assembly → BPE-ish tokenization
+    (functions/text.bpe_token_count) → the distributed two-pass prefix
+    scan (stages/packing.pack_bins) cutting the conversation token stream
+    every ``budget`` tokens — per pack: token sum, conversation count,
+    first conversation.  This is the packing step of a real
+    conversation-corpus export, at conversation grain."""
+    from ray.data.aggregate import Min, Sum
+    from migration_pair_ray.functions.text import bpe_token_count
+    from migration_pair_ray.stages.packing import pack_bins
+    tr = conv_transcripts(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(pc.utf8_slice_codeunits(
+                t.column("conv_id"), 1, 32), pa.int64()),
+            "n_tokens": pc.cast(
+                bpe_token_count(t.column("transcript")), pa.int64()),
+        })
+
+    # pack order is the NUMERIC conversation id; the transcript table is
+    # string-ordered (c10 < c2), so re-sort to satisfy pack_bins' sorted/
+    # block-disjoint contract
+    packed = pack_bins(tr.map_batches(prep, batch_format="pyarrow")
+                       .sort("doc_id"), budget=budget)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["bin", "n_tokens", "doc_id"])
+                .group_by("bin")
+                .aggregate([("n_tokens", "sum"), ("n_tokens", "count"),
+                            ("doc_id", "min")])
+                .rename_columns(["bin", "sum_tokens", "n_convs",
+                                 "first_conv"]))
+
+    return (packed.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("sum_tokens", alias_name="sum_tokens"),
+                       Sum("n_convs", alias_name="n_convs"),
+                       Min("first_conv", alias_name="first_conv"))
+            .sort("bin"))
+
+
 def cdc_changelog_stats(sf_dir: str):
     """Per-op event counts + lsn range of the derived change stream
     (lineage/metrics-shaped aggregate; partial per-batch then tiny merge)."""
