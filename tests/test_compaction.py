@@ -447,3 +447,57 @@ def test_requeue_quarantined(tmp_path):
     pd.testing.assert_frame_equal(
         final_state(cfg).to_pandas().reset_index(drop=True),
         st.reset_index(drop=True), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tail_with_quarantine_and_autosplit(tmp_path):
+    """Operational composition: the continuous tailer consumes arriving
+    batches under BOTH the quarantine gate and the auto-split size guard
+    — bad rows land in the sink per pass, oversized partitions split
+    between passes, and the final state matches the good-rows oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from migration_pair_ray.tasks import run_task
+    log, lake = str(tmp_path / "log"), str(tmp_path / "lake")
+    qdir = str(tmp_path / "quar")
+    generate_change_log(log, n_events=900, n_convs=6, n_files=3,
+                        tool_epoch=1, shuffle_window=100, seed=41)
+    files = sorted(glob.glob(f"{log}/batch-*.parquet"))
+    # hold back the later files; inject a malformed row into a new batch
+    for f in files[1:]:
+        os.rename(f, f + ".hold")
+    ts = np.datetime64("2024-02-01", "us")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([None, "conv-1"], pa.string()),
+        "turn_idx": pa.array([7, 190], pa.int32()),
+        "role": pa.array(["user", "user"], pa.string()),
+        "text": pa.array(["bad", "good"], pa.string()),
+        "tool": pa.array([None, None], pa.string()),
+        "ts": pa.array([ts, ts], pa.timestamp("us")),
+        "op": pa.array(["I", "I"], pa.string()),
+        "lsn": pa.array([9101, 9102], pa.int64()),
+    }), f"{log}/batch-00097-000000009101-000000009102.parquet")
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=2,
+                    apply_concurrency=2, quarantine_dir=qdir,
+                    auto_split_max_rows=150)
+    # poll 1 consumes file0 + the bad batch; then reveal the held files
+    r1 = run_task("tail", cfg, poll_s=0.0, max_polls=1)
+    assert r1["passes_applied"] == 1
+    for f in glob.glob(f"{log}/*.hold"):
+        os.rename(f, f[:-5])
+    r2 = run_task("tail", cfg, poll_s=0.0, max_polls=2)
+    assert r2["passes_applied"] == 1          # one pass, then idle no-op
+    assert len(LakeMeta(lake).active_partition_ids()) > 2   # guard fired
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH ch AS (SELECT * FROM read_parquet('{log}/*.parquet',
+                                               union_by_name=true)
+                    WHERE conv_id IS NOT NULL),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC) rn FROM ch)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM w WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
