@@ -253,24 +253,26 @@ def test_range_join_matches_duckdb():
     from migration_pair_ray.stages.join import range_join
     rng = np.random.default_rng(3)
     nl, nr = 2000, 1500
-    lt = pa.table({"user_id": rng.integers(0, 40, nl),
-                   "ts": pa.array(rng.integers(0, 10**9, nl) * 1000,
-                                  pa.timestamp("us")),
-                   "ev": rng.integers(0, 5, nl)})
-    rt = pa.table({"user_id": rng.integers(0, 50, nr),
-                   "ts": pa.array(rng.integers(0, 10**9, nr) * 1000,
-                                  pa.timestamp("us")),
-                   "price": rng.random(nr).round(3)})
+    # unique frame names: test_analytic registers "lt" on duckdb's
+    # default connection, which would shadow a local replacement scan
+    range_lt = pa.table({"user_id": rng.integers(0, 40, nl),
+                         "ts": pa.array(rng.integers(0, 10**9, nl) * 1000,
+                                        pa.timestamp("us")),
+                         "ev": rng.integers(0, 5, nl)})
+    range_rt = pa.table({"user_id": rng.integers(0, 50, nr),
+                         "ts": pa.array(rng.integers(0, 10**9, nr) * 1000,
+                                        pa.timestamp("us")),
+                         "price": rng.random(nr).round(3)})
     for how, jt in (("inner", "JOIN"), ("left", "LEFT JOIN")):
-        out = range_join(ray.data.from_arrow(lt).repartition(7),
-                         ray.data.from_arrow(rt).repartition(5),
+        out = range_join(ray.data.from_arrow(range_lt).repartition(7),
+                         ray.data.from_arrow(range_rt).repartition(5),
                          key="user_id", ts_col="ts", lo_s=-5000.0,
                          hi_s=12000.0, how=how, n_coarse=16)
         key = ["user_id", "ts", "ev", "ts_r", "price"]
         got = out.to_pandas().sort_values(key).reset_index(drop=True)
         want = duckdb.sql(f"""
             SELECT l.user_id, l.ts, l.ev, r.ts AS ts_r, r.price
-            FROM lt l {jt} rt r ON r.user_id = l.user_id
+            FROM range_lt l {jt} range_rt r ON r.user_id = l.user_id
               AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 5000000000
                                      AND epoch_us(l.ts) + 12000000000
         """).df().sort_values(key).reset_index(drop=True)
