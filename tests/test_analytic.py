@@ -232,3 +232,25 @@ def test_grouped_lead_matches_duckdb():
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_cohorts_shuffle_is_user_weeks_not_events():
+    """Design-property guard: the cohort operator's exchange must carry
+    at most distinct (user, week) rows — if raw events ever ride the
+    shuffle, the sorted row count blows past users x weeks."""
+    import re
+    from migration_pair_ray.pipelines.queries import events_retention_cohorts
+    out = events_retention_cohorts("/root/testdata/sf0.001").materialize()
+    stats = out.stats()
+    m = re.search(r"Operator \d+ MapBatches\(partial\):.*?\n"
+                  r"\* Output num rows per block:.*?, (\d+) total", stats)
+    assert m, stats
+    shuffled = int(m.group(1))
+    # sf0.001: 1000 events, 20 users x <= 5 weeks.  Per-block distinct
+    # bounds the exchange at blocks x users x weeks; with the fixture's
+    # block split the measured value is ~278 — the guard fires if raw
+    # events (1000) ever ride the shuffle.
+    assert shuffled <= 600, \
+        f"retention exchange carries {shuffled} rows — raw events " \
+        f"have crept into the shuffle"
