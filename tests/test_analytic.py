@@ -243,7 +243,7 @@ def test_retention_cohorts_shuffle_is_user_weeks_not_events():
     from migration_pair_ray.pipelines.queries import events_retention_cohorts
     out = events_retention_cohorts("/root/testdata/sf0.001").materialize()
     stats = out.stats()
-    m = re.search(r"Operator \d+ MapBatches\(partial\):.*?\n"
+    m = re.search(r"Operator \d+ MapBatches\(partial\):(?:.*\n)*?"
                   r"\* Output num rows per block:.*?, (\d+) total", stats)
     assert m, stats
     shuffled = int(m.group(1))
