@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q.doc_langid,
         "doc_dedup_incremental": q.doc_dedup_incremental,
         "doc_split_leakage": q.doc_split_leakage,
+        "doc_dup_clusters": q.doc_dup_clusters,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
         "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
@@ -1460,6 +1461,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM k
             WHERE rn = 1 AND t NOT IN (SELECT t FROM ex)
             ORDER BY doc_id""",
+        # cluster labels for every near-dup member: min-label components
+        # over the exact-Jaccard pair set
+        "doc_dup_clusters": """
+            WITH RECURSIVE nums AS (SELECT i FROM range(1, 2000) t(i)),
+            sh AS (SELECT DISTINCT doc_id, substr(COALESCE(text,''), i, 5) s
+                   FROM documents JOIN nums
+                     ON i <= GREATEST(length(COALESCE(text,'')) - 4, 1)),
+            sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id ai, b.doc_id bi, COUNT(*) c
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            p AS (SELECT ai, bi FROM inter
+                  JOIN sz x ON x.doc_id = ai JOIN sz y ON y.doc_id = bi
+                  WHERE c * 1.0 / (x.n + y.n - c) >= 0.8),
+            edges AS (SELECT ai a, bi b FROM p
+                      UNION ALL SELECT bi, ai FROM p),
+            cc(id, lbl) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.id
+            )
+            SELECT id AS doc_id, MIN(lbl) AS cluster
+            FROM cc GROUP BY id ORDER BY doc_id""",
         # leakage matrix: exact-Jaccard pairs x md5 80/10/10 split; the
         # engine's LSH recall is margin-protected on this corpus (no pair
         # between 0.36 and 0.92), so the exact-pair oracle is fair

@@ -1067,6 +1067,22 @@ def doc_split_leakage(sf_dir: str, threshold: float = 0.8):
             .sort(["split_lo", "split_hi"]))
 
 
+def doc_dup_clusters(sf_dir: str, threshold: float = 0.8):
+    """The cluster assignment itself — (doc_id, cluster-root) for every
+    document belonging to a near-dup component — rather than the deduped
+    survivors: the output shape curation pipelines need when they keep
+    one-per-cluster BY QUALITY (not by id) or audit cluster sizes.
+    Exact-Jaccard pairs (ngram_jaccard_pairs) → auto-routed connected
+    components; cluster label = component's min doc id."""
+    from migration_pair_ray.stages.dedup import (connected_components,
+                                                 ngram_jaccard_pairs)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=threshold)
+    return (connected_components(pairs)
+            .sort(["doc_id"]))
+
+
 def doc_near_dedup_minhash(sf_dir: str):
     """Rows-only check (probabilistic sketch)."""
     from migration_pair_ray.stages.dedup import minhash_lsh_dedup
