@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": q.doc_dedup_incremental,
         "doc_split_leakage": q.doc_split_leakage,
         "doc_dup_clusters": q.doc_dup_clusters,
+        "doc_dedup_by_quality": q.doc_dedup_by_quality,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
         "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
         "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
@@ -1484,6 +1485,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(lbl) AS cluster
             FROM cc GROUP BY id ORDER BY doc_id""",
+        # keep the BEST-scoring member per cluster (model-gate score,
+        # tie -> min id); everything else survives untouched
+        "doc_dedup_by_quality": f"""
+            WITH RECURSIVE nums AS (SELECT i FROM range(1, 2000) t(i)),
+            sh AS (SELECT DISTINCT doc_id, substr(COALESCE(text,''), i, 5) s
+                   FROM documents JOIN nums
+                     ON i <= GREATEST(length(COALESCE(text,'')) - 4, 1)),
+            sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id ai, b.doc_id bi, COUNT(*) c
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            p AS (SELECT ai, bi FROM inter
+                  JOIN sz x ON x.doc_id = ai JOIN sz y ON y.doc_id = bi
+                  WHERE c * 1.0 / (x.n + y.n - c) >= 0.8),
+            edges AS (SELECT ai a, bi b FROM p
+                      UNION ALL SELECT bi, ai FROM p),
+            cc(id, lbl) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.id
+            ),
+            m AS (SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id),
+            {_QFEAT_CTE.lstrip()},
+            sc AS (SELECT m.id, m.cluster,
+                          -f.n_chars + 6 * f.n_tokens
+                          + 10 * f.stop_hits - 30 AS score
+                   FROM m JOIN f ON f.doc_id = m.id),
+            w AS (SELECT id, row_number() OVER (
+                    PARTITION BY cluster
+                    ORDER BY score DESC, id) rn FROM sc)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM w WHERE rn > 1)
+            ORDER BY doc_id""",
         # leakage matrix: exact-Jaccard pairs x md5 80/10/10 split; the
         # engine's LSH recall is margin-protected on this corpus (no pair
         # between 0.36 and 0.92), so the exact-pair oracle is fair

@@ -1083,6 +1083,54 @@ def doc_dup_clusters(sf_dir: str, threshold: float = 0.8):
             .sort(["doc_id"]))
 
 
+def doc_dedup_by_quality(sf_dir: str, threshold: float = 0.8):
+    """Quality-ranked near-dedup: each cluster keeps its HIGHEST-scoring
+    member (the integer-weight model score from doc_model_gate; tie →
+    min doc_id) instead of the min-id convention — what production
+    curation actually wants: when near-dups exist, keep the best copy.
+    Cluster labels and member scores are bounded by the near-dup member
+    count (the drop_cluster_losers stance), so the winner argmax runs on
+    the driver; the corpus itself is touched only by streaming filters."""
+    import ray
+    from migration_pair_ray.functions.text import quality_features
+    from migration_pair_ray.stages.dedup import (connected_components,
+                                                 ngram_jaccard_pairs)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    clusters = connected_components(ngram_jaccard_pairs(ds, threshold))
+    memb = {r["doc_id"]: r["cluster"] for r in clusters.take_all()}
+    mref = ray.put(np.sort(np.fromiter(memb, np.int64, len(memb))))
+
+    def member_scores(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(np.isin(ids, ray.get(mref))))
+        f = quality_features(sub)
+        score = (-f.column("n_chars_m").to_numpy(zero_copy_only=False)
+                 + 6 * f.column("n_tokens").to_numpy(zero_copy_only=False)
+                 + 10 * f.column("stop_hits").to_numpy(zero_copy_only=False)
+                 - 30)
+        return pa.table({"doc_id": sub.column("doc_id"),
+                         "score": pa.array(score.astype(np.int64))})
+
+    best: dict[int, tuple[tuple[int, int], int]] = {}
+    for r in ds.map_batches(member_scores,
+                            batch_format="pyarrow").take_all():
+        c = memb[r["doc_id"]]
+        key = (r["score"], -r["doc_id"])
+        if c not in best or key > best[c][0]:
+            best[c] = (key, r["doc_id"])
+    winners = {d for _, d in best.values()}
+    losers = np.sort(np.fromiter(set(memb) - winners, np.int64))
+    lref = ray.put(losers)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, ray.get(lref))))
+
+    return (ds.map_batches(keep, batch_format="pyarrow")
+            .select_columns(["doc_id"]).sort("doc_id"))
+
+
 def doc_near_dedup_minhash(sf_dir: str):
     """Rows-only check (probabilistic sketch)."""
     from migration_pair_ray.stages.dedup import minhash_lsh_dedup
