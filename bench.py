@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "join_events_orders_asof",
     "join_events_orders_range",
     "conv_near_dup",
+    "conv_token_packing",
     "topk_orders_by_price",
     "topn_orders_per_customer",
     "orders_running_revenue",
@@ -64,6 +65,8 @@ QUERY_NAMES = [
     "cdc_turn_versions",
     "cdc_state_asof",
     "doc_dedup_incremental",
+    "doc_split_leakage",
+    "doc_dedup_by_quality",
     "events_approx_distinct",
     "events_user_cm_counts",
     "events_type_approx_users",
