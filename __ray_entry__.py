@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_retention_cohorts": q.events_retention_cohorts,
         "events_value_moments": q.events_value_moments,
+        "events_type_drift": q.events_type_drift,
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
         "conv_token_packing": q.conv_token_packing,
@@ -618,6 +619,25 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(n AS DOUBLE))
                         / CAST(n AS DOUBLE)) AS stddev_c
             FROM a ORDER BY event_type""",
+        # cross-multiplied integer L1 over types present in BOTH weeks
+        # (inner-join semantics, mirrored by the engine's lag kernel)
+        "events_type_drift": """
+            WITH cw AS (SELECT event_type,
+                               epoch_us(ts) // 604800000000 AS week,
+                               COUNT(*) AS c
+                        FROM events GROUP BY 1, 2),
+            n AS (SELECT week, CAST(SUM(c) AS BIGINT) AS n
+                  FROM cw GROUP BY 1)
+            SELECT a.week,
+                   CAST(SUM(ABS(a.c * np_.n - b.c * na.n)) AS BIGINT)
+                       AS l1_num,
+                   na.n AS n, np_.n AS n_prev
+            FROM cw a
+            JOIN cw b ON b.event_type = a.event_type
+                     AND b.week = a.week - 1
+            JOIN n na ON na.week = a.week
+            JOIN n np_ ON np_.week = a.week - 1
+            GROUP BY a.week, na.n, np_.n ORDER BY a.week""",
         "events_retention_cohorts": """
             WITH uw AS (SELECT DISTINCT user_id,
                                epoch_us(ts) // 604800000000 AS week

