@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
         "conv_token_packing": q.conv_token_packing,
+        "conv_repeated_turns": q.conv_repeated_turns,
         "conv_context_windows": q.conv_context_windows,
         "conv_tool_stats": q.conv_tool_stats,
         # relational operator coverage (M1-M6 analogs + aggregates/joins)
@@ -450,6 +451,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS n_chars
             FROM tr WHERE did NOT IN (SELECT id FROM losers)
             ORDER BY conv_id""",
+        # repeats = turns minus distinct texts, per conversation
+        "conv_repeated_turns": lww_winners + """
+            SELECT conv_id,
+                   COUNT(*) - COUNT(DISTINCT text) AS n_repeats,
+                   COUNT(*) AS n_turns
+            FROM w WHERE rn = 1 AND op <> 'D' AND text IS NOT NULL
+            GROUP BY conv_id ORDER BY conv_id""",
         # transcript -> BPE-ish tokens -> 4096-token packs; the cumsum
         # window mirrors the distributed two-pass prefix scan
         "conv_token_packing": lww_winners + r"""

@@ -316,6 +316,58 @@ def conv_token_packing(sf_dir: str, budget: int = 4096):
             .sort("bin"))
 
 
+def conv_repeated_turns(sf_dir: str):
+    """Within-conversation repetition signal: per conversation, how many
+    turns are exact duplicates of an earlier turn's text (degenerate
+    loops / copy-paste — a standard transcript-quality gate).  One coarse
+    conv-bucket shuffle of (conv_id, text-hash, text); inside a bucket a
+    single Arrow sort + keep-first boundary mask counts the non-first
+    occurrences per conversation — text itself rides the sort key within
+    equal-hash runs, so a hash collision cannot fake a repeat."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.functions.hashing import stable_hash64
+    from migration_pair_ray.functions.lww import _group_first_mask
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    n_coarse = _default_coarse(None)
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        h = stable_hash64(t.column("text").to_pylist()).astype(np.int64)
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "__h": pa.array(h),
+            "text": t.column("text"),
+            "__b": pa.array(_coarse_key_bucket(t.column("conv_id"),
+                                               n_coarse)),
+        })
+
+    def count_repeats(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "n_repeats": pa.array([], pa.int64()),
+                             "n_turns": pa.array([], pa.int64())})
+        g = g.sort_by([("conv_id", "ascending"), ("__h", "ascending"),
+                       ("text", "ascending")])
+        first = _group_first_mask(g, ["conv_id", "__h", "text"]).to_numpy(
+            zero_copy_only=False)
+        return (pa.table({"conv_id": g.column("conv_id"),
+                          "rep": pa.array((~first).astype(np.int64)),
+                          "one": pa.array(np.ones(g.num_rows, np.int64))})
+                .group_by("conv_id")
+                .aggregate([("rep", "sum"), ("one", "sum")])
+                .rename_columns(["conv_id", "n_repeats", "n_turns"]))
+
+    return (st.map_batches(prep, batch_format="pyarrow")
+            .groupby("__b").map_groups(count_repeats, batch_format="pyarrow")
+            .groupby("conv_id")
+            .aggregate(Sum("n_repeats", alias_name="n_repeats"),
+                       Sum("n_turns", alias_name="n_turns"))
+            .sort("conv_id"))
+
+
 def cdc_changelog_stats(sf_dir: str):
     """Per-op event counts + lsn range of the derived change stream
     (lineage/metrics-shaped aggregate; partial per-batch then tiny merge)."""
