@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
+        "cdc_state_diff": q.cdc_state_diff,
         "cdc_quarantine_stats": q.cdc_quarantine_stats,
         "events_value_outliers": q.events_value_outliers,
         "events_funnel": q.events_funnel,
@@ -52,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_repeated_turns": q.conv_repeated_turns,
         "conv_context_windows": q.conv_context_windows,
         "conv_tool_stats": q.conv_tool_stats,
+        "conv_role_violations": q.conv_role_violations,
+        "conv_template_turns": q.conv_template_turns,
         # relational operator coverage (M1-M6 analogs + aggregates/joins)
         "agg_pricing_summary": q.agg_pricing_summary,
         "agg_rollup_pricing": q.agg_rollup_pricing,
@@ -592,6 +595,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
+        # two-cutoff state diff: LWW winners at t1 vs t2 (engine computes
+        # both sides in one pass; the oracle joins two reconstructions);
+        # IS DISTINCT FROM mirrors the engine's null-safe payload compare
+        "cdc_state_diff": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            w1 AS (SELECT *, row_number() OVER (
+                     PARTITION BY conv_id, turn_idx
+                     ORDER BY ts DESC, lsn DESC) rn
+                   FROM ch WHERE epoch_us(ts) <= 1705276800000000),
+            s1 AS (SELECT conv_id, turn_idx, role, text, tool, ts
+                   FROM w1 WHERE rn = 1 AND op <> 'D'),
+            w2 AS (SELECT *, row_number() OVER (
+                     PARTITION BY conv_id, turn_idx
+                     ORDER BY ts DESC, lsn DESC) rn FROM ch),
+            s2 AS (SELECT conv_id, turn_idx, role, text, tool, ts
+                   FROM w2 WHERE rn = 1 AND op <> 'D'),
+            j AS (SELECT CASE
+                    WHEN s1.conv_id IS NULL THEN 'added'
+                    WHEN s2.conv_id IS NULL THEN 'deleted'
+                    WHEN s1.role IS DISTINCT FROM s2.role
+                      OR s1.text IS DISTINCT FROM s2.text
+                      OR s1.tool IS DISTINCT FROM s2.tool
+                      OR s1.ts IS DISTINCT FROM s2.ts THEN 'changed'
+                    ELSE 'unchanged' END AS diff_class
+                  FROM s1 FULL OUTER JOIN s2
+                    ON s1.conv_id = s2.conv_id
+                   AND s1.turn_idx = s2.turn_idx)
+            SELECT diff_class, COUNT(*) AS n_keys
+            FROM j GROUP BY diff_class ORDER BY diff_class""",
+        # adjacent same-role turn pairs per conversation (lead() mirror of
+        # stages/analytic.grouped_lead); convs with <2 role-bearing turns
+        # have no pairs and drop out on both sides
+        "conv_role_violations": lww_winners + """
+            , s AS (SELECT conv_id, turn_idx, role
+                    FROM w WHERE rn = 1 AND op <> 'D'
+                      AND role IS NOT NULL),
+            l AS (SELECT conv_id, role,
+                         lead(role) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS next_role
+                  FROM s)
+            SELECT conv_id, COUNT(*) AS n_pairs,
+                   CAST(SUM(CASE WHEN next_role = role THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same_role
+            FROM l WHERE next_role IS NOT NULL
+            GROUP BY conv_id ORDER BY conv_id""",
+        # canned/template turns: texts visible in >= 2 distinct convs
+        "conv_template_turns": lww_winners + """
+            SELECT text,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   COUNT(*) AS n_uses
+            FROM w WHERE rn = 1 AND op <> 'D' AND text IS NOT NULL
+            GROUP BY text HAVING COUNT(DISTINCT conv_id) >= 2
+            ORDER BY text""",
         # SCD2 validity intervals: valid_to = next version's valid_from
         # per (conv_id, turn_idx), year-9999 sentinel for open intervals
         "cdc_turn_versions": f"""

@@ -113,7 +113,26 @@ QUERY_NAMES = [
     "embed_near_dedup",
     "embed_knn_ivf",
     "embed_knn_ivf_incremental",
+    "conv_repeated_turns",
+    "distinct_event_types",
+    "doc_dup_clusters",
+    "doc_fingerprints",
+    "events_hot_users",
+    "events_sliding_windows",
+    "events_value_stats",
+    "filter_highvalue_orders",
+    "events_csv_roundtrip",
+    "media_byte_stats",
+    "media_features",
+    "media_frame_stats",
+    "cdc_state_diff",
+    "conv_role_violations",
+    "conv_template_turns",
 ]
+# Excluded on purpose: the cdc_* lake queries (cdc_lww_merge, tombstones,
+# snapshots, lineage, compaction, quarantine, two-phase) each rebuild an
+# events lake per call — the headline replay above IS that path, measured
+# properly (warm-up + best-of-2) instead of N noisy single-shot rebuilds.
 
 
 def ensure_change_log() -> str:

@@ -3147,3 +3147,192 @@ def events_value_outliers(sf_dir: str):
             .aggregate(Sum("n_outliers", alias_name="n_outliers"),
                        Sum("n", alias_name="n"))
             .sort("event_type"))
+
+
+def conv_role_violations(sf_dir: str):
+    """Role-alternation audit over the merged transcripts: per
+    conversation, how many ADJACENT turn pairs (turn_idx order) repeat the
+    same role — the chat-data quality gate that catches doubled
+    user/assistant turns from retries or botched merges.  The lookahead is
+    ``stages/analytic.grouped_lead`` (coarse key-hash buckets, ONE shuffle,
+    one Arrow sort + shifted take per bucket — zero per-key dispatch);
+    the counting is a per-batch partial + tiny conv groupby."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.analytic import grouped_lead
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("role")))
+        return t.select(["conv_id", "turn_idx", "role"])
+
+    led = grouped_lead(st.map_batches(prep, batch_format="pyarrow"),
+                       key_col="conv_id", order_cols=["turn_idx"],
+                       value_col="role", lead_col="next_role")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("next_role")))
+        same = pc.cast(pc.equal(t.column("role"), t.column("next_role")),
+                       pa.int64())
+        return (pa.table({"conv_id": t.column("conv_id"),
+                          "pair": pa.array(np.ones(t.num_rows, np.int64)),
+                          "same": same})
+                .group_by("conv_id")
+                .aggregate([("pair", "sum"), ("same", "sum")])
+                .rename_columns(["conv_id", "n_pairs", "n_same_role"]))
+
+    return (led.map_batches(partial, batch_format="pyarrow")
+            .groupby("conv_id")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                       Sum("n_same_role", alias_name="n_same_role"))
+            .sort("conv_id"))
+
+
+def conv_template_turns(sf_dir: str, min_convs: int = 2):
+    """Template/canned-turn detection across the corpus: visible turn
+    texts that appear in >= ``min_convs`` DISTINCT conversations (boiler-
+    plate responses a curation pass usually down-weights).  Scale shape:
+    per-batch (text, conv_id) count partials, then ONE coarse shuffle on
+    hash(text) — never a per-text Ray group — and inside each bucket a
+    single Arrow sort + boundary masks count distinct conversations and
+    total uses for every text at once.  The exchange carries one row per
+    (text, conv) per batch, bounded by the distinct-template count, not
+    the corpus size."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.functions.lww import _group_first_mask
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    n_coarse = _default_coarse(None)
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        p = (t.select(["text", "conv_id"])
+             .append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+             .group_by(["text", "conv_id"]).aggregate([("n", "sum")])
+             .rename_columns(["text", "conv_id", "n"]))
+        return p.append_column("__b", pa.array(
+            _coarse_key_bucket(p.column("text"), n_coarse)))
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"text": pa.array([], pa.string()),
+                          "n_convs": pa.array([], pa.int64()),
+                          "n_uses": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("text", "ascending"), ("conv_id", "ascending")])
+        new_conv = _group_first_mask(g, ["text", "conv_id"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out = (pa.table({"text": g.column("text"),
+                         "c": pa.array(new_conv),
+                         "n": g.column("n")})
+               .group_by("text").aggregate([("c", "sum"), ("n", "sum")])
+               .rename_columns(["text", "n_convs", "n_uses"]))
+        return out.filter(pc.greater_equal(out.column("n_convs"),
+                                           min_convs)) if out.num_rows else empty
+
+    return (st.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(count_bucket, batch_format="pyarrow")
+            .sort("text"))
+
+
+def cdc_state_diff(sf_dir: str, t1_us: int = 1705276800000000,
+                   t2_us: int = _SCD2_MAX_US):
+    """Point-in-time state DIFF: classify every (conv_id, turn_idx) key by
+    how the LWW state changed between two cutoffs — ``added`` (visible at
+    t2 only), ``deleted`` (t1 only), ``changed`` (both, any payload column
+    differs), ``unchanged`` — and count keys per class.  The audit read
+    behind every CDC reconciliation report ('what moved between Monday's
+    snapshot and today?').
+
+    One pass, one shuffle: each batch derives changes, applies the
+    delivered-form tool-evolution rule, and emits BOTH cutoffs' per-batch
+    LWW partials tagged with a side column (the combiner is monotone, so
+    the exchange carries at most two winners per key per batch); each
+    coarse key bucket then finishes the per-side reduce and classifies all
+    its keys with one Arrow sort + boundary/pair masks — no join, no
+    per-key dispatch.  Null-safe column compares mirror SQL's
+    IS DISTINCT FROM."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.functions.lww import (_group_first_mask,
+                                                  lww_reduce, visible_state)
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    n_coarse = _default_coarse(None)
+    n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    tool_from = -(-n_events // 4)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "props", "ts"])
+    payload = ["role", "text", "tool", "ts"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _derive_changes(t)
+        pre = pc.less(t.column("lsn"), tool_from)
+        t = t.set_column(t.schema.get_field_index("tool"), "tool",
+                         pc.if_else(pre, pa.scalar(None, pa.string()),
+                                    t.column("tool")))
+        ts_us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                        pa.int64())
+        sides = []
+        for side, cut in ((1, t1_us), (2, t2_us)):
+            s = lww_reduce(t.filter(pc.less_equal(ts_us, cut)))
+            sides.append(s.append_column(
+                "__side", pa.array(np.full(s.num_rows, side, np.int8))))
+        both = pa.concat_tables(sides)
+        return both.append_column("__b", pa.array(
+            _coarse_key_bucket(both.column("conv_id"), n_coarse)))
+
+    def classify_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"diff_class": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = g.drop_columns(["__b"])
+        states = []
+        for side in (1, 2):
+            s = g.filter(pc.equal(g.column("__side"), side))
+            s = visible_state(lww_reduce(s.drop_columns(["__side"])))
+            states.append(s.append_column(
+                "__side", pa.array(np.full(s.num_rows, side, np.int8))))
+        t = pa.concat_tables(states).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"),
+             ("__side", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"diff_class": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        first = _group_first_mask(t, ["conv_id", "turn_idx"]).to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        # singleton keys: present on one side only
+        single = starts[sizes == 1]
+        classes = []
+        if single.size:
+            classes.append(np.where(side[single] == 1, "deleted", "added"))
+        # pair keys: compare payload columns null-safely (IS DISTINCT FROM)
+        pairs = starts[sizes == 2]
+        if pairs.size:
+            a_idx, b_idx = pa.array(pairs), pa.array(pairs + 1)
+            differs = np.zeros(pairs.size, dtype=bool)
+            for col in payload:
+                av, bv = pc.take(t.column(col), a_idx), pc.take(
+                    t.column(col), b_idx)
+                neq = pc.fill_null(pc.not_equal(av, bv), False)
+                null_mismatch = pc.xor(pc.is_null(av), pc.is_null(bv))
+                differs |= pc.or_(neq, null_mismatch).to_numpy(
+                    zero_copy_only=False)
+            classes.append(np.where(differs, "changed", "unchanged"))
+        allc = np.concatenate(classes) if classes else np.array([], "U9")
+        vals, counts = np.unique(allc, return_counts=True)
+        return pa.table({"diff_class": pa.array(vals.tolist(), pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(classify_bucket,
+                                       batch_format="pyarrow")
+            .groupby("diff_class")
+            .aggregate(Sum("n", alias_name="n_keys"))
+            .sort("diff_class"))
