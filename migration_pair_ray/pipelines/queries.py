@@ -3188,17 +3188,71 @@ def conv_role_violations(sf_dir: str):
             .sort("conv_id"))
 
 
+def _hot_hash_ds(st, *, min_convs: int, n_coarse: int,
+                 text_col: str = "text",
+                 key_col: str = "conv_id"):
+    """Pass 1 of template detection: hashes of ``text_col`` values seen in
+    >= ``min_convs`` distinct ``key_col`` values.  The exchange carries
+    (hash64, key) only — never the text — so the shuffle is ~16 B/row at
+    any text length; the result is bounded by the template count, safe to
+    collect + broadcast (``_hot_text_hashes``)."""
+    from migration_pair_ray.functions.hashing import stable_hash64
+    from migration_pair_ray.functions.lww import _group_first_mask
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col)))
+        h = stable_hash64(t.column(text_col).to_pylist()).astype(np.int64)
+        p = (pa.table({"h": pa.array(h), "k": t.column(key_col)})
+             .group_by(["h", "k"]).aggregate([]))
+        return p.append_column("__b", pa.array(
+            (p.column("h").to_numpy(zero_copy_only=False)
+             % np.int64(n_coarse)).astype(np.int32)))
+
+    def hot_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        g = g.sort_by([("h", "ascending"), ("k", "ascending")])
+        new_key = _group_first_mask(g, ["h", "k"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out = (pa.table({"h": g.column("h"), "c": pa.array(new_key)})
+               .group_by("h").aggregate([("c", "sum")])
+               .rename_columns(["h", "c"]))
+        return out.filter(pc.greater_equal(
+            out.column("c"), min_convs)).select(["h"])
+
+    return (st.map_batches(hash_partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(hot_bucket, batch_format="pyarrow"))
+
+
+def _hot_text_hashes(st, *, min_convs: int, n_coarse: int,
+                     text_col: str = "text",
+                     key_col: str = "conv_id") -> np.ndarray:
+    hot = _hot_hash_ds(st, min_convs=min_convs, n_coarse=n_coarse,
+                       text_col=text_col, key_col=key_col
+                       ).take_all()          # bounded by template count
+    return np.sort(np.array([r["h"] for r in hot], dtype=np.int64))
+
+
 def conv_template_turns(sf_dir: str, min_convs: int = 2):
     """Template/canned-turn detection across the corpus: visible turn
     texts that appear in >= ``min_convs`` DISTINCT conversations (boiler-
-    plate responses a curation pass usually down-weights).  Scale shape:
-    per-batch (text, conv_id) count partials, then ONE coarse shuffle on
-    hash(text) — never a per-text Ray group — and inside each bucket a
-    single Arrow sort + boundary masks count distinct conversations and
-    total uses for every text at once.  The exchange carries one row per
-    (text, conv) per batch, bounded by the distinct-template count, not
-    the corpus size."""
+    plate responses a curation pass usually down-weights).
+
+    Two-pass slim-exchange shape (same discipline as the MinHash LSH
+    rework — full payloads never ride a corpus-wide shuffle):
+
+    1. Hash pass: per batch, distinct (hash64(text), conv_id) pairs —
+       16 B/row — ONE coarse shuffle on the hash, per-bucket sort +
+       boundary masks count distinct convs per hash; hashes meeting the
+       threshold are the HOT set, bounded by the template count, so
+       collecting + broadcasting it is safe at any corpus size.
+    2. Text pass: re-scan, keep only rows whose hash is hot (np.isin),
+       and do the exact (text, conv) count — grouped by the TEXT itself,
+       so a hash collision can only add a few spurious rows to this
+       bounded pass, never a wrong count — then filter >= min_convs
+       again on the exact numbers."""
     from ray.data.aggregate import Sum
+    from migration_pair_ray.functions.hashing import stable_hash64
     from migration_pair_ray.functions.lww import _group_first_mask
     from migration_pair_ray.stages.windows import (_coarse_key_bucket,
                                                    _default_coarse)
@@ -3206,8 +3260,14 @@ def conv_template_turns(sf_dir: str, min_convs: int = 2):
     cfg = _events_lake(sf_dir)
     st = final_state(cfg, sort=False)
 
-    def partial(t: pa.Table) -> pa.Table:
+    hot_arr = _hot_text_hashes(st, min_convs=min_convs, n_coarse=n_coarse)
+    hot_ref = ray.put(hot_arr)
+
+    def text_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("text")))
+        h = stable_hash64(t.column("text").to_pylist()).astype(np.int64)
+        keep = np.isin(h, ray.get(hot_ref))
+        t = t.filter(pa.array(keep))
         p = (t.select(["text", "conv_id"])
              .append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
              .group_by(["text", "conv_id"]).aggregate([("n", "sum")])
@@ -3232,7 +3292,7 @@ def conv_template_turns(sf_dir: str, min_convs: int = 2):
         return out.filter(pc.greater_equal(out.column("n_convs"),
                                            min_convs)) if out.num_rows else empty
 
-    return (st.map_batches(partial, batch_format="pyarrow")
+    return (st.map_batches(text_partial, batch_format="pyarrow")
             .groupby("__b").map_groups(count_bucket, batch_format="pyarrow")
             .sort("text"))
 

@@ -110,3 +110,87 @@ def test_grouped_lead_matches_pandas(rows):
     want = df.sort_values(["k", "o"]).reset_index(drop=True)
     want["nxt"] = want.groupby("k")["v"].shift(-1)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 80),          # user_id
+                          st.sampled_from(["view", "click", "purchase",
+                                           "error", "signup"]),
+                          st.integers(0, 40),          # props key
+                          st.integers(0, 100_000)),    # ts seconds
+                min_size=1, max_size=150),
+       st.integers(0, 100_000))                        # t1 cutoff seconds
+def test_cdc_state_diff_matches_pandas(rows, t1_s):
+    """cdc_state_diff's one-pass two-cutoff classification == a brute-force
+    pandas reconstruction-and-outer-merge, on random change streams
+    (ts ties, tombstone flips, keys absent from one side, tool-evolution
+    nulling all exercised)."""
+    import tempfile
+    import pyarrow.parquet as pq
+    from migration_pair_ray.pipelines.queries import cdc_state_diff
+
+    n = len(rows)
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "k", "sec"])
+    df["event_id"] = np.arange(n, dtype=np.int64)
+    df["props"] = '{"k": ' + df["k"].astype(str) + "}"
+    df["ts"] = pd.to_datetime(df["sec"], unit="s")
+    tmp = tempfile.mkdtemp(prefix="mpr_prop_sd_")
+    pq.write_table(pa.Table.from_pandas(
+        df[["event_id", "ts", "user_id", "event_type", "props"]],
+        preserve_index=False), f"{tmp}/events.parquet")
+
+    t1_us = t1_s * 1_000_000
+    got = cdc_state_diff(tmp, t1_us=t1_us).to_pandas()
+    if got.empty:                      # all-tombstone stream: no columns
+        got = pd.DataFrame({"diff_class": pd.Series(dtype=object),
+                            "n_keys": pd.Series(dtype=np.int64)})
+    got = got.sort_values("diff_class").reset_index(drop=True)
+
+    # brute-force oracle: derive, reconstruct each side, outer-merge
+    ch = pd.DataFrame({
+        "conv_id": "c" + (df["user_id"] % 50).astype(str),
+        "turn_idx": (df["event_id"] % 200).astype(np.int32),
+        "role": df["event_type"],
+        "text": df["props"],
+        "tool": np.where((df["event_type"] == "click")
+                         & (df["event_id"] >= -(-n // 4)),
+                         "w" + (df["event_id"] % 5).astype(str), None),
+        "ts": df["ts"],
+        "op": np.select([df["event_type"] == "error",
+                         df["event_type"] == "purchase"],
+                        ["D", "U"], "I"),
+        "lsn": df["event_id"],
+    })
+
+    def state(cut_us):
+        s = (ch[ch["ts"].astype("int64") // 1000 <= cut_us]   # ns -> us
+             if cut_us is not None else ch)
+        if s.empty:
+            return s
+        s = s.sort_values(["ts", "lsn"]).groupby(
+            ["conv_id", "turn_idx"], as_index=False).last()
+        return s[s["op"] != "D"]
+
+    s1, s2 = state(t1_us), state(None)
+    m = s1.merge(s2, on=["conv_id", "turn_idx"], how="outer",
+                 suffixes=("_1", "_2"), indicator=True)
+    cls = []
+    for _, r in m.iterrows():
+        if r["_merge"] == "right_only":
+            cls.append("added")
+        elif r["_merge"] == "left_only":
+            cls.append("deleted")
+        else:
+            diff = any(
+                (pd.isna(r[f"{c}_1"]) != pd.isna(r[f"{c}_2"]))
+                or (pd.notna(r[f"{c}_1"]) and r[f"{c}_1"] != r[f"{c}_2"])
+                for c in ("role", "text", "tool", "ts"))
+            cls.append("changed" if diff else "unchanged")
+    want = (pd.Series(cls, dtype=object).value_counts().rename_axis(
+        "diff_class").reset_index(name="n_keys")
+        .sort_values("diff_class").reset_index(drop=True))
+    if want.empty:
+        assert got.empty
+    else:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -118,3 +118,28 @@ def test_topk_empty_corpus():
     out = brute_force_topk(empty, np.zeros((2, 4), np.float32), k=5)
     assert out.num_rows == 0
     assert out.schema.names == ["query_id", "vec_id", "cos"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_template_hash_pass_exchange_is_slim():
+    """Design-property guard for conv_template_turns' pass 1: the hot-hash
+    exchange must carry (hash64, key) only — with 2 KB texts, a text
+    payload creeping into the shuffle blows the per-row byte bound."""
+    import re
+    from migration_pair_ray.pipelines.queries import _hot_hash_ds
+
+    long_text = "x" * 2048
+    df = pd.DataFrame({
+        "text": [long_text] * 6 + [f"{long_text}{i}" for i in range(60)],
+        "conv_id": [f"c{i}" for i in range(6)] * 11,
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    hot = _hot_hash_ds(ds, min_convs=2, n_coarse=8).materialize()
+    assert sorted(r["h"] for r in hot.take_all())  # the template IS found
+    stats = hot.stats()
+    m = re.search(r"Operator \d+ Sort:.*?(?:\n.*?)*?bytes per block:"
+                  r".*?(\d+) total", stats)
+    assert m, stats
+    per_row = int(m.group(1)) / len(df)
+    assert per_row < 120, (f"hash-pass exchange carries {per_row:.0f} B/row "
+                           f"— text payload has crept into the shuffle")
