@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="split: number of children")
     p.add_argument("--max-rows", type=int, default=0,
                    help="split: sweep every partition above this row count")
+    p.add_argument("--deep", action="store_true",
+                   help="fsck: re-read state files (hash/tombstones/"
+                        "uniqueness/routing)")
     p.add_argument("--num-cpus", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -43,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.task == "split":
         kw.update(base_pid=args.base_pid, fanout=args.fanout,
                   max_rows=args.max_rows)
+    if args.task == "fsck":
+        kw["deep"] = args.deep
 
     import ray
     if not ray.is_initialized():

@@ -1,0 +1,210 @@
+"""Lake integrity check (fsck): verify that what the manifests claim
+matches what is on disk, without trusting anything the replay path wrote.
+
+The reference has no stored state to check (Cassandra owns placement and
+durability; `Tasks/MigrationTask.cs:101-104` just re-upserts).  A lake on
+shared storage needs an auditor: after an operator incident ('did that
+node die mid-commit?', 'did someone rm a file?') the answer must come from
+a read-only sweep, not from re-running the pipeline.
+
+Two levels:
+
+* **metadata sweep** (default): per active partition, every manifest-
+  referenced state file must exist and its Parquet FOOTER row count must
+  equal the manifest's recorded rows (no data read — cheap enough for
+  10^5 partitions); chunked layouts must also have non-overlapping,
+  ascending key ranges whose row sum equals the partition row count; and
+  any `state-*.parquet` in the partition directory that no manifest
+  references is flagged (GC leak — harmless for correctness, pure waste).
+* **deep sweep** (``deep=True``): additionally re-reads every state file
+  and verifies the recorded content hash (when `hash_state` recorded
+  one), the tombstone count, one-winner-per-key (no duplicate
+  ``(conv_id, turn_idx)``), and that every key actually ROUTES to the
+  partition that holds it under the lake's recorded layout + splits —
+  the check that catches a mis-configured `num_partitions` or a foreign
+  file copied into the lake.
+
+Scale shape: one Ray task per partition batch (``map_batches`` over the
+partition-id list); each task touches only its own partitions' files, so
+the sweep parallelizes to the cluster and the driver receives only
+problem rows (bounded by the damage, not the lake size).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _entries(manifest: dict) -> list[dict]:
+    """Normalize single-file and chunked manifests to one entry list."""
+    if "data_files" in manifest:
+        return list(manifest["data_files"])
+    if manifest.get("data_file"):
+        return [{
+            "file": manifest["data_file"],
+            "rows": manifest.get("row_count", 0),
+            "tombstones": manifest.get("tombstones", 0),
+            "content_hash": manifest.get("content_hash", ""),
+        }]
+    return []
+
+
+def _check_partition(lake_dir: str, pid: int, deep: bool,
+                     num_partitions: int, mode: str,
+                     splits: dict) -> list[dict]:
+    """All problems found in one partition (empty list = healthy)."""
+    problems: list[dict] = []
+
+    def bad(kind: str, detail: str) -> None:
+        problems.append({"partition": pid, "kind": kind, "detail": detail})
+
+    store = ManifestStore(os.path.join(lake_dir, "_manifest"))
+    manifest = store.read(pid)
+    part_dir = Path(lake_dir) / f"part={pid:05d}"
+    on_disk = {str(p.relative_to(lake_dir))
+               for p in part_dir.glob("state-*.parquet")}
+
+    if manifest is None:
+        # a never-written partition is legal; state files without a
+        # manifest are not (a crash cannot produce this: the data file is
+        # fsynced BEFORE the manifest commits, and GC runs after)
+        for f in sorted(on_disk):
+            bad("orphan_state", f"{f} exists but partition has no manifest")
+        return problems
+
+    entries = _entries(manifest)
+    referenced = {e["file"] for e in entries}
+    for f in sorted(on_disk - referenced):
+        bad("unreferenced_file", f"{f} on disk but not in the manifest "
+                                 f"(GC leak)")
+
+    rows_sum = 0
+    prev_hi: tuple | None = None
+    for e in entries:
+        path = os.path.join(lake_dir, e["file"])
+        if not os.path.exists(path):
+            bad("missing_file", e["file"])
+            continue
+        meta_rows = pq.ParquetFile(path).metadata.num_rows
+        if meta_rows != e["rows"]:
+            bad("row_count_mismatch",
+                f"{e['file']}: footer {meta_rows} != manifest {e['rows']}")
+        rows_sum += e["rows"]
+        if "key_lo" in e:                      # chunked layout ordering
+            lo = (str(e["key_lo"][0]), int(e["key_lo"][1]))
+            hi = (str(e["key_hi"][0]), int(e["key_hi"][1]))
+            if hi < lo:
+                bad("chunk_key_range_inverted", e["file"])
+            if prev_hi is not None and lo <= prev_hi:
+                bad("chunk_overlap",
+                    f"{e['file']}: key_lo {lo} <= previous key_hi {prev_hi}")
+            prev_hi = hi
+        if deep:
+            _deep_check(lake_dir, pid, e, path, bad,
+                        num_partitions, mode, splits)
+
+    if manifest.get("row_count", rows_sum) != rows_sum:
+        bad("manifest_rows_mismatch",
+            f"sum of file rows {rows_sum} != partition row_count "
+            f"{manifest.get('row_count')}")
+    return problems
+
+
+def _deep_check(lake_dir: str, pid: int, entry: dict, path: str, bad,
+                num_partitions: int, mode: str, splits: dict) -> None:
+    import numpy as np
+    import pyarrow.compute as pc
+    from migration_pair_ray.stages.partition import partition_ids
+
+    recorded = entry.get("content_hash", "")
+    if recorded and _sha256(path) != recorded:
+        bad("hash_mismatch", entry["file"])
+        return                                  # bytes differ: stop here
+    t = pq.read_table(path)
+    if t.num_rows == 0:
+        return
+    tombs = int(pc.sum(pc.cast(pc.equal(t.column("op"), "D"),
+                               pa.int64())).as_py() or 0)
+    if tombs != entry.get("tombstones", tombs):
+        bad("tombstone_mismatch",
+            f"{entry['file']}: counted {tombs} != manifest "
+            f"{entry.get('tombstones')}")
+    conv = np.asarray(t.column("conv_id").to_pandas())
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    sc, stn = conv[order], turn[order]
+    if np.any((sc[1:] == sc[:-1]) & (stn[1:] == stn[:-1])):
+        bad("duplicate_keys", entry["file"])
+    routed = partition_ids(t, num_partitions, mode, splits)
+    if not np.all(routed == pid):
+        wrong = int(np.sum(routed != pid))
+        bad("misrouted_keys",
+            f"{entry['file']}: {wrong} rows route to other partitions "
+            f"under the recorded layout")
+
+
+def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
+    """Audit the lake; returns ``{ok, partitions, files, rows, problems}``.
+
+    Read-only.  Layout (partition count/mode/splits) comes from the lake's
+    own ``_lake_meta.json`` — a misconfigured ``cfg`` cannot skew the
+    audit (same authority rule as ``read_lake``)."""
+    lm = LakeMeta(cfg.lake_dir)
+    meta = lm.read()
+    if meta is None:
+        return {"ok": True, "partitions": 0, "files": 0, "rows": 0,
+                "problems": [], "note": "no _lake_meta.json (empty lake)"}
+    num_partitions = meta["num_partitions"]
+    mode = meta["partition_mode"]
+    splits = lm.splits()
+    pids = lm.active_partition_ids()
+    lake_dir = cfg.lake_dir
+
+    def check_batch(t: pa.Table) -> pa.Table:
+        rows = []
+        for pid in t.column("pid").to_pylist():
+            rows.extend(_check_partition(lake_dir, int(pid), deep,
+                                         num_partitions, mode, splits))
+        if not rows:
+            return pa.table({"partition": pa.array([], pa.int32()),
+                             "kind": pa.array([], pa.string()),
+                             "detail": pa.array([], pa.string())})
+        return pa.table({
+            "partition": pa.array([r["partition"] for r in rows],
+                                  pa.int32()),
+            "kind": pa.array([r["kind"] for r in rows], pa.string()),
+            "detail": pa.array([r["detail"] for r in rows], pa.string()),
+        })
+
+    problems = (rd.from_items([{"pid": p} for p in pids])
+                .map_batches(check_batch, batch_format="pyarrow")
+                .take_all())                   # bounded by damage found
+
+    store = ManifestStore(os.path.join(cfg.lake_dir, "_manifest"))
+    files = rows = 0
+    for pid in pids:
+        m = store.read(pid)
+        if m:
+            es = _entries(m)
+            files += len(es)
+            rows += sum(e["rows"] for e in es)
+    return {"ok": not problems, "partitions": len(pids), "files": files,
+            "rows": rows, "deep": deep, "problems": problems}

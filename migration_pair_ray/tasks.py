@@ -55,6 +55,14 @@ def task_lineage(cfg: JobConfig, **kw) -> dict:
     return lineage_summary(cfg)
 
 
+def task_fsck(cfg: JobConfig, deep: bool = False, **kw) -> dict:
+    """Read-only lake audit: manifests vs on-disk files (pipelines/fsck).
+    ``deep`` re-reads state files (hash, tombstones, key uniqueness,
+    routing)."""
+    from migration_pair_ray.pipelines.fsck import validate_lake
+    return validate_lake(cfg, deep=deep)
+
+
 def task_tail(cfg: JobConfig, poll_s: float = 5.0, max_polls: int = 0,
               **kw) -> dict:
     """Continuous change-log tailer: poll ``discover`` → ``replay`` until
@@ -129,6 +137,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "split": task_split,
     "requeue": task_requeue,
     "tail": task_tail,
+    "fsck": task_fsck,
 }
 
 

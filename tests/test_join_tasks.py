@@ -1,6 +1,7 @@
 """hash_join / broadcast_join, task registry, CLI, lineage, skew probe."""
 
 import json
+import pathlib
 import subprocess
 import sys
 
@@ -407,3 +408,32 @@ def test_salted_join_empty_hot_set_falls_back():
     out = (salted_hash_join(left, right, on="k", hot_frac=0.5)
            .to_pandas().sort_values("k"))
     assert out["k"].tolist() == [2, 3]
+
+
+def test_cli_fsck_task(tmp_path):
+    """fsck through the CLI: clean lake audits ok (deep included); after
+    deleting a state file the audit fails with a named problem."""
+    log = tmp_path / "log"
+    generate_change_log(str(log), n_events=300, n_convs=5, n_files=2, seed=6)
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4)
+    cfg_path = tmp_path / "job.json"
+    cfg.to_json(cfg_path)
+
+    def cli(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "migration_pair_ray", *args,
+             "--config", str(cfg_path), "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    cli("replay")
+    rep = cli("fsck", "--deep")
+    assert rep["ok"] and rep["partitions"] == 4 and not rep["problems"]
+    victim = sorted(pathlib.Path(cfg.lake_dir).glob(
+        "part=*/state-*.parquet"))[0]
+    victim.unlink()
+    rep = cli("fsck")
+    assert not rep["ok"]
+    assert rep["problems"][0]["kind"] == "missing_file"
