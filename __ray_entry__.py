@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC core (SURVEY.md §2.1/2.3/2.5/2.7: S1/S2/S5, ST1/ST4, A4/A5)
         "cdc_lww_merge": q.cdc_lww_merge,
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
+        "cdc_time_travel": q.cdc_time_travel,
+        "cdc_point_lookup": q.cdc_point_lookup,
         "cdc_changefeed": q.cdc_changefeed,
         "cdc_incremental_agg": q.cdc_incremental_agg,
         "cdc_log_compaction": q.cdc_log_compaction,
@@ -359,6 +361,26 @@ def oracle_sql() -> dict[str, str]:
         "cdc_log_compaction": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # time travel: the lake as of the FIRST retained pass = LWW winners
+        # over the lsn prefix files 0-1 own (cut = 2*ceil(n/4), the same
+        # file split every two-pass fixture uses)
+        "cdc_time_travel": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            cut AS (SELECT 2 * CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS c
+                    FROM events),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn
+                  FROM ch, cut WHERE lsn < cut.c)
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # point lookup: LWW winners restricted to the three served keys
+        "cdc_point_lookup": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+              AND conv_id IN ('c0', 'c17', 'c42')
             ORDER BY conv_id, turn_idx""",
         # net effect of advancing from the files-0/1 checkpoint state to
         # the full-log state; cut = 2*ceil(n/4) is the lsn range files

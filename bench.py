@@ -128,11 +128,13 @@ QUERY_NAMES = [
     "cdc_state_diff",
     "conv_role_violations",
     "conv_template_turns",
+    "cdc_point_lookup",
 ]
 # Excluded on purpose: the cdc_* lake queries (cdc_lww_merge, tombstones,
-# snapshots, lineage, compaction, quarantine, two-phase) each rebuild an
-# events lake per call — the headline replay above IS that path, measured
-# properly (warm-up + best-of-2) instead of N noisy single-shot rebuilds.
+# snapshots, lineage, compaction, quarantine, two-phase, time_travel) each
+# rebuild an events lake per call — the headline replay above IS that path,
+# measured properly (warm-up + best-of-2) instead of N noisy single-shot
+# rebuilds.  cdc_point_lookup stays in: it reads the shared lake.
 
 
 def ensure_change_log() -> str:

@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="split: number of children")
     p.add_argument("--max-rows", type=int, default=0,
                    help="split: sweep every partition above this row count")
+    p.add_argument("--min-rows", type=int, default=0,
+                   help="merge: sweep every split base whose children's "
+                        "total rows fell below this")
+    p.add_argument("--retain", type=int, default=0,
+                   help="vacuum: superseded passes to keep per partition")
     p.add_argument("--deep", action="store_true",
                    help="fsck: re-read state files (hash/tombstones/"
                         "uniqueness/routing)")
@@ -46,8 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.task == "split":
         kw.update(base_pid=args.base_pid, fanout=args.fanout,
                   max_rows=args.max_rows)
+    if args.task == "merge":
+        kw.update(base_pid=args.base_pid, min_rows=args.min_rows)
     if args.task == "fsck":
         kw["deep"] = args.deep
+    if args.task == "vacuum":
+        kw["retain"] = args.retain
 
     import ray
     if not ray.is_initialized():

@@ -69,6 +69,13 @@ class JobConfig:
     # (pipelines/compact.maybe_split_oversized — other partitions
     # untouched, crash-safe via the atomic _lake_meta commit).
     auto_split_max_rows: int = 0
+    # Time-travel retention: 0 = superseded state files are GC'd at commit
+    # (no history, default); N > 0 = every partition manifest keeps its
+    # last N superseded records and their state files, enabling
+    # read_lake(as_of=<pass_id>) / final_state(as_of=...) at any retained
+    # pass.  Trim the window later with pipelines/compact.vacuum (CLI task
+    # `vacuum`).  Storage cost ≈ N extra copies of each touched partition.
+    retain_passes: int = 0
     # Dead-letter sink: "" = gate off (a malformed row poisons the merge,
     # reference behavior); a directory path routes unroutable/unmergeable
     # rows (null key, unknown op) to content-addressed Parquet files under

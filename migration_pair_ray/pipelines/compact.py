@@ -79,7 +79,9 @@ def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
         new_gen = prev_gen + prev_fanout       # fresh id block, never reused
     else:
         src_pids = [base_pid]
-        new_gen = 0
+        # never reuse a child id block a crashed pre-merge job might
+        # still have files under (LakeMeta.record_unsplit retired it)
+        new_gen = meta.gen_floor(base_pid)
 
     from migration_pair_ray.stages.applier import read_state_table
     tables, src_sig = [], []
@@ -94,6 +96,13 @@ def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
     pass_id = hashlib.sha256(
         f"split:{base_pid}:{fanout}:{new_gen}:{';'.join(src_sig)}".encode()
     ).hexdigest()[:16]
+
+    # children are stamped with the NEXT job-level pass sequence: a
+    # time-travel read targeting any pass committed before the split sees
+    # no eligible child record and fails loudly (the parent's pre-split
+    # state is GC'd below — splits intentionally truncate history)
+    from migration_pair_ray.state.manifest import CheckpointStore
+    pass_seq = CheckpointStore(cfg.checkpoint_dir).next_seq()
 
     new_splits = dict(splits)
     new_splits[base_pid] = (fanout, new_gen)
@@ -141,18 +150,20 @@ def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
                 "lsn_hi": int(pc.max(lsn).as_py()) if lsn is not None else 0,
                 "content_hash": "",
                 "split_of": base_pid,
+                "pass_seq": pass_seq,
             })
 
     # THE commit point: routing + enumeration flip to the children here
     meta.record_split(base_pid, fanout, new_gen)
 
     # GC the superseded source manifests/state (best-effort; readers no
-    # longer enumerate these ids)
-    from migration_pair_ray.stages.applier import state_file_paths
+    # longer enumerate these ids).  Retained time-travel records die with
+    # the parent — referenced_files covers them, not just the current file.
+    from migration_pair_ray.state.manifest import referenced_files
     for pid in src_pids:
-        for f in state_file_paths(cfg.lake_dir, store.read(pid)):
+        for rel in referenced_files(store.read(pid)):
             try:
-                Path(f).unlink()
+                (Path(cfg.lake_dir) / rel).unlink()
             except OSError:
                 pass
         store.delete(pid)
@@ -160,6 +171,170 @@ def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
     return {"base_pid": base_pid, "fanout": fanout, "gen": new_gen,
             "children": child_ids, "rows": rows_total, "pass_id": pass_id,
             "already_split": False}
+
+
+def merge_partition(cfg: JobConfig, base_pid: int) -> dict:
+    """Merge a split base's children back into the base partition — the
+    inverse lifecycle action of ``split_partition`` for partitions that
+    SHRANK (tombstone-heavy workloads, post-compaction).  The other
+    partitions are byte-untouched; the ``_lake_meta`` unsplit rewrite is
+    the atomic commit point.
+
+    Crash protocol mirrors split: (1) base state + manifest are written
+    while the base id is still inactive (readers keep enumerating the
+    children), (2) ``record_unsplit`` atomically flips routing and
+    enumeration back to the base, (3) child manifests/state are GC'd
+    best-effort.  Re-running after any crash completes the job
+    (deterministic merge pass id ⇒ idempotent commit).  The retired child
+    generation is remembered so a future re-split never reuses its ids.
+    """
+    meta = LakeMeta(cfg.lake_dir)
+    cur = meta.read()
+    if cur is None:
+        raise LakeLayoutError(f"no lake at {cfg.lake_dir} — nothing to merge")
+    p = int(cur["num_partitions"])
+    splits = meta.splits()
+    if base_pid not in splits:
+        return {"base_pid": base_pid, "rows": 0, "already_merged": True}
+    fanout, gen = splits[base_pid]
+    child_ids = [LakeMeta.child_id(p, base_pid, c, gen) for c in range(fanout)]
+
+    from migration_pair_ray.functions.lww import _SORT_KEYS
+    from migration_pair_ray.stages.applier import (
+        _fsync_write_parquet, read_state_table)
+    store = ManifestStore(cfg.manifest_dir)
+    tables, src_sig = [], []
+    for cid in child_ids:
+        m = store.read(cid)
+        if m:
+            t = read_state_table(cfg.lake_dir, m)
+            if t is not None and t.num_rows:
+                tables.append(t)
+            src_sig.append(f"{cid}:{m['pass_id']}:{m['row_count']}")
+    pass_id = hashlib.sha256(
+        f"merge:{base_pid}:{gen}:{';'.join(src_sig)}".encode()).hexdigest()[:16]
+
+    from migration_pair_ray.state.manifest import CheckpointStore
+    pass_seq = CheckpointStore(cfg.checkpoint_dir).next_seq()
+
+    rows_total = 0
+    if tables and not store.is_applied(base_pid, pass_id):
+        state = (tables[0] if len(tables) == 1
+                 else pa.concat_tables(tables, promote_options="permissive"))
+        # children are conv-disjoint slices of the base's key space but
+        # interleave under the quotient routing — restore key order
+        state = state.sort_by(_SORT_KEYS)
+        rows_total = state.num_rows
+        d = Path(cfg.lake_dir) / f"part={base_pid:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        path = str(d / f"state-{pass_id}.parquet")
+        _fsync_write_parquet(state, path)
+        lsn = state.column("lsn") if state.num_rows else None
+        store.commit(base_pid, {
+            "partition": base_pid,
+            "pass_id": pass_id,
+            "data_file": str(Path(path).relative_to(cfg.lake_dir)),
+            "row_count": state.num_rows,
+            "tombstones": int(pc.sum(pc.cast(
+                pc.equal(state.column("op"), "D"), pa.int64())).as_py() or 0)
+                if state.num_rows else 0,
+            "lsn_lo": int(pc.min(lsn).as_py()) if lsn is not None else 0,
+            "lsn_hi": int(pc.max(lsn).as_py()) if lsn is not None else 0,
+            "content_hash": "",
+            "merge_of": child_ids,
+            "lineage_break": True,
+            "pass_seq": pass_seq,
+        })
+    elif tables:
+        rows_total = sum(t.num_rows for t in tables)
+
+    # THE commit point: routing + enumeration flip back to the base here
+    meta.record_unsplit(base_pid)
+
+    # GC the superseded children (best-effort; no longer enumerated)
+    from migration_pair_ray.state.manifest import referenced_files
+    for cid in child_ids:
+        for rel in referenced_files(store.read(cid)):
+            try:
+                (Path(cfg.lake_dir) / rel).unlink()
+            except OSError:
+                pass
+        store.delete(cid)
+
+    return {"base_pid": base_pid, "children": child_ids, "rows": rows_total,
+            "pass_id": pass_id, "already_merged": False}
+
+
+def maybe_merge_undersized(cfg: JobConfig, min_rows: int) -> list[dict]:
+    """Size guard in the shrink direction: merge back every split base
+    whose children's TOTAL committed rows fell below ``min_rows`` (the
+    split no longer pays for its fan-out).  Returns the merge summaries."""
+    meta = LakeMeta(cfg.lake_dir)
+    cur = meta.read()
+    if cur is None:
+        return []
+    p = int(cur["num_partitions"])
+    store = ManifestStore(cfg.manifest_dir)
+    out = []
+    for base, (fanout, gen) in sorted(meta.splits().items()):
+        total = 0
+        for c in range(fanout):
+            m = store.read(LakeMeta.child_id(p, base, c, gen))
+            if m:
+                total += int(m["row_count"])
+        if total < min_rows:
+            out.append(merge_partition(cfg, base))
+    return out
+
+
+def vacuum(cfg: JobConfig, retain_passes: int = 0) -> dict:
+    """Trim every partition's time-travel window to ``retain_passes``
+    superseded records and delete the state files nothing references
+    anymore.  ``retain_passes=0`` drops all history (only the current
+    state stays readable).  Safe while readers of the CURRENT state run
+    (their files are always retained); concurrent as-of readers of a pass
+    being vacuumed can lose their files — quiesce those first, as with
+    any lake vacuum.  Idempotent."""
+    import os
+    from migration_pair_ray.state.manifest import referenced_files
+
+    if retain_passes < 0:
+        raise ValueError("retain_passes must be >= 0")
+    meta = LakeMeta(cfg.lake_dir)
+    store = ManifestStore(cfg.manifest_dir)
+    parts = trimmed = files_deleted = bytes_freed = 0
+    for pid in meta.active_partition_ids(cfg.num_partitions):
+        m = store.read(pid)
+        if m is None:
+            continue
+        parts += 1
+        prev = list(m.get("prev_records", []))
+        if len(prev) > retain_passes:
+            m = dict(m)
+            if retain_passes:
+                m["prev_records"] = prev[:retain_passes]
+            else:
+                m.pop("prev_records", None)
+            # manifest rewrite first (atomic), THEN file deletion: a crash
+            # between the two leaks bytes (re-run vacuums them), never
+            # dangles a reference
+            store.rewrite(pid, m)
+            trimmed += 1
+        referenced = referenced_files(m)
+        part_dir = Path(cfg.lake_dir) / f"part={pid:05d}"
+        for f in part_dir.glob("state-*.parquet"):
+            rel = str(f.relative_to(cfg.lake_dir))
+            if rel not in referenced:
+                try:
+                    size = f.stat().st_size
+                    f.unlink()
+                    files_deleted += 1
+                    bytes_freed += size
+                except OSError:
+                    pass
+    return {"partitions": parts, "manifests_trimmed": trimmed,
+            "files_deleted": files_deleted, "bytes_freed": bytes_freed,
+            "retain_passes": retain_passes}
 
 
 def maybe_split_oversized(cfg: JobConfig, max_rows: int,

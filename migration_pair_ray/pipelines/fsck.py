@@ -91,10 +91,17 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
         return problems
 
     entries = _entries(manifest)
-    referenced = {e["file"] for e in entries}
+    # retained prev_records (time-travel window) legitimately pin files
+    # beyond the current record's — they are referenced, not leaked
+    from migration_pair_ray.state.manifest import referenced_files
+    referenced = referenced_files(manifest)
     for f in sorted(on_disk - referenced):
         bad("unreferenced_file", f"{f} on disk but not in the manifest "
                                  f"(GC leak)")
+    for f in sorted(referenced - on_disk - {e["file"] for e in entries}):
+        bad("missing_retained_file",
+            f"{f} pinned by a retained prev_record but absent on disk "
+            f"(time-travel reads of that pass will fail)")
 
     rows_sum = 0
     prev_hi: tuple | None = None

@@ -1,0 +1,124 @@
+"""Point lookup: serve a handful of keys from the lake without a scan.
+
+The read-side counterpart of the write path's placement discipline: a key
+``(conv_id, turn_idx)`` lives in exactly ONE partition (stages/partition),
+and within a chunked partition in exactly ONE key-range chunk file
+(manifest ``key_lo``/``key_hi``).  A lookup therefore touches
+
+    O(#keys) manifest reads  +  the few chunk files whose range matches,
+
+never the lake — at 100 TB this is the serving path (row-group pruning via
+Parquet ``filters=`` bounds even the touched file's I/O).  The reference
+had this for free (Cassandra point reads); an engine that owns its lake
+must own it explicitly.
+
+Driver-side by design: a point lookup is a latency path, not a throughput
+job — shipping it through a Dataset would add scheduling overhead to read
+three files.  Bulk key-set extraction (10^6+ keys) is a different op: use
+``read_lake`` + a broadcast-set filter.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.functions.lww import visible_state
+from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+
+
+def _route(conv_ids: list[str], turn_idx: list[int] | None,
+           num_partitions: int, mode: str,
+           splits: dict[int, tuple[int, int]] | None) -> np.ndarray | None:
+    """Partition id per key, or None when routing is impossible (mode
+    "key" without turn_idx — the conversation's turns are salted across
+    all partitions by design)."""
+    from migration_pair_ray.stages.partition import partition_ids
+    if mode == "key" and turn_idx is None:
+        return None
+    cols = {"conv_id": pa.array(conv_ids, pa.string())}
+    if mode == "key":
+        cols["turn_idx"] = pa.array(turn_idx, pa.int32())
+    return partition_ids(pa.table(cols), num_partitions, mode, splits)
+
+
+def candidate_files(cfg: JobConfig, conv_ids: list[str],
+                    turn_idx: list[int] | None = None) -> list[str]:
+    """The lake-relative state files a lookup of these keys must read —
+    the pruning plan (exposed for tests/ops visibility).  Partition
+    routing first, then chunk key-range pruning: a chunk whose
+    ``[key_lo, key_hi]`` tuple range cannot contain any requested conv_id
+    is skipped."""
+    meta = LakeMeta(cfg.lake_dir)
+    cur = meta.read()
+    if cur is None:
+        return []
+    p, mode = int(cur["num_partitions"]), cur["partition_mode"]
+    route = _route(conv_ids, turn_idx, p, mode, meta.splits())
+    if route is None:
+        pids = meta.active_partition_ids(cfg.num_partitions)
+    else:
+        pids = sorted(set(int(r) for r in route))
+    want = sorted(set(conv_ids))
+    store = ManifestStore(cfg.manifest_dir)
+    out: list[str] = []
+    for pid in pids:
+        m = store.read(pid)
+        if not m:
+            continue
+        entries = m.get("data_files")
+        if entries is None:
+            if m.get("data_file"):
+                out.append(m["data_file"])
+            continue
+        for e in entries:
+            lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
+            # chunk covers conv c iff lo <= c <= hi (tuple range projected
+            # onto the conv component)
+            if any(lo <= c <= hi for c in want):
+                out.append(e["file"])
+    return out
+
+
+def lookup_keys(cfg: JobConfig, conv_ids: list[str],
+                turn_idx: list[int] | None = None,
+                visible_only: bool = True) -> pa.Table:
+    """Rows for the requested keys, (conv_id, turn_idx)-sorted.
+
+    ``turn_idx=None``: every turn of each conversation (conv-level).
+    ``turn_idx`` given (parallel to ``conv_ids``): exactly those turns —
+    and the only form that routes to single partitions under the salted
+    ``partition_mode="key"`` layout.
+    ``visible_only``: LWW winners minus tombstones, meta columns dropped
+    (the user-facing shape); False returns internal state rows.
+    """
+    if turn_idx is not None and len(turn_idx) != len(conv_ids):
+        raise ValueError("turn_idx must parallel conv_ids")
+    files = candidate_files(cfg, conv_ids, turn_idx)
+    want = sorted(set(conv_ids))
+    tables = []
+    for rel in files:
+        # row-group pruning: Parquet stats skip row groups with no match
+        t = pq.read_table(str(Path(cfg.lake_dir) / rel),
+                          filters=[("conv_id", "in", want)])
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        from migration_pair_ray.schemas import CHANGE_SCHEMA
+        out = CHANGE_SCHEMA.empty_table()
+    else:
+        out = pa.concat_tables(tables, promote_options="permissive")
+    if turn_idx is not None and out.num_rows:
+        key = pc.binary_join_element_wise(
+            out.column("conv_id"),
+            pc.cast(out.column("turn_idx"), pa.string()), "\x00")
+        want_keys = pa.array([f"{c}\x00{t}" for c, t in zip(conv_ids, turn_idx)])
+        out = out.filter(pc.is_in(key, value_set=want_keys))
+    if visible_only:
+        out = visible_state(out, drop_meta=True)
+    return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])

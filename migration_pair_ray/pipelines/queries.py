@@ -194,6 +194,55 @@ def cdc_two_phase_replay(sf_dir: str):
     return final_state(cfg, sort=True)
 
 
+def cdc_time_travel(sf_dir: str):
+    """Pass-level time travel: the derived change log applied in TWO
+    retained passes (files 0-1, then 2-3) into a lake written with
+    ``retain_passes=1``; the query then reads the lake AS OF the first
+    pass — reconstruction purely from retained manifest records + their
+    pinned state files (``read_lake(as_of=...)``), no re-derivation.
+    Oracle: LWW winners over the lsn prefix files 0-1 own."""
+    src = _events_lake(sf_dir)   # reuse the derived change files
+    root = Path(src.changelog_dir).parent
+    lake = str(root / "lake_timetravel")
+    log_t = str(root / "log_tt")
+    marker = Path(root / "_timetravel_done")
+
+    def mk_cfg() -> JobConfig:
+        return JobConfig(changelog_dir=log_t, lake_dir=lake,
+                         num_partitions=16, retain_passes=1)
+
+    if not marker.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(log_t, ignore_errors=True)
+        os.makedirs(log_t)
+        files = sorted(Path(src.changelog_dir).glob("batch-*.parquet"))
+        for f in files[:2]:
+            os.link(f, Path(log_t) / f.name)
+        cfg = mk_cfg()
+        s1 = replay(cfg)
+        assert not s1["up_to_date"]
+        for f in files[2:]:
+            os.link(f, Path(log_t) / f.name)
+        replay(cfg)
+        marker.touch()
+    cfg = mk_cfg()
+    replay(cfg)   # no-op (idempotent); keeps the query re-runnable
+    from migration_pair_ray.state.manifest import CheckpointStore
+    seqs = CheckpointStore(cfg.checkpoint_dir).pass_seqs()
+    first_pass = min(seqs, key=seqs.get)
+    return final_state(cfg, sort=True, as_of=first_pass)
+
+
+def cdc_point_lookup(sf_dir: str):
+    """Point lookup on the lake: three fixed conversations served via
+    partition routing + chunk key-range pruning (pipelines/lookup) —
+    the O(#keys)-file serving path, no lake scan.  Oracle: LWW winners
+    restricted to those conv_ids."""
+    from migration_pair_ray.pipelines.lookup import lookup_keys
+    cfg = _events_lake(sf_dir)
+    return lookup_keys(cfg, ["c0", "c17", "c42"])
+
+
 def cdc_tombstone_keys(sf_dir: str):
     """Keys whose LWW winner is a delete (internal lake state, op == 'D')."""
     cfg = _events_lake(sf_dir)

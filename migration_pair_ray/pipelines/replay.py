@@ -34,7 +34,8 @@ from migration_pair_ray.state.manifest import CheckpointStore, compute_pass_id
 
 def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
                      applier_cls: type = Applier,
-                     splits: dict[int, tuple[int, int]] | None = None) -> pa.Table:
+                     splits: dict[int, tuple[int, int]] | None = None,
+                     pass_seq: int = -1) -> pa.Table:
     """Run the partition→merge→commit tail of the pipeline on a normalized
     change Dataset; returns the lineage table (one row per partition).
 
@@ -61,7 +62,8 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
         applier_cls,
         fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id,
                              cfg.hash_state, cfg.merge_chunk_rows,
-                             cfg.state_chunk_rows),
+                             cfg.state_chunk_rows, cfg.retain_passes,
+                             pass_seq),
         batch_format="pyarrow",
         concurrency=conc,
         num_cpus=1,
@@ -127,13 +129,18 @@ def replay(cfg: JobConfig) -> dict:
         qdir = Path(cfg.quarantine_dir) / f"pass-{pass_id}"
         shutil.rmtree(qdir, ignore_errors=True)
         qdir.mkdir(parents=True, exist_ok=True)
+    # stamp every partition record with this pass's job-level sequence
+    # number (deterministic across crash-retry: the checkpoint file only
+    # lands after all partitions commit) — the ordering time travel needs
+    pass_seq = CheckpointStore(cfg.checkpoint_dir).next_seq()
     with _push_shuffle():
         ds = read_changes(files, schema)
         if qdir is not None:
             from migration_pair_ray.stages.quarantine import make_quarantine_gate
             ds = ds.map_batches(make_quarantine_gate(str(qdir)),
                                 batch_format="pyarrow")
-        lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits())
+        lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits(),
+                                   pass_seq=pass_seq)
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -172,19 +179,48 @@ def replay(cfg: JobConfig) -> dict:
     }
 
 
-def read_lake(cfg: JobConfig) -> "ray.data.Dataset":
+def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
     """Streaming Dataset over the lake's committed internal state
     (tombstone rows included; only manifest-pinned files are read).
     Partition enumeration is resolved from the lake's own ``_lake_meta``
     (not ``cfg.num_partitions``): a misconfigured read cannot silently
-    truncate, and split children are seen."""
+    truncate, and split children are seen.
+
+    ``as_of`` = a committed pass_id: read the lake AS IT WAS after that
+    pass (time travel).  Requires the lake to have been written with
+    ``retain_passes`` large enough that every partition still retains a
+    record at-or-before that pass; otherwise TimeTravelError.  A partition
+    first touched after the target pass legitimately contributes nothing.
+    Travel across a partition split is refused (the parent's pre-split
+    state is gone by design — splits GC the parent)."""
     from migration_pair_ray.stages.applier import state_file_paths
-    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+    from migration_pair_ray.state.manifest import (
+        CheckpointStore, LakeMeta, ManifestStore, TimeTravelError,
+        manifest_as_of)
     store = ManifestStore(cfg.manifest_dir)
-    pids = LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions)
+    meta = LakeMeta(cfg.lake_dir)
+    pids = meta.active_partition_ids(cfg.num_partitions)
+    target_seq = pass_seqs = None
+    if as_of is not None:
+        pass_seqs = CheckpointStore(cfg.checkpoint_dir).pass_seqs()
+        if as_of not in pass_seqs:
+            raise TimeTravelError(
+                f"pass {as_of!r} was never committed to this lake (known: "
+                f"{sorted(pass_seqs)})")
+        target_seq = pass_seqs[as_of]
+        base_partitions = (meta.read() or {}).get("num_partitions",
+                                                  cfg.num_partitions)
     paths = []
     for pid in pids:
-        paths.extend(state_file_paths(cfg.lake_dir, store.read(pid)))
+        m = store.read(pid)
+        if as_of is not None:
+            m = manifest_as_of(m, target_seq, pass_seqs, pid)
+            if m is None and pid >= base_partitions:
+                raise TimeTravelError(
+                    f"partition {pid} is a split child with no record at or "
+                    f"before pass {as_of!r}; its parent's pre-split state "
+                    f"was GC'd — time travel cannot cross a split")
+        paths.extend(state_file_paths(cfg.lake_dir, m))
     if not paths:
         from migration_pair_ray.schemas import CHANGE_SCHEMA
         return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
@@ -254,11 +290,13 @@ def repartition_lake(cfg: JobConfig, new_cfg: JobConfig) -> dict:
     }
 
 
-def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True) -> "ray.data.Dataset":
+def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True,
+                as_of: str | None = None) -> "ray.data.Dataset":
     """User-visible final table: tombstones filtered, stable
     ``(conv_id, turn_idx)`` ordering when ``sort`` (the acceptance-comparison
-    ordering from BASELINE.json)."""
-    ds = read_lake(cfg).map_batches(
+    ordering from BASELINE.json).  ``as_of`` = committed pass_id for a
+    time-travel read (see read_lake)."""
+    ds = read_lake(cfg, as_of=as_of).map_batches(
         lambda b: visible_state(b, drop_meta=drop_meta), batch_format="pyarrow"
     )
     if sort:

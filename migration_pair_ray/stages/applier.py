@@ -71,12 +71,20 @@ class Applier:
 
     def __init__(self, lake_dir: str, manifest_dir: str, pass_id: str,
                  hash_state: bool = True, merge_chunk_rows: int = 4_000_000,
-                 state_chunk_rows: int = 0):
+                 state_chunk_rows: int = 0, retain_passes: int = 0,
+                 pass_seq: int = -1):
         self.lake_dir = lake_dir
         self.pass_id = pass_id
         self.hash_state = hash_state
         self.merge_chunk_rows = merge_chunk_rows
         self.state_chunk_rows = state_chunk_rows
+        # time-travel retention: keep the last N superseded manifest
+        # records (and the state files they reference) per partition
+        self.retain_passes = retain_passes
+        # monotone job-level sequence of this pass (CheckpointStore.next_seq)
+        # stamped into every record so as-of reads can order records even
+        # for partitions a given pass never touched
+        self.pass_seq = pass_seq
         self.manifests = ManifestStore(manifest_dir)  # once per actor
 
     def _state_file(self, pid: int, seq: int | None = None) -> str:
@@ -153,7 +161,14 @@ class Applier:
         return entries, seq
 
     def _commit(self, pid: int, record: dict, referenced: set[str]) -> None:
-        self.manifests.commit(pid, record)
+        if self.pass_seq >= 0:
+            record = dict(record, pass_seq=self.pass_seq)
+        self.manifests.commit(pid, record, retain=self.retain_passes)
+        if self.retain_passes > 0:
+            # GC keeps everything the committed manifest still pins —
+            # current record AND retained prev_records (time-travel window)
+            from migration_pair_ray.state.manifest import referenced_files
+            referenced = referenced_files(self.manifests.read(pid))
         self._gc(pid, referenced)
 
     # ------------------------------------------------------------- apply

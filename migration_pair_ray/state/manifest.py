@@ -77,14 +77,32 @@ class ManifestStore:
         m = self.read(pid)
         return bool(m) and pass_id in m.get("history", [])
 
-    def commit(self, pid: int, record: dict) -> None:
+    def commit(self, pid: int, record: dict, retain: int = 0) -> None:
         """Atomically publish a new manifest; appends to pass history.
-        Committing the same pass twice is a no-op (idempotent)."""
+        Committing the same pass twice is a no-op (idempotent).
+
+        With ``retain > 0`` the superseded record (minus its own history /
+        retained list) is kept in the new manifest's ``prev_records`` list,
+        newest first, trimmed to ``retain`` entries — the time-travel
+        window: the GC keeps every state file a retained record references,
+        so ``read_lake(as_of=...)`` can reconstruct the partition at any
+        retained pass (pipelines/replay.py)."""
         prev = self.read(pid)
         history = list(prev.get("history", [])) if prev else []
         if record["pass_id"] in history:
             return
         record = dict(record, history=history + [record["pass_id"]])
+        if retain > 0 and prev is not None:
+            slim = {k: v for k, v in prev.items()
+                    if k not in ("history", "prev_records")}
+            record["prev_records"] = ([slim] + list(prev.get("prev_records", []))
+                                      )[:retain]
+        _atomic_write(self._path(pid), json.dumps(record, indent=1).encode())
+
+    def rewrite(self, pid: int, record: dict) -> None:
+        """Raw atomic manifest replacement — vacuum's trim path.  Unlike
+        ``commit`` this neither touches ``history`` nor checks idempotence;
+        the caller owns the record's integrity."""
         _atomic_write(self._path(pid), json.dumps(record, indent=1).encode())
 
     def delete(self, pid: int) -> None:
@@ -120,9 +138,38 @@ class CheckpointStore:
                 sizes.update(json.load(f).get("file_sizes", {}))
         return sizes
 
+    def pass_seqs(self) -> dict[str, int]:
+        """pass_id → monotone sequence number of every committed pass.
+        Passes committed before seq stamping existed map in file-name order
+        only if every file carries a seq; otherwise they are absent (their
+        order is unknowable) and time travel to them raises."""
+        seqs: dict[str, int] = {}
+        for p in sorted(self.dir.glob("pass-*.json")):
+            with open(p) as f:
+                rec = json.load(f)
+            if "seq" in rec:
+                seqs[rec["pass_id"]] = int(rec["seq"])
+        return seqs
+
+    def next_seq(self) -> int:
+        """Sequence number the NEXT committed pass will carry (= number of
+        passes committed so far).  Deterministic across a crash-and-retry
+        of an uncommitted pass: the pass file only lands after all
+        partition commits, so a re-run recomputes the same value."""
+        existing = self.pass_seqs()
+        n = len(list(self.dir.glob("pass-*.json")))
+        return max([n] + [s + 1 for s in existing.values()])
+
     def commit_pass(self, pass_id: str, change_files: list[str], stats: dict | None = None) -> None:
+        path = str(self.dir / f"pass-{pass_id}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                seq = json.load(f).get("seq", self.next_seq())
+        else:
+            seq = self.next_seq()
         rec = {
             "pass_id": pass_id,
+            "seq": seq,
             "files": sorted(Path(p).name for p in change_files),
             # per-file sizes: resume validates that a committed basename
             # never reappears with different content (append-only contract)
@@ -130,7 +177,95 @@ class CheckpointStore:
                            for p in change_files if os.path.exists(p)},
             "stats": stats or {},
         }
-        _atomic_write(str(self.dir / f"pass-{pass_id}.json"), json.dumps(rec, indent=1).encode())
+        _atomic_write(path, json.dumps(rec, indent=1).encode())
+
+
+def record_files(record: dict | None) -> list[str]:
+    """Lake-relative state-file paths ONE manifest record references —
+    handles both layouts (single ``data_file`` / chunked ``data_files``).
+    Does NOT descend into ``prev_records``."""
+    if not record:
+        return []
+    files = record.get("data_files")
+    if files is None:
+        return [record["data_file"]] if record.get("data_file") else []
+    return [e["file"] for e in files]
+
+
+def referenced_files(manifest: dict | None) -> set[str]:
+    """Every state file the manifest pins: the current record's files plus
+    every retained ``prev_records`` entry's — the GC-safe set.  Chunk files
+    carried forward across passes appear in several records; the union
+    keeps them exactly once."""
+    if not manifest:
+        return set()
+    out = set(record_files(manifest))
+    for rec in manifest.get("prev_records", []):
+        out.update(record_files(rec))
+    return out
+
+
+class TimeTravelError(RuntimeError):
+    """The requested as-of pass cannot be reconstructed (never committed,
+    vacuumed beyond retention, or on the far side of a partition split)."""
+
+
+def manifest_as_of(manifest: dict | None, target_seq: int,
+                   pass_seqs: dict[str, int], pid: int) -> dict | None:
+    """The newest record (current or retained) committed at or before
+    ``target_seq`` — the partition's state as of that pass.
+
+    Returns None when the partition had no state yet at the target pass
+    (its first commit came later).  Raises TimeTravelError when state DID
+    exist at the target but the covering record is no longer retained."""
+    if manifest is None:
+        return None
+
+    def seq_of(rec: dict) -> int | None:
+        s = rec.get("pass_seq")
+        if s is not None and int(s) >= 0:
+            return int(s)
+        return pass_seqs.get(rec["pass_id"])
+
+    candidates = [manifest] + list(manifest.get("prev_records", []))
+    eligible = [(s, rec) for rec in candidates
+                if (s := seq_of(rec)) is not None and s <= target_seq]
+    if eligible:
+        return max(eligible, key=lambda p: p[0])[1]
+    # A split/merge moved this partition's state from elsewhere: history
+    # before the relayout is unavailable by design (the source ids were
+    # GC'd), so "no eligible record" cannot be read as "was empty".
+    if any(rec.get("lineage_break") or "split_of" in rec or "merge_of" in rec
+           for rec in candidates):
+        raise TimeTravelError(
+            f"partition {pid}: no retained record at or before seq "
+            f"{target_seq} and its state arrived via a partition "
+            f"split/merge — pre-relayout history was GC'd; time travel "
+            f"cannot cross a split or merge")
+    # No retained record covers the target.  Distinguish "partition did
+    # not exist yet" (legal: contribute nothing) from "its covering state
+    # was dropped" (must fail loudly, silence would be data loss).  A
+    # history pass resolves through the checkpoint seq map or through a
+    # still-retained record's own stamp; one that resolves through
+    # neither (legacy commit, or a split record already vacuumed) makes
+    # emptiness unprovable — raise.
+    stamped = {rec["pass_id"]: s for rec in candidates
+               if (s := seq_of(rec)) is not None}
+    hist_seqs: list[int] = []
+    for p in manifest.get("history", []):
+        s = pass_seqs.get(p, stamped.get(p))
+        if s is None:
+            raise TimeTravelError(
+                f"partition {pid}: history pass {p} carries no resolvable "
+                f"sequence (lake written before seq stamping, or its record "
+                f"was vacuumed) — cannot prove the partition was empty at "
+                f"seq {target_seq}")
+        hist_seqs.append(s)
+    if any(s <= target_seq for s in hist_seqs):
+        raise TimeTravelError(
+            f"partition {pid}: state as of pass seq {target_seq} existed but "
+            f"is no longer retained (vacuumed or retain_passes too small)")
+    return None
 
 
 class LakeLayoutError(RuntimeError):
@@ -208,6 +343,30 @@ class LakeMeta:
         splits[str(base_pid)] = {"fanout": fanout, "gen": gen}
         cur["splits"] = splits
         _atomic_write(str(self.path), json.dumps(cur, indent=1).encode())
+
+    def record_unsplit(self, base_pid: int) -> None:
+        """Atomically remove a split — the commit point of a merge-back
+        job: routing/enumeration flip from the children to the base here.
+        The retired id block is remembered (``gen_floor``) so a FUTURE
+        re-split of this base never reuses a child id a crashed old job
+        might still have files under."""
+        cur = self.read()
+        if cur is None:
+            raise LakeLayoutError("cannot unsplit before the lake exists")
+        splits = cur.get("splits") or {}
+        ent = splits.pop(str(base_pid), None)
+        if ent is None:
+            return                     # idempotent: already unsplit
+        floors = cur.get("gen_floor") or {}
+        floors[str(base_pid)] = int(ent.get("gen", 0)) + int(ent["fanout"])
+        cur["gen_floor"] = floors
+        cur["splits"] = splits
+        _atomic_write(str(self.path), json.dumps(cur, indent=1).encode())
+
+    def gen_floor(self, base_pid: int) -> int:
+        """First child generation a NEW split of this base may use."""
+        cur = self.read() or {}
+        return int((cur.get("gen_floor") or {}).get(str(base_pid), 0))
 
     def active_partition_ids(self, fallback_num_partitions: int | None = None
                              ) -> list[int]:

@@ -113,6 +113,27 @@ def task_split(cfg: JobConfig, base_pid: int = -1, fanout: int = 2,
     return {"splits": maybe_split_oversized(cfg, max_rows, fanout=fanout)}
 
 
+def task_merge(cfg: JobConfig, base_pid: int = -1, min_rows: int = 0,
+               **kw) -> dict:
+    """Merge a split base's children back (inverse of ``split``): one
+    base (``base_pid`` >= 0) or sweep every split base whose children's
+    total rows fell below ``min_rows``."""
+    from migration_pair_ray.pipelines.compact import (
+        maybe_merge_undersized, merge_partition)
+    if base_pid >= 0:
+        return merge_partition(cfg, base_pid)
+    if min_rows <= 0:
+        raise ValueError("task_merge needs base_pid >= 0 or min_rows > 0")
+    return {"merges": maybe_merge_undersized(cfg, min_rows)}
+
+
+def task_vacuum(cfg: JobConfig, retain: int = 0, **kw) -> dict:
+    """Trim the time-travel window to ``retain`` superseded passes per
+    partition and delete the state files nothing references anymore."""
+    from migration_pair_ray.pipelines.compact import vacuum
+    return vacuum(cfg, retain_passes=retain)
+
+
 def task_requeue(cfg: JobConfig, reasons: str = "", epoch: int = 90000,
                  **kw) -> dict:
     """Requeue quarantined rows into the change log (identity fix from
@@ -135,6 +156,8 @@ TASKS: dict[str, Callable[..., dict]] = {
     "lineage": task_lineage,
     "repartition": task_repartition,
     "split": task_split,
+    "merge": task_merge,
+    "vacuum": task_vacuum,
     "requeue": task_requeue,
     "tail": task_tail,
     "fsck": task_fsck,

@@ -1,0 +1,71 @@
+"""Point lookup (pipelines/lookup): partition routing + chunk key-range
+pruning must serve exact rows while reading only the files that can hold
+the requested keys."""
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from migration_pair_ray.changegen import generate_change_log
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.pipelines.lookup import candidate_files, lookup_keys
+from migration_pair_ray.pipelines.replay import final_state, replay
+
+
+def _mk_lake(tmp_path, **cfg_kw) -> JobConfig:
+    log = str(tmp_path / "log")
+    generate_change_log(log, n_events=2000, n_convs=24, n_files=2,
+                        tool_epoch=1, seed=53)
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, hash_state=False, **cfg_kw)
+    replay(cfg)
+    return cfg
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_conv_lookup_exact_and_pruned(tmp_path):
+    cfg = _mk_lake(tmp_path, state_chunk_rows=60)  # chunked layout
+    full = final_state(cfg).to_pandas()
+    keys = sorted(full["conv_id"].unique())[:3]
+
+    got = lookup_keys(cfg, list(keys)).to_pandas().reset_index(drop=True)
+    want = (full[full["conv_id"].isin(keys)]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # pruning: the plan reads a strict subset of the lake's state files
+    all_files = {str(p.relative_to(cfg.lake_dir))
+                 for p in Path(cfg.lake_dir).glob("part=*/state-*.parquet")}
+    planned = set(candidate_files(cfg, list(keys)))
+    assert planned and planned < all_files
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_key_level_lookup_salted_mode(tmp_path):
+    """mode='key': conv-level lookup cannot route (salted layout) but
+    turn-level lookup routes each key to its single partition."""
+    cfg = _mk_lake(tmp_path, partition_mode="key")
+    full = final_state(cfg).to_pandas()
+    rows = full.sort_values(["conv_id", "turn_idx"]).head(3)
+    convs = rows["conv_id"].tolist()
+    turns = [int(t) for t in rows["turn_idx"]]
+
+    got = lookup_keys(cfg, convs, turn_idx=turns).to_pandas()
+    want = (full.merge(pd.DataFrame({"conv_id": convs, "turn_idx": turns}))
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    # routed plan touches at most one partition file per (conv, turn)
+    # key; the conv-level (unroutable) plan considers every partition
+    assert len(candidate_files(cfg, convs, turns)) <= len(convs)
+    n_parts = len({str(p) for p in Path(cfg.lake_dir).glob("part=*")})
+    assert len(candidate_files(cfg, convs)) == n_parts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_missing_key_empty(tmp_path):
+    cfg = _mk_lake(tmp_path)
+    out = lookup_keys(cfg, ["no-such-conversation"])
+    assert out.num_rows == 0
+    assert "conv_id" in out.schema.names and "op" not in out.schema.names

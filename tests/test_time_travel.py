@@ -1,0 +1,195 @@
+"""Pass-level time travel + vacuum (retain_passes / read_lake(as_of=...)).
+
+Contract: a lake written with ``retain_passes=N`` can be read AS OF any of
+the last N superseded passes per partition — bit-identical to a control
+lake that stopped at that pass — and ``vacuum`` trims the window, freeing
+the unreferenced state files.  Travel past the window, to an unknown pass,
+or across a partition split fails loudly (never silently partial).
+"""
+
+import os
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+from migration_pair_ray.changegen import generate_change_log
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.pipelines.compact import split_partition, vacuum
+from migration_pair_ray.pipelines.fsck import validate_lake
+from migration_pair_ray.pipelines.replay import final_state, read_lake, replay
+from migration_pair_ray.state.manifest import TimeTravelError
+
+
+def _oracle(files: list[str]) -> pd.DataFrame:
+    lst = ", ".join(f"'{f}'" for f in files)
+    return duckdb.sql(f"""
+        WITH ch AS (SELECT * FROM read_parquet([{lst}], union_by_name=true)),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn FROM ch)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM w WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
+
+
+def _staged_passes(tmp_path, n_files=4, seed=91, **gen_kw):
+    """Generate a change log in a staging dir and return (log_dir, groups)
+    where groups is a list of file-path lists to link in, one per pass."""
+    stage = tmp_path / "stage"
+    files = generate_change_log(str(stage), n_events=1500, n_convs=10,
+                                n_files=n_files, tool_epoch=1, seed=seed,
+                                **gen_kw)
+    log = tmp_path / "log"
+    log.mkdir()
+    half = n_files // 2
+    return str(log), [files[:half], files[half:]]
+
+
+def _arrive(log: str, files: list[str]) -> None:
+    for f in files:
+        os.link(f, Path(log) / Path(f).name)
+
+
+def _fs(cfg: JobConfig, as_of=None) -> pd.DataFrame:
+    return (final_state(cfg, as_of=as_of).to_pandas()
+            .reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_as_of_reconstructs_past_pass(tmp_path):
+    log, (g1, g2) = _staged_passes(tmp_path)
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, retain_passes=1, hash_state=False)
+    _arrive(log, g1)
+    s1 = replay(cfg)
+    _arrive(log, g2)
+    s2 = replay(cfg)
+    assert s1["pass_id"] != s2["pass_id"]
+
+    # as-of the first pass == a control lake that stopped there == oracle
+    past = _fs(cfg, as_of=s1["pass_id"])
+    ctrl_log = tmp_path / "ctrl_log"
+    ctrl_log.mkdir()
+    _arrive(str(ctrl_log), g1)
+    ctrl = JobConfig(changelog_dir=str(ctrl_log),
+                     lake_dir=str(tmp_path / "ctrl_lake"),
+                     num_partitions=4, hash_state=False)
+    replay(ctrl)
+    pd.testing.assert_frame_equal(past, _fs(ctrl))
+    pd.testing.assert_frame_equal(past, _oracle(g1))
+
+    # current read is the full-log state, unaffected by retention
+    pd.testing.assert_frame_equal(_fs(cfg), _oracle(g1 + g2))
+    # as-of the LATEST pass is the current state
+    pd.testing.assert_frame_equal(_fs(cfg, as_of=s2["pass_id"]), _fs(cfg))
+
+    # retention must not trip fsck (prev_records files are referenced)
+    rep = validate_lake(cfg, deep=True)
+    assert rep["ok"], rep
+
+    # idempotent re-replay keeps pass seqs / as-of reads intact
+    assert replay(cfg)["up_to_date"]
+    pd.testing.assert_frame_equal(_fs(cfg, as_of=s1["pass_id"]), past)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_zero_drops_history(tmp_path):
+    log, (g1, g2) = _staged_passes(tmp_path, seed=17)
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, hash_state=False)   # retain_passes=0
+    _arrive(log, g1)
+    s1 = replay(cfg)
+    _arrive(log, g2)
+    replay(cfg)
+    with pytest.raises(TimeTravelError, match="no longer retained"):
+        read_lake(cfg, as_of=s1["pass_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unknown_pass_raises(tmp_path):
+    log, (g1, _) = _staged_passes(tmp_path, seed=23)
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, hash_state=False)
+    _arrive(log, g1)
+    replay(cfg)
+    with pytest.raises(TimeTravelError, match="never committed"):
+        read_lake(cfg, as_of="deadbeef00000000")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vacuum_trims_and_frees(tmp_path):
+    log, (g1, g2) = _staged_passes(tmp_path, seed=29)
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, retain_passes=2, hash_state=False)
+    _arrive(log, g1)
+    s1 = replay(cfg)
+    _arrive(log, g2)
+    replay(cfg)
+    past = _fs(cfg, as_of=s1["pass_id"])
+
+    def n_state_files():
+        return len(list(Path(cfg.lake_dir).glob("part=*/state-*.parquet")))
+
+    before = n_state_files()
+    from migration_pair_ray.tasks import run_task
+    rep = run_task("vacuum", cfg, retain=0)
+    assert rep["files_deleted"] > 0 and rep["bytes_freed"] > 0
+    assert n_state_files() == before - rep["files_deleted"]
+
+    # history gone, current intact, fsck green, vacuum idempotent
+    with pytest.raises(TimeTravelError):
+        read_lake(cfg, as_of=s1["pass_id"])
+    pd.testing.assert_frame_equal(_fs(cfg), _oracle(g1 + g2))
+    assert validate_lake(cfg, deep=True)["ok"]
+    assert vacuum(cfg, retain_passes=0)["files_deleted"] == 0
+    assert past is not None  # silence linters: past exercised above
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunked_layout_retention(tmp_path):
+    """Chunked state layout: retained records share carried-forward chunk
+    files with the current record — GC/vacuum must keep shared files and
+    as-of reads stay exact."""
+    log, (g1, g2) = _staged_passes(tmp_path, seed=37)
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, retain_passes=1, state_chunk_rows=40,
+                    hash_state=False)
+    _arrive(log, g1)
+    s1 = replay(cfg)
+    _arrive(log, g2)
+    replay(cfg)
+
+    pd.testing.assert_frame_equal(_fs(cfg, as_of=s1["pass_id"]), _oracle(g1))
+    pd.testing.assert_frame_equal(_fs(cfg), _oracle(g1 + g2))
+    assert validate_lake(cfg, deep=True)["ok"]
+
+    vacuum(cfg, retain_passes=0)
+    pd.testing.assert_frame_equal(_fs(cfg), _oracle(g1 + g2))
+    assert validate_lake(cfg, deep=True)["ok"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_travel_across_split_refused(tmp_path):
+    """A split GCs the parent's state: as-of a pre-split pass must raise,
+    not silently drop the split partition's keys."""
+    log, (g1, g2) = _staged_passes(tmp_path, seed=43, hot_frac=0.5)
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, retain_passes=4, hash_state=False)
+    _arrive(log, g1)
+    s1 = replay(cfg)
+
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+    store = ManifestStore(cfg.manifest_dir)
+    sizes = {pid: store.read(pid)["row_count"]
+             for pid in LakeMeta(cfg.lake_dir).active_partition_ids()
+             if store.read(pid)}
+    hot = max(sizes, key=sizes.get)
+    split_partition(cfg, hot, fanout=2)
+
+    _arrive(log, g2)
+    replay(cfg)
+    # current state is unaffected by the split
+    pd.testing.assert_frame_equal(_fs(cfg), _oracle(g1 + g2))
+    with pytest.raises(TimeTravelError, match="split"):
+        _fs(cfg, as_of=s1["pass_id"])
