@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_point_lookup": q.cdc_point_lookup,
+        "cdc_wire_forms": q.cdc_wire_forms,
         "cdc_changefeed": q.cdc_changefeed,
         "cdc_incremental_agg": q.cdc_incremental_agg,
         "cdc_log_compaction": q.cdc_log_compaction,
@@ -373,6 +374,23 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY conv_id, turn_idx
                     ORDER BY ts DESC, lsn DESC) rn
                   FROM ch, cut WHERE lsn < cut.c)
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # wire forms: ts of the lsn prefix (file 0) traveled as unix-epoch
+        # ms, so its sub-ms precision is truncated in BOTH engine and
+        # oracle; turn_idx widening (int16 -> int32) is value-invisible
+        "cdc_wire_forms": f"""
+            WITH ch0 AS ({DERIVED_CHANGES_SQL}),
+            cut AS (SELECT CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS c
+                    FROM events),
+            ch AS (SELECT conv_id, turn_idx, role, text, tool,
+                          CASE WHEN lsn < (SELECT c FROM cut)
+                               THEN epoch_ms(epoch_ms(ts)) ELSE ts END AS ts,
+                          op, lsn FROM ch0),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM ch)
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

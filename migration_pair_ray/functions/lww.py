@@ -99,10 +99,19 @@ def visible_state(table: pa.Table, drop_meta: bool = True) -> pa.Table:
 
 def merge_tables(existing: pa.Table | None, changes: pa.Table) -> pa.Table:
     """Merge a partition's existing internal state with new (pre-reduced)
-    change events, with schema evolution via permissive promotion
-    (an added column like ``tool`` backfills null on the old side)."""
+    change events, with schema evolution: added columns backfill null on
+    the old side, and diverged types conform to the canonical unified
+    schema (numeric widening, unix-ms-int ↔ timestamp wire forms — the
+    cases Arrow's permissive promotion alone cannot merge arrive when a
+    pass widens a column a PREVIOUS pass committed narrow)."""
     if existing is None or existing.num_rows == 0:
         return lww_reduce(changes)
+    if existing.schema != changes.schema:
+        from migration_pair_ray.functions.normalize import normalize_batch
+        from migration_pair_ray.schemas import unify_change_schemas
+        target = unify_change_schemas([existing.schema, changes.schema])
+        existing = normalize_batch(existing, target)
+        changes = normalize_batch(changes, target)
     both = pa.concat_tables([existing, changes], promote_options="permissive")
     return lww_reduce(both)
 

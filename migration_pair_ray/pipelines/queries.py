@@ -233,6 +233,45 @@ def cdc_time_travel(sf_dir: str):
     return final_state(cfg, sort=True, as_of=first_pass)
 
 
+def cdc_wire_forms(sf_dir: str):
+    """Schema evolution beyond added columns, ON the oracle path: the
+    derived change log's FIRST file re-encoded in the reference's wire
+    forms — ``ts`` as unix-epoch-ms int64 (``Tasks/Extraction.cs:67-68``),
+    ``turn_idx`` narrowed to int16 — then replayed.  The schema unifier
+    reconciles int-ms with timestamp files, normalize casts per batch,
+    and the merge widens int16 → int32.  Oracle mirrors the ms truncation
+    on the lsn prefix the wire file owns."""
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    lake = str(root / "lake_wire")
+    log_w = str(root / "log_wire")
+    marker = Path(root / "_wire_done")
+
+    def mk_cfg() -> JobConfig:
+        return JobConfig(changelog_dir=log_w, lake_dir=lake,
+                         num_partitions=16)
+
+    if not marker.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(log_w, ignore_errors=True)
+        os.makedirs(log_w)
+        files = sorted(Path(src.changelog_dir).glob("batch-*.parquet"))
+        t = pq.read_table(str(files[0]))
+        ms = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                       pa.scalar(1000, pa.int64()))
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", ms)
+        t = t.set_column(t.schema.get_field_index("turn_idx"), "turn_idx",
+                         pc.cast(t.column("turn_idx"), pa.int16()))
+        pq.write_table(t, str(Path(log_w) / files[0].name))
+        for f in files[1:]:
+            os.link(f, Path(log_w) / f.name)
+        replay(mk_cfg())
+        marker.touch()
+    cfg = mk_cfg()
+    replay(cfg)   # no-op (idempotent)
+    return final_state(cfg, sort=True)
+
+
 def cdc_point_lookup(sf_dir: str):
     """Point lookup on the lake: three fixed conversations served via
     partition routing + chunk key-range pruning (pipelines/lookup) —

@@ -47,7 +47,29 @@ def unify_change_schemas(schemas: list[pa.Schema]) -> pa.Schema:
     (The reference's analog is the duplicate-column-name dedup in
     ``Tasks/MigrationTask.cs:98``; determinism here is what makes replay
     bit-for-bit reproducible under schema evolution.)
+
+    Wire-form reconciliation: a column that arrives as unix-epoch-ms
+    INTEGERS in some files and as a TIMESTAMP in others unifies to
+    ``timestamp[us]`` — Arrow's promotion cannot merge those, but the
+    normalize stage owns exactly that cast (the reference's canonical
+    timestamp wire form, ``Tasks/Extraction.cs:67-68``).  Pure numeric
+    widening (int32 → int64, int → float) flows through Arrow's
+    permissive promotion; genuinely incompatible pairs still raise.
     """
+    by_name: dict[str, set] = {}
+    for s in schemas:
+        for f in s:
+            by_name.setdefault(f.name, set()).add(f.type)
+    ts_wire = {n for n, types in by_name.items()
+               if any(pa.types.is_timestamp(t) for t in types)
+               and any(pa.types.is_integer(t) for t in types)}
+    if ts_wire:
+        schemas = [
+            pa.schema([
+                pa.field(f.name, pa.timestamp("us"))
+                if f.name in ts_wire and pa.types.is_integer(f.type) else f
+                for f in s])
+            for s in schemas]
     unified = pa.unify_schemas(schemas, promote_options="permissive")
     fields: list[pa.Field] = []
     seen: set[str] = set()
