@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_point_lookup": q.cdc_point_lookup,
         "cdc_wire_forms": q.cdc_wire_forms,
+        "cdc_delete_where": q.cdc_delete_where,
         "cdc_changefeed": q.cdc_changefeed,
         "cdc_incremental_agg": q.cdc_incremental_agg,
         "cdc_log_compaction": q.cdc_log_compaction,
@@ -376,6 +377,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM ch, cut WHERE lsn < cut.c)
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # targeted delete: winners whose role matched the predicate are
+        # tombstoned through the CDC path; survivors = the complement
+        "cdc_delete_where": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D' AND role <> 'purchase'
             ORDER BY conv_id, turn_idx""",
         # wire forms: ts of the lsn prefix (file 0) traveled as unix-epoch
         # ms, so its sub-ms precision is truncated in BOTH engine and

@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                         "total rows fell below this")
     p.add_argument("--retain", type=int, default=0,
                    help="vacuum: superseded passes to keep per partition")
+    p.add_argument("--where", default="",
+                   help="delete: 'col=value' equality predicate on winners")
+    p.add_argument("--tag", default="",
+                   help="delete: idempotence tag (defaults to --where)")
     p.add_argument("--deep", action="store_true",
                    help="fsck: re-read state files (hash/tombstones/"
                         "uniqueness/routing)")
@@ -57,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["deep"] = args.deep
     if args.task == "vacuum":
         kw["retain"] = args.retain
+    if args.task == "delete":
+        kw.update(where=args.where, tag=args.tag)
 
     import ray
     if not ray.is_initialized():

@@ -272,6 +272,45 @@ def cdc_wire_forms(sf_dir: str):
     return final_state(cfg, sort=True)
 
 
+def cdc_delete_where(sf_dir: str):
+    """Targeted delete (GDPR/right-to-be-forgotten) ON the oracle path:
+    a dedicated lake replays the derived change log, then
+    ``delete_where`` tombstones every visible key whose winner has
+    role = 'purchase' — the delete travels as a regular change batch
+    through the same replay machinery.  Oracle: LWW winners minus the
+    predicate matches."""
+    import pyarrow.compute as _pc
+    from migration_pair_ray.pipelines.deletes import delete_where
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    lake = str(root / "lake_delete")
+    log_d = str(root / "log_delete")
+    marker = Path(root / "_delete_done")
+
+    def mk_cfg() -> JobConfig:
+        return JobConfig(changelog_dir=log_d, lake_dir=lake,
+                         num_partitions=16)
+
+    def pred(t: pa.Table) -> pa.Array:
+        return _pc.fill_null(_pc.equal(t.column("role"), "purchase"), False)
+
+    if not marker.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(log_d, ignore_errors=True)
+        os.makedirs(log_d)
+        for f in sorted(Path(src.changelog_dir).glob("batch-*.parquet")):
+            os.link(f, Path(log_d) / f.name)
+        cfg = mk_cfg()
+        replay(cfg)
+        s = delete_where(cfg, pred, tag="purge-purchase")
+        assert s["applied"] and s["tombstones"] > 0
+        marker.touch()
+    cfg = mk_cfg()
+    # idempotent: same lake signature → the delete file already exists
+    delete_where(cfg, pred, tag="purge-purchase")
+    return final_state(cfg, sort=True)
+
+
 def cdc_point_lookup(sf_dir: str):
     """Point lookup on the lake: three fixed conversations served via
     partition routing + chunk key-range pruning (pipelines/lookup) —

@@ -127,6 +127,25 @@ def task_merge(cfg: JobConfig, base_pid: int = -1, min_rows: int = 0,
     return {"merges": maybe_merge_undersized(cfg, min_rows)}
 
 
+def task_delete(cfg: JobConfig, where: str = "", tag: str = "",
+                max_rows: int = 1_000_000, **kw) -> dict:
+    """Targeted delete through the CDC path: tombstone every visible key
+    whose winner matches ``where`` ('col=value' equality; programmatic
+    callers pass ``predicate=`` for arbitrary masks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from migration_pair_ray.pipelines.deletes import delete_where
+    predicate = kw.pop("predicate", None)
+    if predicate is None:
+        col, _, val = where.partition("=")
+        if not col or not _:
+            raise ValueError("task_delete needs where='col=value' or predicate=")
+        def predicate(t: pa.Table, col=col, val=val) -> pa.Array:
+            return pc.fill_null(
+                pc.equal(pc.cast(t.column(col), pa.string()), val), False)
+    return delete_where(cfg, predicate, tag or where, max_rows=max_rows)
+
+
 def task_vacuum(cfg: JobConfig, retain: int = 0, **kw) -> dict:
     """Trim the time-travel window to ``retain`` superseded passes per
     partition and delete the state files nothing references anymore."""
@@ -158,6 +177,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "split": task_split,
     "merge": task_merge,
     "vacuum": task_vacuum,
+    "delete": task_delete,
     "requeue": task_requeue,
     "tail": task_tail,
     "fsck": task_fsck,
