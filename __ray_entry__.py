@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": q.cdc_point_lookup,
         "cdc_wire_forms": q.cdc_wire_forms,
         "cdc_delete_where": q.cdc_delete_where,
+        "cdc_jsonl_ingest": q.cdc_jsonl_ingest,
         "cdc_changefeed": q.cdc_changefeed,
         "cdc_incremental_agg": q.cdc_incremental_agg,
         "cdc_log_compaction": q.cdc_log_compaction,
@@ -375,6 +376,18 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY conv_id, turn_idx
                     ORDER BY ts DESC, lsn DESC) rn
                   FROM ch, cut WHERE lsn < cut.c)
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # JSONL envelope ingestion: every event's ts traveled as epoch-ms,
+        # so the oracle truncates ALL rows to ms before picking winners
+        "cdc_jsonl_ingest": f"""
+            WITH ch0 AS ({DERIVED_CHANGES_SQL}),
+            ch AS (SELECT conv_id, turn_idx, role, text, tool,
+                          epoch_ms(epoch_ms(ts)) AS ts, op, lsn FROM ch0),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM ch)
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

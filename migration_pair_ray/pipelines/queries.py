@@ -311,6 +311,51 @@ def cdc_delete_where(sf_dir: str):
     return final_state(cfg, sort=True)
 
 
+def cdc_jsonl_ingest(sf_dir: str):
+    """Debezium-style JSONL source ON the oracle path: the derived change
+    log re-encoded as one-envelope-per-line JSONL files (op c/u/d,
+    before/after structs, epoch-ms event time; the pre-evolution file's
+    structs lack ``tool``), ingested via sources/jsonl_log into a
+    dedicated lake.  Oracle: LWW winners with the ms truncation every
+    envelope's ``ts_ms`` implies."""
+    import duckdb
+    from migration_pair_ray.sources.jsonl_log import ingest_jsonl_log
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    lake = str(root / "lake_jsonl")
+    env_dir = str(root / "envelopes")
+    log_j = str(root / "log_jsonl")
+    marker = Path(root / "_jsonl_done")
+
+    def mk_cfg() -> JobConfig:
+        return JobConfig(changelog_dir=log_j, lake_dir=lake,
+                         num_partitions=16)
+
+    if not marker.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(env_dir, ignore_errors=True)
+        shutil.rmtree(log_j, ignore_errors=True)
+        os.makedirs(env_dir)
+        for f in sorted(Path(src.changelog_dir).glob("batch-*.parquet")):
+            has_tool = "tool" in pq.read_schema(str(f)).names
+            tool_expr = ", tool := tool" if has_tool else ""
+            pack = (f"struct_pack(conv_id := conv_id, turn_idx := turn_idx, "
+                    f"role := role, text := text{tool_expr})")
+            duckdb.sql(f"""
+                COPY (SELECT CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u'
+                                     ELSE 'd' END AS op,
+                             CASE WHEN op = 'D' THEN {pack} END AS before,
+                             CASE WHEN op <> 'D' THEN {pack} END AS after,
+                             epoch_ms(ts) AS ts_ms, lsn
+                      FROM read_parquet('{f}') ORDER BY lsn)
+                TO '{env_dir}/{f.stem}.jsonl' (FORMAT JSON)""")
+        ingest_jsonl_log(mk_cfg(), env_dir)
+        marker.touch()
+    cfg = mk_cfg()
+    ingest_jsonl_log(cfg, env_dir)   # no-op (idempotent)
+    return final_state(cfg, sort=True)
+
+
 def cdc_point_lookup(sf_dir: str):
     """Point lookup on the lake: three fixed conversations served via
     partition routing + chunk key-range pruning (pipelines/lookup) —

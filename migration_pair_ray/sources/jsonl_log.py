@@ -1,0 +1,147 @@
+"""Debezium-style JSONL change-log source.
+
+A very common CDC wire format is one JSON envelope per line:
+
+    {"op": "c"|"r"|"u"|"d", "before": {...}|null, "after": {...}|null,
+     "ts_ms": <epoch ms>, "lsn": <int>}
+
+``ingest_jsonl_log`` converts a directory of such files into canonical
+Parquet change batches (one per input file, deterministic name, atomic
+rename) and replays them — the JSONL path inherits every engine guarantee
+because after conversion it IS the normal change log.  Conversion runs
+distributed: one ``read_json`` over all pending files, envelope→columns
+vectorized per batch, one write task per input file (grouped on the
+``include_paths`` provenance column), mirroring the change-derivation
+pattern in pipelines/queries._events_lake.
+
+Payload schema follows the envelopes: a field absent from every struct in
+a file (e.g. ``tool`` before it existed) is absent from that file's
+Parquet schema too — the same schema-evolution contract the Parquet log
+has.  ``op`` maps c/r → I (Debezium emits ``r`` for initial-snapshot
+reads), u → U, d → D; delete payloads come from ``before``.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.schemas import BASE_SCHEMA
+
+_OP_MAP = [("c", "I"), ("r", "I"), ("u", "U"), ("d", "D")]
+
+
+def _payload_field(struct_col, name: str, typ: pa.DataType, n: int):
+    """Column ``name`` out of a struct column; typed nulls when the struct
+    lacks the field or carries an all-null (null-typed) parse of it."""
+    if struct_col is None or struct_col.type.num_fields == 0 or \
+            name not in [f.name for f in struct_col.type]:
+        return pa.nulls(n, typ)
+    v = pc.struct_field(struct_col, name)
+    if pa.types.is_null(v.type):
+        return pa.nulls(n, typ)
+    return pc.cast(v, typ)
+
+
+def envelopes_to_changes(batch: pa.Table) -> pa.Table:
+    """Vectorized envelope → CHANGE_SCHEMA-shaped columns.  Passes a
+    ``path`` column through untouched (file provenance for the per-file
+    writer).  Unknown ``op`` values become null ops — the quarantine gate
+    names them if enabled; the merge rejects them loudly otherwise."""
+    n = batch.num_rows
+    names = batch.schema.names
+    before = batch.column("before") if "before" in names else None
+    after = batch.column("after") if "after" in names else None
+    op_raw = pc.cast(batch.column("op"), pa.string())
+    is_d = pc.fill_null(pc.equal(op_raw, "d"), False)
+
+    def struct_names(col) -> set:
+        return ({f.name for f in col.type} if col is not None
+                and pa.types.is_struct(col.type) else set())
+
+    present = struct_names(before) | struct_names(after)
+    types = {f.name: f.type for f in BASE_SCHEMA}
+    cols: dict = {}
+    for f in BASE_SCHEMA:
+        if f.name == "ts":
+            continue                      # event time comes from ts_ms
+        if f.name not in present and f.name not in ("conv_id", "turn_idx"):
+            continue                      # schema evolution: field not born yet
+        typ = types[f.name]
+        b = _payload_field(before, f.name, typ, n)
+        a = _payload_field(after, f.name, typ, n)
+        cols[f.name] = pc.if_else(is_d, b, a)
+
+    # epoch-ms wire form -> canonical timestamp (Extraction.cs:67-68 rule)
+    ms = pc.cast(batch.column("ts_ms"), pa.int64())
+    cols["ts"] = pc.cast(pc.multiply(ms, pa.scalar(1000, pa.int64())),
+                         pa.timestamp("us"))
+
+    op = pa.nulls(n, pa.string())
+    for raw, mapped in _OP_MAP:
+        op = pc.if_else(pc.fill_null(pc.equal(op_raw, raw), False),
+                        pa.scalar(mapped, pa.string()), op)
+    cols["op"] = op
+    cols["lsn"] = pc.cast(batch.column("lsn"), pa.int64())
+    if "path" in names:
+        cols["path"] = batch.column("path")
+    return pa.table(cols)
+
+
+def ingest_jsonl_log(cfg: JobConfig, input_dir: str, apply: bool = True) -> dict:
+    """Convert every pending ``*.jsonl`` file under ``input_dir`` into a
+    canonical change batch under ``cfg.changelog_dir`` and (when
+    ``apply``) replay.  Idempotent: an input whose output already exists
+    (or was already committed) is skipped; a crash mid-conversion leaves
+    only whole, atomically-renamed outputs."""
+    import ray.data
+    from migration_pair_ray.state.manifest import CheckpointStore
+
+    files = sorted(str(p) for p in Path(input_dir).glob("*.jsonl"))
+    os.makedirs(cfg.changelog_dir, exist_ok=True)
+    committed = set()
+    if Path(cfg.checkpoint_dir).exists():
+        committed = CheckpointStore(cfg.checkpoint_dir).committed_files()
+
+    def out_name(src: str) -> str:
+        return f"batch-jsonl-{Path(src).stem}.parquet"
+
+    pending = [f for f in files
+               if not (Path(cfg.changelog_dir) / out_name(f)).exists()
+               and out_name(f) not in committed]
+
+    converted = 0
+    if pending:
+        out_dir = cfg.changelog_dir
+
+        def write_file(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"file": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64())})
+            src = g.column("path")[0].as_py()
+            g = g.drop_columns(["path"]).sort_by([("lsn", "ascending")])
+            path = str(Path(out_dir) / out_name(src))
+            tmp = f"{path}.tmp.{os.getpid()}"
+            pq.write_table(g, tmp)
+            os.replace(tmp, path)
+            return pa.table({"file": pa.array([Path(path).name]),
+                             "rows": pa.array([g.num_rows], pa.int64())})
+
+        written = (ray.data.read_json(pending, include_paths=True)
+                   .map_batches(envelopes_to_changes, batch_format="pyarrow")
+                   .groupby("path").map_groups(write_file,
+                                               batch_format="pyarrow")
+                   .take_all())              # tiny: one record per file
+        converted = len(written)
+
+    summary = {"inputs": len(files), "converted": converted,
+               "skipped": len(files) - len(pending)}
+    if apply:
+        from migration_pair_ray.pipelines.replay import replay
+        summary["pass"] = replay(cfg)
+    return summary

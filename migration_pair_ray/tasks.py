@@ -127,6 +127,15 @@ def task_merge(cfg: JobConfig, base_pid: int = -1, min_rows: int = 0,
     return {"merges": maybe_merge_undersized(cfg, min_rows)}
 
 
+def task_ingest_jsonl(cfg: JobConfig, input_path: str = "", **kw) -> dict:
+    """Debezium-style JSONL change-log ingestion: convert ``*.jsonl``
+    envelope files into canonical change batches and replay."""
+    from migration_pair_ray.sources.jsonl_log import ingest_jsonl_log
+    if not input_path:
+        raise ValueError("task_ingest_jsonl needs input_path (--input)")
+    return ingest_jsonl_log(cfg, input_path)
+
+
 def task_delete(cfg: JobConfig, where: str = "", tag: str = "",
                 max_rows: int = 1_000_000, **kw) -> dict:
     """Targeted delete through the CDC path: tombstone every visible key
@@ -178,6 +187,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "merge": task_merge,
     "vacuum": task_vacuum,
     "delete": task_delete,
+    "ingest_jsonl": task_ingest_jsonl,
     "requeue": task_requeue,
     "tail": task_tail,
     "fsck": task_fsck,
