@@ -76,6 +76,13 @@ class JobConfig:
     # pass.  Trim the window later with pipelines/compact.vacuum (CLI task
     # `vacuum`).  Storage cost ≈ N extra copies of each touched partition.
     retain_passes: int = 0
+    # Single-writer lease: every mutating job (replay, split/merge,
+    # vacuum, repartition target) takes <lake>/_writer.lock for its
+    # duration; a second concurrent writer fails fast with the holder's
+    # identity instead of interleaving passes (state/lock.py).  A crashed
+    # writer's lease expires after writer_lease_ttl_s.
+    writer_lease: bool = True
+    writer_lease_ttl_s: float = 1800.0
     # Dead-letter sink: "" = gate off (a malformed row poisons the merge,
     # reference behavior); a directory path routes unroutable/unmergeable
     # rows (null key, unknown op) to content-addressed Parquet files under

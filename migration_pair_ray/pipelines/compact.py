@@ -45,7 +45,22 @@ from migration_pair_ray.state.manifest import (
 )
 
 
+def _lease(cfg: JobConfig, owner: str):
+    """Single-writer lease (state/lock.py) — reentrant, so maintenance
+    actions taken from inside a replay pass reuse the pass's lease."""
+    import contextlib
+    from migration_pair_ray.state.lock import WriterLease
+    return (WriterLease(cfg.lake_dir, owner, cfg.writer_lease_ttl_s)
+            if cfg.writer_lease else contextlib.nullcontext())
+
+
 def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
+    with _lease(cfg, "split"):
+        return _split_partition_locked(cfg, base_pid, fanout)
+
+
+def _split_partition_locked(cfg: JobConfig, base_pid: int,
+                            fanout: int = 2) -> dict:
     """Split base partition ``base_pid`` into ``fanout`` children.
 
     Works whether the partition holds state or not (an empty split just
@@ -174,6 +189,11 @@ def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
 
 
 def merge_partition(cfg: JobConfig, base_pid: int) -> dict:
+    with _lease(cfg, "merge"):
+        return _merge_partition_locked(cfg, base_pid)
+
+
+def _merge_partition_locked(cfg: JobConfig, base_pid: int) -> dict:
     """Merge a split base's children back into the base partition — the
     inverse lifecycle action of ``split_partition`` for partitions that
     SHRANK (tombstone-heavy workloads, post-compaction).  The other
@@ -288,6 +308,11 @@ def maybe_merge_undersized(cfg: JobConfig, min_rows: int) -> list[dict]:
 
 
 def vacuum(cfg: JobConfig, retain_passes: int = 0) -> dict:
+    with _lease(cfg, "vacuum"):
+        return _vacuum_locked(cfg, retain_passes)
+
+
+def _vacuum_locked(cfg: JobConfig, retain_passes: int = 0) -> dict:
     """Trim every partition's time-travel window to ``retain_passes``
     superseded records and delete the state files nothing references
     anymore.  ``retain_passes=0`` drops all history (only the current

@@ -50,6 +50,39 @@ def _convertible(src: pa.DataType, tgt: pa.DataType) -> bool:
         return False
 
 
+def schema_history(cfg) -> list[dict]:
+    """The lake's schema-evolution audit log, reconstructed from the pass
+    checkpoints' recorded unified schemas (replay stamps one per pass):
+    one entry per pass in commit order with the columns it added, dropped
+    from its change files, or retyped relative to the previous pass.
+    Passes from before schema stamping report ``schema: None``."""
+    from migration_pair_ray.state.manifest import CheckpointStore
+    store = CheckpointStore(cfg.checkpoint_dir)
+    recs = []
+    from pathlib import Path
+    import json
+    for p in sorted(Path(store.dir).glob("pass-*.json")):
+        with open(p) as f:
+            recs.append(json.load(f))
+    recs.sort(key=lambda r: r.get("seq", -1))
+    out: list[dict] = []
+    prev: dict | None = None
+    for r in recs:
+        schema = (r.get("stats") or {}).get("schema")
+        entry = {"pass_id": r["pass_id"], "seq": r.get("seq"),
+                 "schema": schema, "added": [], "removed": [], "retyped": []}
+        if schema is not None and prev is not None:
+            entry["added"] = sorted(set(schema) - set(prev))
+            entry["removed"] = sorted(set(prev) - set(schema))
+            entry["retyped"] = sorted(
+                f"{c}: {prev[c]} -> {schema[c]}"
+                for c in set(schema) & set(prev) if schema[c] != prev[c])
+        if schema is not None:
+            prev = schema
+        out.append(entry)
+    return out
+
+
 def check_compliance(source: pa.Schema, target: pa.Schema,
                      mode: str = "evolve") -> ComplianceReport:
     src = {f.name: f.type for f in source}

@@ -111,6 +111,17 @@ def replay(cfg: JobConfig) -> dict:
         return {"pass_id": None, "files": 0, "events_in": 0, "partitions": 0,
                 "seconds": 0.0, "events_per_sec": 0.0, "up_to_date": True}
 
+    # single-writer lease: a concurrent pass interleaving its partition
+    # commits with ours would make the final state order-dependent
+    import contextlib
+    from migration_pair_ray.state.lock import WriterLease
+    lease = (WriterLease(cfg.lake_dir, "replay", cfg.writer_lease_ttl_s)
+             if cfg.writer_lease else contextlib.nullcontext())
+    with lease:
+        return _replay_locked(cfg, files, t0)
+
+
+def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     # layout gate: replaying into a lake built with a different partition
     # count/mode would route keys away from their existing state
     from migration_pair_ray.state.manifest import LakeMeta
@@ -149,7 +160,11 @@ def replay(cfg: JobConfig) -> dict:
     _write_lineage(cfg, pass_id, lineage)
     CheckpointStore(cfg.checkpoint_dir).commit_pass(
         pass_id, files,
-        stats={"events_in": events_in, "partitions": lineage.num_rows},
+        stats={"events_in": events_in, "partitions": lineage.num_rows,
+               # schema audit trail: what this pass's unified change
+               # schema looked like (pipelines/compliance.schema_history
+               # diffs consecutive passes into an evolution log)
+               "schema": {f.name: str(f.type) for f in schema}},
     )
     quarantined = 0
     if qdir is not None:
@@ -251,14 +266,24 @@ def repartition_lake(cfg: JobConfig, new_cfg: JobConfig) -> dict:
     the same point against the new lake.  The old lake directory is left
     untouched for rollback.
     """
-    import shutil
-    import pyarrow.compute as pc
-    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
-
     t0 = time.perf_counter()
     if Path(new_cfg.lake_dir).resolve() == Path(cfg.lake_dir).resolve():
         raise ValueError("repartition_lake writes a NEW lake directory; "
                          "in-place re-layout is not supported (rollback safety)")
+    # writer lease on the TARGET lake (the source is only read)
+    import contextlib
+    from migration_pair_ray.state.lock import WriterLease
+    lease = (WriterLease(new_cfg.lake_dir, "repartition",
+                         new_cfg.writer_lease_ttl_s)
+             if new_cfg.writer_lease else contextlib.nullcontext())
+    with lease:
+        return _repartition_locked(cfg, new_cfg, t0)
+
+
+def _repartition_locked(cfg: JobConfig, new_cfg: JobConfig, t0: float) -> dict:
+    import shutil
+    import pyarrow.compute as pc
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     LakeMeta(new_cfg.lake_dir).ensure(new_cfg.num_partitions,
                                       new_cfg.partition_mode)
 

@@ -136,6 +136,12 @@ def task_ingest_jsonl(cfg: JobConfig, input_path: str = "", **kw) -> dict:
     return ingest_jsonl_log(cfg, input_path)
 
 
+def task_schema_history(cfg: JobConfig, **kw) -> dict:
+    """Schema-evolution audit log: per-pass unified schema + diff."""
+    from migration_pair_ray.pipelines.compliance import schema_history
+    return {"history": schema_history(cfg)}
+
+
 def task_delete(cfg: JobConfig, where: str = "", tag: str = "",
                 max_rows: int = 1_000_000, **kw) -> dict:
     """Targeted delete through the CDC path: tombstone every visible key
@@ -188,6 +194,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "vacuum": task_vacuum,
     "delete": task_delete,
     "ingest_jsonl": task_ingest_jsonl,
+    "schema_history": task_schema_history,
     "requeue": task_requeue,
     "tail": task_tail,
     "fsck": task_fsck,

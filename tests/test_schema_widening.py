@@ -120,6 +120,35 @@ def test_widening_across_passes(tmp_path):
                                   check_dtype=False)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_schema_history_audit(tmp_path):
+    """Each pass records its unified schema; the audit log diffs them:
+    the second pass shows tool ADDED and turn_idx/ts RETYPED."""
+    from migration_pair_ray.pipelines.compliance import schema_history
+    stage = str(tmp_path / "stage")
+    p0, p1 = _write_mixed_log(stage)
+    log = tmp_path / "log"
+    log.mkdir()
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=2, hash_state=False)
+    os.link(p0, log / Path(p0).name)
+    replay(cfg)
+    os.link(p1, log / Path(p1).name)
+    replay(cfg)
+    hist = schema_history(cfg)
+    assert [h["seq"] for h in hist] == [0, 1]
+    assert hist[0]["schema"]["turn_idx"] == "int32"
+    assert "tool" not in hist[0]["schema"]
+    assert hist[1]["added"] == ["tool"]
+    assert any(r.startswith("turn_idx: int32 -> int64")
+               for r in hist[1]["retyped"])
+    # ts arrived as ms ints in pass 2 but reconciles to timestamp (wire
+    # rule applies within the pass's own unified schema: single-type pass
+    # keeps int64 -- the reconciliation happens at merge/read)
+    from migration_pair_ray.tasks import run_task
+    assert run_task("schema_history", cfg)["history"] == hist
+
+
 def test_compliance_accepts_widening_rejects_narrowing_conflict():
     from migration_pair_ray.pipelines.compliance import check_compliance
     tgt = pa.schema([pa.field("turn_idx", pa.int64()),
