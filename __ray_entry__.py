@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_union_dedup": q.corpus_union_dedup,
         "doc_langid": q.doc_langid,
         "doc_dedup_incremental": q.doc_dedup_incremental,
+        "doc_near_dup_probe": q.doc_near_dup_probe,
         "doc_split_leakage": q.doc_split_leakage,
         "doc_dup_clusters": q.doc_dup_clusters,
         "doc_dedup_by_quality": q.doc_dedup_by_quality,
@@ -1606,6 +1607,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM k
             WHERE rn = 1 AND t NOT IN (SELECT t FROM ex)
             ORDER BY doc_id""",
+        # incremental near-dup probe == exact 5-gram-Jaccard pairs across
+        # the committed/new cut (bimodal corpus: estimated-sim threshold
+        # agrees with exact; banding recall pigeonhole-exact at 0.8)
+        "doc_near_dup_probe": """
+            WITH RECURSIVE nums AS (SELECT i FROM range(1, 2000) t(i)),
+            half AS (SELECT COUNT(*) // 2 AS h FROM documents),
+            sh AS (SELECT DISTINCT doc_id, substr(COALESCE(text,''), i, 5) s
+                   FROM documents JOIN nums
+                     ON i <= GREATEST(length(COALESCE(text,'')) - 4, 1)),
+            sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id ai, b.doc_id bi, COUNT(*) c
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT ai AS a, bi AS b FROM inter
+            JOIN sz x ON x.doc_id = ai JOIN sz y ON y.doc_id = bi, half
+            WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+              AND ai < h AND bi >= h
+            ORDER BY a, b""",
         # cluster labels for every near-dup member: min-label components
         # over the exact-Jaccard pair set
         "doc_dup_clusters": """

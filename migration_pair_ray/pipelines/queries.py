@@ -1218,6 +1218,41 @@ def doc_langid(sf_dir: str):
             .select_columns(["doc_id", "lang", "lang_pred"]).sort("doc_id"))
 
 
+def doc_near_dup_probe(sf_dir: str):
+    """Incremental NEAR-dup detection: the first half of the corpus is a
+    persisted MinHash-LSH index (band buckets + signature buckets —
+    stages/dedup.build_minhash_index); the second half arrives as a new
+    batch and probes ONLY the band buckets its own hashes land in,
+    verifying candidates against the bucket-read index signatures.
+    Returns the (index_doc, new_doc) near-dup pairs.  Oracle: exact
+    5-gram-Jaccard pairs across the same cut (safe: the corpus's pair
+    similarities are bimodal around the threshold, and at est ≥ 0.8 with
+    64 perms / 16 bands the banding recall is pigeonhole-exact)."""
+    from migration_pair_ray.stages.dedup import (build_minhash_index,
+                                                 minhash_probe_incremental)
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    half = n // 2
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
+    idx_dir = f"/tmp/mpr_queries/{tag}/mh_idx"
+
+    def select(lo: int | None, hi: int | None):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            m = pc.greater_equal(ids, lo) if lo is not None else \
+                pc.less(ids, hi)
+            return t.filter(m)
+        return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+                .map_batches(f, batch_format="pyarrow"))
+
+    if not os.path.exists(f"{idx_dir}/_meta.json"):
+        build_minhash_index(select(None, half), idx_dir)
+    pairs = minhash_probe_incremental(select(half, None), idx_dir,
+                                      threshold=0.8)
+    return pairs.select(["a", "b"])
+
+
 def doc_dedup_incremental(sf_dir: str):
     """Continuous-ingestion dedup: the first half of the corpus is
     COMMITTED (persisted 128-bit fingerprint index, ~16 B/doc — the whole

@@ -988,3 +988,226 @@ def span_exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
             .map_groups(keep_first, batch_format="pyarrow"))
     return grouped_string_agg(kept, id_col, ["span_idx"], "span",
                               sep=" ", out_col="text_dedup")
+
+
+# ------------------------------------------------- incremental MinHash index
+
+def build_minhash_index(ds: "ray.data.Dataset", index_dir: str,
+                        n_perm: int = 64, k: int = 5, n_bands: int = 16,
+                        num_buckets: int = 64) -> int:
+    """Persist a corpus's MinHash-LSH index for INCREMENTAL near-dup
+    probing — the streaming-ingest complement of ``minhash_lsh_dedup``
+    (which re-sketches the whole corpus per run).  Two bucket-partitioned
+    layouts, both probe-prunable:
+
+    * ``band_bucket=<band_hash % num_buckets>/``: slim ``(band_id,
+      band_hash, doc_id)`` rows (~20 B/doc/band) — a new document reads
+      ONLY the buckets its own band hashes land in;
+    * ``sig_bucket=<doc_id % num_buckets>/``: ``(doc_id, sig)`` rows
+      (n_perm × 8 B/doc) — the verify pass fetches ONLY the buckets
+      holding candidate ids.
+
+    ``_meta.json`` (params + corpus count) is the commit marker, written
+    last: a crashed build is invisible and a re-run overwrites cleanly.
+    Returns the indexed doc count."""
+    import json
+    import os
+    import pyarrow.parquet as pq
+    from migration_pair_ray.state.manifest import _atomic_write
+
+    sketch = ds.map_batches(
+        lambda b: _sketch_batch(b, n_perm, k, n_bands),
+        batch_format="pyarrow").materialize()   # executed once, reused twice
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        e = _explode_band_rows(t, n_bands)
+        bh = e.column("band_hash").to_numpy(zero_copy_only=False)
+        band = (e.column("coarse").to_numpy(zero_copy_only=False)
+                // _COARSE_PER_GROUP)
+        return pa.table({
+            "band_id": pa.array(band.astype(np.int32)),
+            "band_hash": e.column("band_hash"),
+            "doc_id": e.column("doc_id"),
+            "__b": pa.array((bh % num_buckets).astype(np.int32)),
+        })
+
+    def write_part(kind: str):
+        def _w(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            b = int(g.column("__b")[0].as_py())
+            g = g.drop_columns(["__b"]).sort_by(
+                [("band_hash", "ascending"), ("doc_id", "ascending")]
+                if kind == "band" else [("doc_id", "ascending")])
+            d = os.path.join(index_dir, f"{kind}_bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f"base.parquet.tmp.{os.getpid()}")
+            pq.write_table(g, tmp)
+            os.replace(tmp, os.path.join(d, "base.parquet"))
+            return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+        return _w
+
+    (sketch.map_batches(band_rows, batch_format="pyarrow")
+     .groupby("__b").map_groups(write_part("band"), batch_format="pyarrow")
+     .materialize())
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "sig": t.column("sig"),
+            "__b": pa.array((ids % num_buckets).astype(np.int32)),
+        })
+
+    (sketch.map_batches(sig_rows, batch_format="pyarrow")
+     .groupby("__b").map_groups(write_part("sig"), batch_format="pyarrow")
+     .materialize())
+
+    n_docs = sketch.count()
+    _atomic_write(os.path.join(index_dir, "_meta.json"), json.dumps({
+        "n_perm": n_perm, "k": k, "n_bands": n_bands,
+        "num_buckets": num_buckets, "n_docs": n_docs}).encode())
+    return n_docs
+
+
+def minhash_probe_incremental(new_ds: "ray.data.Dataset", index_dir: str,
+                              threshold: float = 0.8) -> pa.Table:
+    """Near-dup pairs between a NEW batch and the persisted index —
+    ``(a=index doc, b=new doc, sim=estimated Jaccard)`` with sim ≥
+    threshold.  The corpus is never re-sketched: a new document's band
+    hashes select the band buckets to read; raw band collisions become
+    candidate pairs IN-GROUP (capped per bucket run, deduped before the
+    verify exchange); the verify pass groups candidates by the index
+    side's sig bucket, reads that one signature file, and scores against
+    the broadcast new-batch signatures.
+
+    Scale contract: index I/O is proportional to the probed buckets, the
+    verify exchange carries only deduped candidate id pairs, and the
+    returned table is bounded by the true near-dup rate.  New-vs-new
+    duplicates inside the batch are out of scope (run the batch dedup for
+    that); call ``build_minhash_index`` again to fold accepted docs in."""
+    import json
+    import os
+    import pyarrow.parquet as pq
+
+    meta = json.loads(open(os.path.join(index_dir, "_meta.json")).read())
+    n_perm, k = int(meta["n_perm"]), int(meta["k"])
+    n_bands, num_buckets = int(meta["n_bands"]), int(meta["num_buckets"])
+
+    sketch = new_ds.map_batches(
+        lambda b: _sketch_batch(b, n_perm, k, n_bands),
+        batch_format="pyarrow").materialize()
+    new_tbl = pa.concat_tables(
+        [r for r in ray.get(sketch.to_arrow_refs()) if r.num_rows],
+        promote_options="permissive") if sketch.count() else None
+    if new_tbl is None or new_tbl.num_rows == 0:
+        return _pairs_table([], [], [])
+    order = np.argsort(new_tbl.column("doc_id").to_numpy(zero_copy_only=False))
+    ids_new = new_tbl.column("doc_id").to_numpy(zero_copy_only=False)[order]
+    sig_new = (np.asarray(new_tbl.column("sig").combine_chunks().flatten(),
+                          dtype=np.int64)
+               .reshape(new_tbl.num_rows, n_perm))[order]
+    new_ref = ray.put((ids_new, sig_new))   # bounded: one new batch
+
+    def candidates(g: pa.Table) -> pa.Table:
+        """One band bucket: new band rows vs the index bucket file."""
+        if g.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        b = int(g.column("__b")[0].as_py())
+        path = os.path.join(index_dir, f"band_bucket={b}", "base.parquet")
+        if not os.path.exists(path):
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        idx = pq.read_table(path)
+        # composite (band_id, band_hash) key on both sides
+        def keyed(t):
+            band = t.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+            return band * np.int64(0x9E3779B9) + bh
+        ki = keyed(idx)
+        oi = np.argsort(ki, kind="stable")
+        ki = ki[oi]
+        idx_ids = idx.column("doc_id").to_numpy(zero_copy_only=False)[oi]
+        kn = keyed(g)
+        lo = np.searchsorted(ki, kn, "left")
+        hi = np.searchsorted(ki, kn, "right")
+        runs = np.minimum(hi - lo, _BUCKET_CAP)   # cap degenerate buckets
+        tot = int(runs.sum())
+        if tot == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        new_ids_g = g.column("doc_id").to_numpy(zero_copy_only=False)
+        out_b = np.repeat(new_ids_g, runs)
+        pos = np.concatenate([[0], np.cumsum(runs)[:-1]])
+        take = (np.repeat(lo, runs)
+                + (np.arange(tot) - np.repeat(pos, runs)))
+        out_a = idx_ids[take]
+        # in-group EXACT pair dedup before the exchange (lexsort +
+        # neighbor mask — a hashed dedup key could collide and drop a
+        # genuine pair)
+        o = np.lexsort((out_b, out_a))
+        sa, sb = out_a[o], out_b[o]
+        first = np.concatenate([[True], (sa[1:] != sa[:-1])
+                                | (sb[1:] != sb[:-1])])
+        return pa.table({"a": pa.array(sa[first]), "b": pa.array(sb[first])})
+
+    def verify(g: pa.Table) -> pa.Table:
+        """One sig bucket: score candidate pairs against the index sig
+        file + the broadcast new-batch signatures."""
+        if g.num_rows == 0:
+            return _pairs_table([], [], [])
+        sb = int(g.column("__sb")[0].as_py())
+        path = os.path.join(index_dir, f"sig_bucket={sb}", "base.parquet")
+        if not os.path.exists(path):
+            return _pairs_table([], [], [])
+        st = pq.read_table(path)
+        sid = st.column("doc_id").to_numpy(zero_copy_only=False)
+        smat = (np.asarray(st.column("sig").combine_chunks().flatten(),
+                           dtype=np.int64).reshape(st.num_rows, n_perm))
+        nid, nmat = ray.get(new_ref)
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        # pairs may repeat across band buckets: exact dedup once more
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        a, b = a[first], b[first]
+        pa_i = np.searchsorted(sid, a)
+        pb_i = np.searchsorted(nid, b)
+        ok = (pa_i < len(sid)) & (sid[np.minimum(pa_i, len(sid) - 1)] == a) \
+            & (pb_i < len(nid)) & (nid[np.minimum(pb_i, len(nid) - 1)] == b)
+        a, b, pa_i, pb_i = a[ok], b[ok], pa_i[ok], pb_i[ok]
+        if not len(a):
+            return _pairs_table([], [], [])
+        sims = (smat[pa_i] == nmat[pb_i]).mean(axis=1)
+        hit = sims >= threshold
+        return _pairs_table([a[hit]], [b[hit]], [sims[hit]])
+
+    exploded = sketch.map_batches(
+        lambda t: (lambda e: pa.table({
+            "band_id": pa.array((e.column("coarse")
+                                 .to_numpy(zero_copy_only=False)
+                                 // _COARSE_PER_GROUP).astype(np.int32)),
+            "band_hash": e.column("band_hash"),
+            "doc_id": e.column("doc_id"),
+            "__b": pa.array((e.column("band_hash")
+                             .to_numpy(zero_copy_only=False)
+                             % num_buckets).astype(np.int32)),
+        }))(_explode_band_rows(t, n_bands)),
+        batch_format="pyarrow")
+
+    cand = (exploded.groupby("__b")
+            .map_groups(candidates, batch_format="pyarrow"))
+    cand = cand.map_batches(
+        lambda t: t.append_column("__sb", pa.array(
+            (t.column("a").to_numpy(zero_copy_only=False)
+             % num_buckets).astype(np.int32))),
+        batch_format="pyarrow")
+    rows = (cand.groupby("__sb").map_groups(verify, batch_format="pyarrow")
+            .take_all())                      # bounded: verified pairs only
+    if not rows:
+        return _pairs_table([], [], [])
+    out = pa.Table.from_pylist(rows).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
+    return out
