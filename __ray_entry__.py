@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": q.doc_langid,
         "doc_dedup_incremental": q.doc_dedup_incremental,
         "doc_near_dup_probe": q.doc_near_dup_probe,
+        "doc_bigram_typicality": q.doc_bigram_typicality,
         "doc_split_leakage": q.doc_split_leakage,
         "doc_dup_clusters": q.doc_dup_clusters,
         "doc_dedup_by_quality": q.doc_dedup_by_quality,
@@ -1607,6 +1608,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM k
             WHERE rn = 1 AND t NOT IN (SELECT t FROM ex)
             ORDER BY doc_id""",
+        # bigram typicality: familiarity = sum of corpus bigram counts
+        # over the doc's bigrams (byte==char on the ASCII corpus) —
+        # exact-integer, so the engine must match bit for bit
+        "doc_bigram_typicality": """
+            WITH nums AS (SELECT i FROM range(1, 2000) t(i)),
+            d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+            bg AS (SELECT doc_id, substr(t, i, 2) AS g FROM d JOIN nums
+                     ON i <= length(t) - 1),
+            model AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g)
+            SELECT bg.doc_id,
+                   CAST(SUM(c) AS BIGINT) AS familiarity,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams
+            FROM bg JOIN model USING (g)
+            GROUP BY bg.doc_id ORDER BY bg.doc_id""",
         # incremental near-dup probe == exact 5-gram-Jaccard pairs across
         # the committed/new cut (bimodal corpus: estimated-sim threshold
         # agrees with exact; banding recall pigeonhole-exact at 0.8)

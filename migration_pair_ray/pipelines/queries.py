@@ -1253,6 +1253,17 @@ def doc_near_dup_probe(sf_dir: str):
     return pairs.select(["a", "b"])
 
 
+def doc_bigram_typicality(sf_dir: str):
+    """Corpus-typicality (n-gram-LM-style) score per document in exact
+    integer arithmetic: familiarity = Σ corpus-count of each of the doc's
+    byte bigrams (stages/curation.bigram_typicality) — the verifiable
+    core of perplexity-based quality filtering."""
+    from migration_pair_ray.stages.curation import bigram_typicality
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bigram_typicality(ds).sort("doc_id")
+
+
 def doc_dedup_incremental(sf_dir: str):
     """Continuous-ingestion dedup: the first half of the corpus is
     COMMITTED (persisted 128-bit fingerprint index, ~16 B/doc — the whole

@@ -207,7 +207,15 @@ def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
     record at-or-before that pass; otherwise TimeTravelError.  A partition
     first touched after the target pass legitimately contributes nothing.
     Travel across a partition split is refused (the parent's pre-split
-    state is gone by design — splits GC the parent)."""
+    state is gone by design — splits GC the parent).
+
+    ``as_of="latest"`` = SNAPSHOT ISOLATION: resolve to the newest
+    checkpointed pass, so a concurrent writer mid-pass (some partitions
+    committed at the in-flight pass, others not) can never produce a torn
+    read — partitions it already touched resolve through their retained
+    previous record.  Requires ``retain_passes >= 1`` on the lake only
+    when a writer is actually in flight; on a quiescent lake the current
+    records ARE the latest pass."""
     from migration_pair_ray.stages.applier import state_file_paths
     from migration_pair_ray.state.manifest import (
         CheckpointStore, LakeMeta, ManifestStore, TimeTravelError,
@@ -218,6 +226,11 @@ def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
     target_seq = pass_seqs = None
     if as_of is not None:
         pass_seqs = CheckpointStore(cfg.checkpoint_dir).pass_seqs()
+        if as_of == "latest":
+            if not pass_seqs:
+                raise TimeTravelError(
+                    "as_of='latest' needs at least one checkpointed pass")
+            as_of = max(pass_seqs, key=pass_seqs.get)
         if as_of not in pass_seqs:
             raise TimeTravelError(
                 f"pass {as_of!r} was never committed to this lake (known: "

@@ -489,3 +489,80 @@ def linear_gate(ds: "ray.data.Dataset", feature_fn, weights: np.ndarray,
                          "verdict": pa.array(verdict.tolist(), pa.string())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------- bigram typicality score
+
+def _bigram_code_segments(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Byte-bigram codes (prev*256 + cur) for a batch of texts, one flat
+    array, plus per-doc bigram counts.  Boundary positions between docs
+    are excluded.  ASCII corpora make byte bigrams == character bigrams
+    (the same convention the simhash oracle relies on)."""
+    bs = [t.encode() if t else b"" for t in texts]
+    lens = np.fromiter((len(b) for b in bs), np.int64, len(bs))
+    buf = np.frombuffer(b"".join(bs), np.uint8)
+    if len(buf) == 0:
+        return np.empty(0, np.int64), np.zeros(len(bs), np.int64)
+    codes = buf[:-1].astype(np.int64) * 256 + buf[1:]
+    ends = np.cumsum(lens)                       # doc end offsets in buf
+    # position i pairs buf[i] with buf[i+1]; invalid when i+1 crosses a
+    # doc boundary (i+1 == some end) or the doc is empty
+    valid = np.ones(len(codes), bool)
+    valid[ends[:-1] - 1] = False                 # last byte of each doc
+    n_bi = np.maximum(lens - 1, 0)
+    return codes[valid], n_bi
+
+
+def bigram_typicality(ds: "rd.Dataset", text_col: str = "text",
+                      id_col: str = "doc_id") -> "rd.Dataset":
+    """Corpus-typicality score per document, exact-integer arithmetic
+    (bit-identical to a SQL recomputation — no log/float divergence):
+
+        familiarity(d) = Σ over d's byte bigrams of the CORPUS count of
+                         that bigram;    n_bigrams(d) = len(d) - 1.
+
+    Two passes, both distributed: (1) per-block ``np.bincount`` partials
+    over the 2^16 bigram code space → one tiny groupby-sum (≤65k rows
+    cross the wire per block, the raw text never shuffles); the dense
+    count vector (512 KB) is ``ray.put`` once; (2) per-doc segment sums
+    via ``np.add.reduceat`` over the broadcast lookup.  Docs shorter than
+    2 bytes have no bigrams and are dropped (mirroring the SQL join).
+    The high-familiarity tail is boilerplate; the low tail is noise/
+    atypical text — the same signal an n-gram LM gives, kept exactly
+    verifiable."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, _ = _bigram_code_segments(t.column(text_col).to_pylist())
+        if not len(codes):
+            return pa.table({"code": pa.array([], pa.int32()),
+                             "cnt": pa.array([], pa.int64())})
+        counts = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pa.table({"code": pa.array(nz.astype(np.int32)),
+                         "cnt": pa.array(counts[nz])})
+
+    model_rows = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("code").aggregate(Sum("cnt", alias_name="cnt"))
+                  .take_all())                  # ≤65536 rows
+    lookup = np.zeros(65536, np.int64)
+    for r in model_rows:
+        lookup[int(r["code"])] = int(r["cnt"])
+    ref = ray.put(lookup)
+
+    def score(t: pa.Table) -> pa.Table:
+        codes, n_bi = _bigram_code_segments(t.column(text_col).to_pylist())
+        lk = ray.get(ref)                        # zero-copy plasma map
+        ids = t.column(id_col)
+        if not len(codes):
+            return pa.table({id_col: ids.slice(0, 0),
+                             "familiarity": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.cumsum(n_bi)[:-1]])
+        keep = n_bi > 0
+        fam = np.add.reduceat(lk[codes], starts[keep])
+        return pa.table({id_col: ids.filter(pa.array(keep)),
+                         "familiarity": pa.array(fam.astype(np.int64)),
+                         "n_bigrams": pa.array(n_bi[keep])})
+
+    return ds.map_batches(score, batch_format="pyarrow")

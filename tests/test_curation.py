@@ -251,3 +251,31 @@ def test_embed_quantize_zero_vector_guard():
     assert (z.scale_u, z.q_sum, z.q_min, z.q_max) == (0, 0, 0, 0)
     nz = got[got.vec_id == 1].iloc[0]
     assert nz.q_min == -127 or nz.q_max == 127   # the max-|x| dim saturates
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_typicality_exact(tmp_path):
+    """Engine == brute-force python recomputation, including null/empty/
+    single-char docs (no bigrams -> dropped)."""
+    import collections
+    import ray.data as rd
+    from migration_pair_ray.stages.curation import bigram_typicality
+
+    texts = ["abab", "abc", "x", "", None, "the cat", "the bat", "zz"]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts, pa.string())}))
+    got = {r["doc_id"]: (r["familiarity"], r["n_bigrams"])
+           for r in bigram_typicality(ds).take_all()}
+
+    model = collections.Counter()
+    for t in texts:
+        t = t or ""
+        model.update(t[i:i + 2] for i in range(len(t) - 1))
+    want = {}
+    for i, t in enumerate(texts):
+        t = t or ""
+        grams = [t[j:j + 2] for j in range(len(t) - 1)]
+        if grams:
+            want[i] = (sum(model[g] for g in grams), len(grams))
+    assert got == want

@@ -170,6 +170,46 @@ def test_chunked_layout_retention(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_snapshot_isolation_latest(tmp_path):
+    """as_of='latest' under a concurrent writer mid-pass: partitions the
+    in-flight pass already committed resolve through their retained
+    previous record — the read sees exactly the last CHECKPOINTED pass,
+    never a torn mix."""
+    log, (g1, g2) = _staged_passes(tmp_path, seed=47)
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, retain_passes=1, hash_state=False)
+    _arrive(log, g1)
+    replay(cfg)
+    _arrive(log, g2)
+    replay(cfg)
+    settled = _fs(cfg, as_of="latest")
+    pd.testing.assert_frame_equal(settled, _fs(cfg))   # quiescent: == current
+
+    # simulate an in-flight pass-3 writer that already committed
+    # partition 0: bump its manifest to a not-yet-checkpointed pass
+    from migration_pair_ray.state.manifest import ManifestStore
+    store = ManifestStore(cfg.manifest_dir)
+    m = store.read(0)
+    assert m is not None
+    fake = dict(m)
+    fake.pop("history", None)
+    fake.pop("prev_records", None)
+    fake.update(pass_id="feedfacefeedface", pass_seq=99)
+    store.commit(0, fake, retain=1)
+
+    # the snapshot read must resolve partition 0 through the RETAINED
+    # pass-2 record, not the in-flight pass-99 one
+    from migration_pair_ray.state.manifest import (CheckpointStore,
+                                                   manifest_as_of)
+    seqs = CheckpointStore(cfg.checkpoint_dir).pass_seqs()
+    latest = max(seqs, key=seqs.get)
+    resolved = manifest_as_of(store.read(0), seqs[latest], seqs, 0)
+    assert resolved["pass_id"] == m["pass_id"] != "feedfacefeedface"
+    snap = _fs(cfg, as_of="latest")
+    pd.testing.assert_frame_equal(snap, settled)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_time_travel_across_split_refused(tmp_path):
     """A split GCs the parent's state: as-of a pre-split pass must raise,
     not silently drop the split partition's keys."""
