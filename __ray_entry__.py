@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": q.doc_dedup_incremental,
         "doc_near_dup_probe": q.doc_near_dup_probe,
         "doc_bigram_typicality": q.doc_bigram_typicality,
+        "join_customer_orders_full": q.join_customer_orders_full,
         "doc_split_leakage": q.doc_split_leakage,
         "doc_dup_clusters": q.doc_dup_clusters,
         "doc_dedup_by_quality": q.doc_dedup_by_quality,
@@ -912,6 +913,22 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS start, MAX(ts) AS "end", COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_idx""",
+        # full outer: negative-balance customers vs per-customer counts of
+        # >150k orders; unmatched sides null-fill (n_big coalesced to 0,
+        # acctbal stays NULL for customers outside the filter)
+        "join_customer_orders_full": """
+            WITH c AS (SELECT c_custkey AS custkey,
+                              ROUND(c_acctbal, 2) AS acctbal
+                       FROM customer WHERE c_acctbal < 0),
+            b AS (SELECT o_custkey AS custkey,
+                         CAST(COUNT(*) AS BIGINT) AS n_big
+                  FROM orders WHERE o_totalprice > 150000
+                  GROUP BY o_custkey)
+            SELECT COALESCE(c.custkey, b.custkey) AS custkey,
+                   c.acctbal AS acctbal,
+                   COALESCE(b.n_big, 0) AS n_big
+            FROM c FULL OUTER JOIN b ON c.custkey = b.custkey
+            ORDER BY custkey""",
         "join_orders_customer_left": """
             SELECT c_mktsegment,
                    CAST(ROUND(SUM(COALESCE(o_totalprice, 0)), 0) AS BIGINT)

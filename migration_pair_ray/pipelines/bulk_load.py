@@ -88,8 +88,12 @@ def bulk_load(cfg: JobConfig, input_path: str, fmt: str = "csv",
               pass_tag: str = "bulkload") -> dict:
     """Load a CSV/Parquet snapshot into the lake via the upsert sink.
     Returns a summary dict. Idempotent per (input content, pass_tag)."""
+    import contextlib
     from migration_pair_ray.pipelines.replay import _push_shuffle
-    with _push_shuffle():
+    from migration_pair_ray.state.lock import WriterLease
+    lease = (WriterLease(cfg.lake_dir, "bulk_load", cfg.writer_lease_ttl_s)
+             if cfg.writer_lease else contextlib.nullcontext())
+    with lease, _push_shuffle():
         return _bulk_load(cfg, input_path, fmt, pass_tag)
 
 
@@ -130,8 +134,20 @@ def _bulk_load(cfg: JobConfig, input_path: str, fmt: str, pass_tag: str) -> dict
                       if _P(f).is_file())
     pass_id = hashlib.sha256(
         f"{pass_tag}:{compute_pass_id(in_files)}".encode()).hexdigest()[:16]
-    lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits())
+    # a bulk load is a first-class pass: stamped + checkpointed so time
+    # travel can order its records (an unstamped manifest would make
+    # every later as_of read fail as unresolvable)
+    from migration_pair_ray.state.manifest import CheckpointStore
+    ckpt = CheckpointStore(cfg.checkpoint_dir)
+    pass_seq = ckpt.next_seq()
+    lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits(),
+                               pass_seq=pass_seq)
     import pyarrow.compute as pc
+    rows_in = int(pc.sum(lineage.column("rows_in")).as_py() or 0)
+    ckpt.commit_pass(pass_id, in_files, name_prefix="bulk:", seq=pass_seq,
+                     stats={
+        "bulk_load": True, "rows_in": rows_in,
+        "schema": {f.name: str(f.type) for f in CHANGE_SCHEMA}})
     return {
         "pass_id": pass_id,
         "rows_in": int(pc.sum(lineage.column("rows_in")).as_py() or 0),

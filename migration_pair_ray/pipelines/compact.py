@@ -54,6 +54,36 @@ def _lease(cfg: JobConfig, owner: str):
             if cfg.writer_lease else contextlib.nullcontext())
 
 
+def _gc_inactive_manifests(cfg: JobConfig, store: ManifestStore,
+                           meta: LakeMeta) -> int:
+    """Best-effort sweep of manifests (and the files they pin) for
+    partition ids the lake meta no longer enumerates — the leftovers of a
+    relayout job that crashed between its atomic meta flip and its GC.
+    Readers never see inactive ids (the meta is the routing authority) and
+    retired id generations are never reused, so without this sweep a
+    crash-after-flip would leak those files forever.  Runs only under the
+    writer lease (callers hold it), so a pre-flip record of an IN-FLIGHT
+    relayout can never be swept by a concurrent job."""
+    from migration_pair_ray.state.manifest import referenced_files
+    active = set(meta.active_partition_ids())
+    swept = 0
+    for p in Path(store.dir).glob("part-*.json"):
+        try:
+            pid = int(p.stem.split("-", 1)[1])
+        except ValueError:
+            continue
+        if pid in active:
+            continue
+        for rel in referenced_files(store.read(pid)):
+            try:
+                (Path(cfg.lake_dir) / rel).unlink()
+            except OSError:
+                pass
+        store.delete(pid)
+        swept += 1
+    return swept
+
+
 def split_partition(cfg: JobConfig, base_pid: int, fanout: int = 2) -> dict:
     with _lease(cfg, "split"):
         return _split_partition_locked(cfg, base_pid, fanout)
@@ -83,6 +113,8 @@ def _split_partition_locked(cfg: JobConfig, base_pid: int,
     splits = meta.splits()
     prev = splits.get(base_pid)
     if prev and prev[0] == fanout:
+        # finish any interrupted GC (crash between flip and cleanup)
+        _gc_inactive_manifests(cfg, ManifestStore(cfg.manifest_dir), meta)
         return {"base_pid": base_pid, "fanout": fanout, "gen": prev[1],
                 "children": [], "rows": 0, "already_split": True}
 
@@ -112,12 +144,14 @@ def _split_partition_locked(cfg: JobConfig, base_pid: int,
         f"split:{base_pid}:{fanout}:{new_gen}:{';'.join(src_sig)}".encode()
     ).hexdigest()[:16]
 
-    # children are stamped with the NEXT job-level pass sequence: a
-    # time-travel read targeting any pass committed before the split sees
-    # no eligible child record and fails loudly (the parent's pre-split
-    # state is GC'd below — splits intentionally truncate history)
+    # children re-layout EXACTLY the last committed pass's state, so they
+    # are stamped with that pass's sequence: as-of reads targeting it (or
+    # 'latest' on a quiescent lake) resolve to the children, while any
+    # EARLIER target finds no eligible record and fails loudly via the
+    # lineage_break marker (the parent's pre-split state is GC'd below —
+    # splits intentionally truncate history)
     from migration_pair_ray.state.manifest import CheckpointStore
-    pass_seq = CheckpointStore(cfg.checkpoint_dir).next_seq()
+    pass_seq = max(CheckpointStore(cfg.checkpoint_dir).last_seq(), 0)
 
     new_splits = dict(splits)
     new_splits[base_pid] = (fanout, new_gen)
@@ -171,17 +205,12 @@ def _split_partition_locked(cfg: JobConfig, base_pid: int,
     # THE commit point: routing + enumeration flip to the children here
     meta.record_split(base_pid, fanout, new_gen)
 
-    # GC the superseded source manifests/state (best-effort; readers no
-    # longer enumerate these ids).  Retained time-travel records die with
-    # the parent — referenced_files covers them, not just the current file.
-    from migration_pair_ray.state.manifest import referenced_files
-    for pid in src_pids:
-        for rel in referenced_files(store.read(pid)):
-            try:
-                (Path(cfg.lake_dir) / rel).unlink()
-            except OSError:
-                pass
-        store.delete(pid)
+    # GC every superseded manifest: the split sources (parent or previous
+    # child generation) just went inactive, and the sweep also collects
+    # leftovers of any prior relayout that crashed between its flip and
+    # its cleanup.  Retained time-travel records die with their manifest —
+    # referenced_files covers them, not just the current file.
+    _gc_inactive_manifests(cfg, store, meta)
 
     return {"base_pid": base_pid, "fanout": fanout, "gen": new_gen,
             "children": child_ids, "rows": rows_total, "pass_id": pass_id,
@@ -215,6 +244,9 @@ def _merge_partition_locked(cfg: JobConfig, base_pid: int) -> dict:
     p = int(cur["num_partitions"])
     splits = meta.splits()
     if base_pid not in splits:
+        # finish any interrupted GC: a crash between a relayout's meta
+        # flip and its cleanup leaves inactive manifests behind
+        _gc_inactive_manifests(cfg, ManifestStore(cfg.manifest_dir), meta)
         return {"base_pid": base_pid, "rows": 0, "already_merged": True}
     fanout, gen = splits[base_pid]
     child_ids = [LakeMeta.child_id(p, base_pid, c, gen) for c in range(fanout)]
@@ -234,8 +266,10 @@ def _merge_partition_locked(cfg: JobConfig, base_pid: int) -> dict:
     pass_id = hashlib.sha256(
         f"merge:{base_pid}:{gen}:{';'.join(src_sig)}".encode()).hexdigest()[:16]
 
+    # stamped with the last COMMITTED seq — the merged base holds exactly
+    # that pass's state (same rule as split children)
     from migration_pair_ray.state.manifest import CheckpointStore
-    pass_seq = CheckpointStore(cfg.checkpoint_dir).next_seq()
+    pass_seq = max(CheckpointStore(cfg.checkpoint_dir).last_seq(), 0)
 
     rows_total = 0
     if tables and not store.is_applied(base_pid, pass_id):
@@ -271,15 +305,9 @@ def _merge_partition_locked(cfg: JobConfig, base_pid: int) -> dict:
     # THE commit point: routing + enumeration flip back to the base here
     meta.record_unsplit(base_pid)
 
-    # GC the superseded children (best-effort; no longer enumerated)
-    from migration_pair_ray.state.manifest import referenced_files
-    for cid in child_ids:
-        for rel in referenced_files(store.read(cid)):
-            try:
-                (Path(cfg.lake_dir) / rel).unlink()
-            except OSError:
-                pass
-        store.delete(cid)
+    # GC every superseded manifest (the children, plus leftovers of any
+    # PRIOR relayout that crashed between its flip and its cleanup)
+    _gc_inactive_manifests(cfg, store, meta)
 
     return {"base_pid": base_pid, "children": child_ids, "rows": rows_total,
             "pass_id": pass_id, "already_merged": False}
@@ -319,14 +347,15 @@ def _vacuum_locked(cfg: JobConfig, retain_passes: int = 0) -> dict:
     state stays readable).  Safe while readers of the CURRENT state run
     (their files are always retained); concurrent as-of readers of a pass
     being vacuumed can lose their files — quiesce those first, as with
-    any lake vacuum.  Idempotent."""
-    import os
+    any lake vacuum.  Idempotent.  Also sweeps inactive manifests left by
+    a relayout that crashed between its meta flip and its cleanup."""
     from migration_pair_ray.state.manifest import referenced_files
 
     if retain_passes < 0:
         raise ValueError("retain_passes must be >= 0")
     meta = LakeMeta(cfg.lake_dir)
     store = ManifestStore(cfg.manifest_dir)
+    swept = _gc_inactive_manifests(cfg, store, meta) if meta.read() else 0
     parts = trimmed = files_deleted = bytes_freed = 0
     for pid in meta.active_partition_ids(cfg.num_partitions):
         m = store.read(pid)
@@ -359,7 +388,7 @@ def _vacuum_locked(cfg: JobConfig, retain_passes: int = 0) -> dict:
                     pass
     return {"partitions": parts, "manifests_trimmed": trimmed,
             "files_deleted": files_deleted, "bytes_freed": bytes_freed,
-            "retain_passes": retain_passes}
+            "inactive_swept": swept, "retain_passes": retain_passes}
 
 
 def maybe_split_oversized(cfg: JobConfig, max_rows: int,

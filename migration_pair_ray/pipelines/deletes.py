@@ -129,9 +129,11 @@ def delete_where(cfg: JobConfig,
                 "op": pa.array(np.full(written, "D"), pa.string()),
                 "lsn": pa.array(np.full(written, max_lsn + 1, np.int64)),
             })
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(tomb, tmp)
-            os.replace(tmp, str(path))
+            # fsync'd like every commit-path write: a power loss after the
+            # rename journals must never leave a truncated batch for the
+            # next replay to consume
+            from migration_pair_ray.stages.applier import _fsync_write_parquet
+            _fsync_write_parquet(tomb, str(path))
 
     summary = {"file": name if written else None, "tombstones": written,
                "lake_sig": sig, "applied": False}

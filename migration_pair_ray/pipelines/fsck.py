@@ -206,6 +206,20 @@ def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
                 .take_all())                   # bounded by damage found
 
     store = ManifestStore(os.path.join(cfg.lake_dir, "_manifest"))
+    # a manifest for a partition id the meta no longer enumerates is the
+    # leftover of a relayout crash between flip and GC (split/merge/vacuum
+    # sweep these; fsck names them so the leak is visible)
+    active = set(pids)
+    for p in sorted(Path(store.dir).glob("part-*.json")):
+        try:
+            mpid = int(p.stem.split("-", 1)[1])
+        except ValueError:
+            continue
+        if mpid not in active:
+            problems.append({"partition": mpid, "kind": "inactive_manifest",
+                             "detail": f"{p.name} exists but partition "
+                                       f"{mpid} is not enumerated by "
+                                       f"_lake_meta (relayout GC leftover)"})
     files = rows = 0
     for pid in pids:
         m = store.read(pid)

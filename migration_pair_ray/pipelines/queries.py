@@ -778,6 +778,39 @@ def events_session_windows(sf_dir: str):
 
 
 @_push_heavy
+def join_customer_orders_full(sf_dir: str):
+    """FULL OUTER partitioned hash join — both sides partially unmatched:
+    negative-balance customers (some never ordered big) against per-
+    customer counts of high-value orders (some belong to non-negative-
+    balance customers).  Unmatched rows surface from exactly one bucket;
+    Acero coalesces the key.  Completes the §2.4 join matrix
+    (inner/left/semi/anti/asof/range/broadcast/salted/full)."""
+    from migration_pair_ray.stages.join import hash_join
+    from ray.data.aggregate import Count
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda t: (lambda m: pa.table({
+            "custkey": t.column("c_custkey").filter(m),
+            "acctbal": pc.round(t.column("c_acctbal").filter(m), 2)}))(
+            pc.less(t.column("c_acctbal"), 0.0)),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    big = (orders.map_batches(
+        lambda t: pa.table({"custkey": t.column("o_custkey").filter(
+            pc.greater(t.column("o_totalprice"), 150_000.0))}),
+        batch_format="pyarrow")
+        .groupby("custkey").aggregate(Count(alias_name="n_big")))
+    joined = hash_join(cust, big, on="custkey", how="outer")
+    return (joined.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_big"), "n_big",
+            pc.fill_null(pc.cast(t.column("n_big"), pa.int64()), 0)),
+        batch_format="pyarrow")
+        .sort("custkey"))
+
+
 def join_orders_customer_left(sf_dir: str):
     """LEFT OUTER partitioned hash join (stages/join.py): every customer
     row survives, order revenue null-filled to 0 — covers the non-inner

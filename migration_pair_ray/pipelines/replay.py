@@ -159,7 +159,7 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     events_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     _write_lineage(cfg, pass_id, lineage)
     CheckpointStore(cfg.checkpoint_dir).commit_pass(
-        pass_id, files,
+        pass_id, files, seq=pass_seq,
         stats={"events_in": events_in, "partitions": lineage.num_rows,
                # schema audit trail: what this pass's unified change
                # schema looked like (pipelines/compliance.schema_history

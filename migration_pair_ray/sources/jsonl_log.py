@@ -126,9 +126,10 @@ def ingest_jsonl_log(cfg: JobConfig, input_dir: str, apply: bool = True) -> dict
             src = g.column("path")[0].as_py()
             g = g.drop_columns(["path"]).sort_by([("lsn", "ascending")])
             path = str(Path(out_dir) / out_name(src))
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(g, tmp)
-            os.replace(tmp, path)
+            # fsync'd rename: a converted batch either exists whole or not
+            # at all (the change log is the engine's source of truth)
+            from migration_pair_ray.stages.applier import _fsync_write_parquet
+            _fsync_write_parquet(g, path)
             return pa.table({"file": pa.array([Path(path).name]),
                              "rows": pa.array([g.num_rows], pa.int64())})
 

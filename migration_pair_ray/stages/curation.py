@@ -505,10 +505,14 @@ def _bigram_code_segments(texts: list) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, np.int64), np.zeros(len(bs), np.int64)
     codes = buf[:-1].astype(np.int64) * 256 + buf[1:]
     ends = np.cumsum(lens)                       # doc end offsets in buf
-    # position i pairs buf[i] with buf[i+1]; invalid when i+1 crosses a
-    # doc boundary (i+1 == some end) or the doc is empty
+    # position i pairs buf[i] with buf[i+1]; invalid when byte i is the
+    # LAST byte of a doc (the pair would cross a boundary).  Only docs
+    # with bytes have a last byte — an empty doc's end offset equals an
+    # earlier doc's and masking it would wrongly drop that doc's final
+    # bigram (or index -1 when the batch STARTS with an empty doc).
     valid = np.ones(len(codes), bool)
-    valid[ends[:-1] - 1] = False                 # last byte of each doc
+    last_bytes = ends[:-1][lens[:-1] > 0] - 1
+    valid[last_bytes[last_bytes < len(codes)]] = False
     n_bi = np.maximum(lens - 1, 0)
     return codes[valid], n_bi
 

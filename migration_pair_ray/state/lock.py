@@ -41,6 +41,7 @@ class WriterLocked(RuntimeError):
 class WriterLease:
     FILE = "_writer.lock"
     _depth: dict[str, int] = {}          # process-local reentrancy
+    _heartbeats: dict[str, "threading.Event"] = {}   # renewal stop flags
 
     def __init__(self, lake_dir: str, owner: str = "writer",
                  ttl_s: float = 1800.0):
@@ -105,8 +106,30 @@ class WriterLease:
                 f.flush()
                 os.fsync(f.fileno())
             self._depth[self.path] = 1
+            self._start_heartbeat()
             return self
         raise WriterLocked(f"could not acquire {self.path}")  # pragma: no cover
+
+    def _start_heartbeat(self) -> None:
+        """Renew the lease from a daemon thread every ttl/3 so a pass
+        longer than the ttl never goes stale under a live holder — a
+        second writer's stale-takeover must only ever fire on a CRASHED
+        holder (the thread dies with the process, stopping renewals)."""
+        import threading
+        stop = threading.Event()
+        self._heartbeats[self.path] = stop
+        interval = max(self.ttl_s / 3.0, 1.0)
+
+        def beat():
+            while not stop.wait(interval):
+                try:
+                    self.renew()
+                except OSError:
+                    pass
+
+        threading.Thread(target=beat, daemon=True,
+                         name=f"writer-lease-{Path(self.path).parent.name}"
+                         ).start()
 
     def renew(self) -> None:
         if self._held_by_me():
@@ -118,6 +141,9 @@ class WriterLease:
             self._depth[self.path] = d - 1
             return
         self._depth.pop(self.path, None)
+        hb = self._heartbeats.pop(self.path, None)
+        if hb is not None:
+            hb.set()
         if self._held_by_me():
             try:
                 os.unlink(self.path)

@@ -151,6 +151,11 @@ class CheckpointStore:
                 seqs[rec["pass_id"]] = int(rec["seq"])
         return seqs
 
+    def last_seq(self) -> int:
+        """Sequence of the newest committed pass, -1 when none."""
+        seqs = self.pass_seqs()
+        return max(seqs.values()) if seqs else -1
+
     def next_seq(self) -> int:
         """Sequence number the NEXT committed pass will carry (= number of
         passes committed so far).  Deterministic across a crash-and-retry
@@ -160,20 +165,29 @@ class CheckpointStore:
         n = len(list(self.dir.glob("pass-*.json")))
         return max([n] + [s + 1 for s in existing.values()])
 
-    def commit_pass(self, pass_id: str, change_files: list[str], stats: dict | None = None) -> None:
+    def commit_pass(self, pass_id: str, change_files: list[str],
+                    stats: dict | None = None, name_prefix: str = "",
+                    seq: int | None = None) -> None:
+        """``name_prefix`` namespaces the recorded basenames — bulk-load
+        passes use "bulk:" so an input file that happens to share a
+        basename with a future changelog batch can never make discover()
+        skip that batch as already-consumed.  ``seq`` lets a caller that
+        already computed next_seq() (under the writer lease, so it cannot
+        have moved) skip a second full checkpoint-directory scan."""
         path = str(self.dir / f"pass-{pass_id}.json")
         if os.path.exists(path):
             with open(path) as f:
-                seq = json.load(f).get("seq", self.next_seq())
-        else:
+                seq = json.load(f).get("seq", seq if seq is not None
+                                       else self.next_seq())
+        elif seq is None:
             seq = self.next_seq()
         rec = {
             "pass_id": pass_id,
             "seq": seq,
-            "files": sorted(Path(p).name for p in change_files),
+            "files": sorted(name_prefix + Path(p).name for p in change_files),
             # per-file sizes: resume validates that a committed basename
             # never reappears with different content (append-only contract)
-            "file_sizes": {Path(p).name: os.path.getsize(p)
+            "file_sizes": {name_prefix + Path(p).name: os.path.getsize(p)
                            for p in change_files if os.path.exists(p)},
             "stats": stats or {},
         }

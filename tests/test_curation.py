@@ -261,7 +261,10 @@ def test_bigram_typicality_exact(tmp_path):
     import ray.data as rd
     from migration_pair_ray.stages.curation import bigram_typicality
 
-    texts = ["abab", "abc", "x", "", None, "the cat", "the bat", "zz"]
+    # leading empty/None texts are the hard case: a doc-end offset of 0
+    # must not mask an earlier bigram or index -1
+    texts = ["", None, "abab", "abc", "x", "", None, "the cat",
+             "the bat", "zz", ""]
     ids = list(range(len(texts)))
     ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
                                  "text": pa.array(texts, pa.string())}))

@@ -174,10 +174,12 @@ def test_merge_crash_before_meta_flip_resumes(tmp_lake, monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_time_travel_across_merge_refused(tmp_path):
+def test_time_travel_around_merge(tmp_path):
+    """A merged-back base is stamped with the last committed pass: as-of
+    that pass (and 'latest') resolve to it, while a genuinely pre-merge
+    pass whose covering child records were GC'd raises."""
     import os
     from pathlib import Path
-    from migration_pair_ray.pipelines.replay import read_lake
     from migration_pair_ray.state.manifest import TimeTravelError
 
     stage = tmp_path / "stage"
@@ -193,9 +195,55 @@ def test_time_travel_across_merge_refused(tmp_path):
     s1 = replay(cfg)
     hot = _heaviest(cfg)
     split_partition(cfg, hot, fanout=2)
-    merge_partition(cfg, hot)
     for f in files[2:]:
         os.link(f, Path(log) / Path(f).name)
-    replay(cfg)
+    s2 = replay(cfg)
+    merge_partition(cfg, hot)
+
+    oracle_full = _oracle(str(log))
+    pd.testing.assert_frame_equal(_fs(cfg), oracle_full)
+    # as-of the pass the merge re-laid-out, and 'latest': resolve
+    pd.testing.assert_frame_equal(
+        final_state(cfg, as_of=s2["pass_id"]).to_pandas()
+        .reset_index(drop=True), oracle_full)
+    pd.testing.assert_frame_equal(
+        final_state(cfg, as_of="latest").to_pandas()
+        .reset_index(drop=True), oracle_full)
+    # pre-merge pass: the covering child records died with the merge
     with pytest.raises(TimeTravelError, match="split or merge"):
         final_state(cfg, as_of=s1["pass_id"]).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crash_after_flip_gc_completed_later(tmp_lake, monkeypatch):
+    """Crash AFTER the meta flip but before GC: child manifests/files
+    leak; fsck names the leak (inactive_manifest) and the next
+    maintenance call sweeps it."""
+    import migration_pair_ray.pipelines.compact as compact_mod
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1200, n_convs=8, n_files=1,
+                        tool_epoch=0, hot_frac=0.5, seed=89)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    hash_state=False)
+    replay(cfg)
+    before = _fs(cfg)
+    hot = _heaviest(cfg)
+    s = split_partition(cfg, hot, fanout=2)
+
+    real_gc = compact_mod._gc_inactive_manifests
+    monkeypatch.setattr(compact_mod, "_gc_inactive_manifests",
+                        lambda *a, **k: 0)      # simulated crash before GC
+    merge_partition(cfg, hot)
+    store = ManifestStore(cfg.manifest_dir)
+    assert any(store.read(c) for c in s["children"])   # the leak
+    rep = validate_lake(cfg)
+    assert any(p["kind"] == "inactive_manifest" for p in rep["problems"])
+    pd.testing.assert_frame_equal(_fs(cfg), before)    # reads unaffected
+
+    monkeypatch.setattr(compact_mod, "_gc_inactive_manifests", real_gc)
+    m = merge_partition(cfg, hot)                      # resumes: sweeps
+    assert m["already_merged"]
+    assert all(store.read(c) is None for c in s["children"])
+    assert validate_lake(cfg, deep=True)["ok"]
+    pd.testing.assert_frame_equal(_fs(cfg), before)

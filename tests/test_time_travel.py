@@ -210,14 +210,18 @@ def test_snapshot_isolation_latest(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_time_travel_across_split_refused(tmp_path):
-    """A split GCs the parent's state: as-of a pre-split pass must raise,
-    not silently drop the split partition's keys."""
+def test_time_travel_around_splits(tmp_path):
+    """Split children are stamped with the last COMMITTED pass: as-of
+    that pass (and 'latest' on a quiescent post-split lake) resolves to
+    the children — they hold exactly that state in a new layout — while
+    a genuinely PRE-split pass raises (the parent's state was GC'd)."""
     log, (g1, g2) = _staged_passes(tmp_path, seed=43, hot_frac=0.5)
     cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
                     num_partitions=4, retain_passes=4, hash_state=False)
     _arrive(log, g1)
     s1 = replay(cfg)
+    _arrive(log, g2)
+    s2 = replay(cfg)
 
     from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     store = ManifestStore(cfg.manifest_dir)
@@ -227,9 +231,84 @@ def test_time_travel_across_split_refused(tmp_path):
     hot = max(sizes, key=sizes.get)
     split_partition(cfg, hot, fanout=2)
 
-    _arrive(log, g2)
-    replay(cfg)
-    # current state is unaffected by the split
+    # current state unaffected; as-of the pass the split re-laid-out (and
+    # 'latest') resolve to the children — no spurious refusal
     pd.testing.assert_frame_equal(_fs(cfg), _oracle(g1 + g2))
+    pd.testing.assert_frame_equal(_fs(cfg, as_of=s2["pass_id"]),
+                                  _oracle(g1 + g2))
+    pd.testing.assert_frame_equal(_fs(cfg, as_of="latest"),
+                                  _oracle(g1 + g2))
+    # but a pass BEFORE the split is gone with the parent
     with pytest.raises(TimeTravelError, match="split"):
         _fs(cfg, as_of=s1["pass_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bulk_load_pass_is_time_travel_resolvable(tmp_path):
+    """A bulk load is a first-class stamped+checkpointed pass: as-of reads
+    of it (and of later replay passes over the same lake) resolve instead
+    of raising 'no resolvable sequence'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from migration_pair_ray.pipelines.bulk_load import bulk_load
+
+    snap = pa.table({
+        "conv_id": pa.array(["a", "a", "b"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": pa.array(["user", "assistant", "user"]),
+        "text": pa.array(["q", "a", "q2"]),
+        "tool": pa.array([None, None, None], pa.string()),
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       pa.timestamp("us")),
+    })
+    src = tmp_path / "snap.parquet"
+    pq.write_table(snap, str(src))
+    log = tmp_path / "log"
+    log.mkdir()
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=2, retain_passes=1, hash_state=False)
+    s0 = bulk_load(cfg, str(src), fmt="parquet")
+
+    # a later replay pass updates one key
+    upd = pa.table({
+        "conv_id": pa.array(["a"], pa.string()),
+        "turn_idx": pa.array([1], pa.int32()),
+        "role": pa.array(["assistant"]),
+        "text": pa.array(["a-v2"]),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([9_000_000], pa.timestamp("us")),
+        "op": pa.array(["U"]),
+        "lsn": pa.array([100], pa.int64()),
+    })
+    pq.write_table(upd, str(log / "batch-00000.parquet"))
+    replay(cfg)
+
+    past = _fs(cfg, as_of=s0["pass_id"])
+    assert sorted(past["text"]) == ["a", "q", "q2"]
+    cur = _fs(cfg, as_of="latest")
+    assert sorted(cur["text"]) == ["a-v2", "q", "q2"]
+    pd.testing.assert_frame_equal(cur, _fs(cfg))
+
+
+@pytest.mark.parametrize("seed", [11, 13])
+@pytest.mark.usefixtures("ray_session")
+def test_every_retained_prefix_reconstructs(tmp_path, seed):
+    """Property: with retain_passes >= number of passes, EVERY pass prefix
+    is reconstructible and equals the oracle over exactly that prefix —
+    including middle passes that partitions may have skipped."""
+    stage = tmp_path / "stage"
+    files = generate_change_log(str(stage), n_events=1800, n_convs=12,
+                                n_files=6, tool_epoch=1, seed=seed)
+    log = tmp_path / "log"
+    log.mkdir()
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, retain_passes=3, hash_state=False)
+    groups = [files[0:2], files[2:4], files[4:6]]
+    pass_ids = []
+    for g in groups:
+        _arrive(str(log), g)
+        pass_ids.append(replay(cfg)["pass_id"])
+    for k, pid in enumerate(pass_ids, start=1):
+        prefix = [f for g in groups[:k] for f in g]
+        pd.testing.assert_frame_equal(_fs(cfg, as_of=pid), _oracle(prefix))
+    assert validate_lake(cfg, deep=True)["ok"]

@@ -88,3 +88,21 @@ def test_auto_split_reuses_replay_lease(tmp_lake):
     s = replay(cfg)
     assert s["splits"] >= 1
     assert not (Path(lake) / WriterLease.FILE).exists()
+
+
+def test_heartbeat_keeps_small_ttl_lease_alive(tmp_path):
+    """A live holder with a tiny ttl is renewed by the heartbeat thread —
+    the lock never goes stale while the holder runs; once renewals stop
+    (the crash case), it expires after the ttl.  (An in-process 'other
+    writer' can't probe this via acquire(): same-pid callers are
+    reentrant by design, so staleness is asserted directly.)"""
+    lake = str(tmp_path / "lake")
+    lease = WriterLease(lake, "long-pass", ttl_s=1.5).acquire()
+    try:
+        time.sleep(2.5)                    # > ttl; heartbeat every ~1s
+        assert not lease._is_stale()       # renewed: a pass can outlive ttl
+        WriterLease._heartbeats[lease.path].set()   # simulate a crash
+        time.sleep(2.0)
+        assert lease._is_stale()           # no renewals -> expires
+    finally:
+        lease.release()
