@@ -32,7 +32,6 @@ problem rows (bounded by the damage, not the lake size).
 
 from __future__ import annotations
 
-import hashlib
 import os
 from pathlib import Path
 
@@ -45,12 +44,7 @@ from migration_pair_ray.config import JobConfig
 from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
 
 
-def _sha256(path: str) -> str:
-    h = hashlib.sha256()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()
+from migration_pair_ray.state.manifest import sha256_file as _sha256
 
 
 def _entries(manifest: dict) -> list[dict]:
@@ -132,6 +126,10 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
         bad("manifest_rows_mismatch",
             f"sum of file rows {rows_sum} != partition row_count "
             f"{manifest.get('row_count')}")
+    # totals ride back with the problems (one _stats row per partition) so
+    # the driver never re-reads every manifest just to sum files/rows
+    problems.append({"partition": pid, "kind": "_stats",
+                     "detail": f"{len(entries)}:{rows_sum}"})
     return problems
 
 
@@ -154,11 +152,23 @@ def _deep_check(lake_dir: str, pid: int, entry: dict, path: str, bad,
         bad("tombstone_mismatch",
             f"{entry['file']}: counted {tombs} != manifest "
             f"{entry.get('tombstones')}")
-    conv = np.asarray(t.column("conv_id").to_pandas())
-    turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
-    order = np.lexsort((turn, conv))
+    # null-safe key extraction: the engine legitimately commits null-key
+    # rows (quarantine gate off by default; the applier has an explicit
+    # null-merge-key fallback).  None breaks np.lexsort on object arrays
+    # and NaN's self-inequality hides duplicate null-turn keys — fill
+    # with sentinels and carry the validity bits in the comparison so a
+    # filled null can never collide with a real ""/-1 key.
+    cnull = pc.is_null(t.column("conv_id")).to_numpy(zero_copy_only=False)
+    tnull = pc.is_null(t.column("turn_idx")).to_numpy(zero_copy_only=False)
+    conv = np.asarray(
+        pc.fill_null(t.column("conv_id"), "").to_pandas(), dtype=object)
+    turn = (pc.fill_null(pc.cast(t.column("turn_idx"), pa.int64()), -1)
+            .to_numpy(zero_copy_only=False))
+    order = np.lexsort((turn, tnull, conv, cnull))
     sc, stn = conv[order], turn[order]
-    if np.any((sc[1:] == sc[:-1]) & (stn[1:] == stn[:-1])):
+    scn, stn_n = cnull[order], tnull[order]
+    if np.any((sc[1:] == sc[:-1]) & (stn[1:] == stn[:-1])
+              & (scn[1:] == scn[:-1]) & (stn_n[1:] == stn_n[:-1])):
         bad("duplicate_keys", entry["file"])
     routed = partition_ids(t, num_partitions, mode, splits)
     if not np.all(routed == pid):
@@ -220,12 +230,16 @@ def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
                              "detail": f"{p.name} exists but partition "
                                        f"{mpid} is not enumerated by "
                                        f"_lake_meta (relayout GC leftover)"})
+    # totals come from the distributed sweep's _stats rows — the driver
+    # does not re-open every manifest it just audited in parallel
     files = rows = 0
-    for pid in pids:
-        m = store.read(pid)
-        if m:
-            es = _entries(m)
-            files += len(es)
-            rows += sum(e["rows"] for e in es)
-    return {"ok": not problems, "partitions": len(pids), "files": files,
-            "rows": rows, "deep": deep, "problems": problems}
+    real_problems = []
+    for r in problems:
+        if r["kind"] == "_stats":
+            nf, nr = r["detail"].split(":")
+            files += int(nf)
+            rows += int(nr)
+        else:
+            real_problems.append(r)
+    return {"ok": not real_problems, "partitions": len(pids), "files": files,
+            "rows": rows, "deep": deep, "problems": real_problems}

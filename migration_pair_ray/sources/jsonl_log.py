@@ -55,6 +55,15 @@ def envelopes_to_changes(batch: pa.Table) -> pa.Table:
     names them if enabled; the merge rejects them loudly otherwise."""
     n = batch.num_rows
     names = batch.schema.names
+    if n == 0 or "op" not in names:
+        # a whitespace-only file parses to zero rows (possibly with no
+        # columns at all) — contribute nothing; the ingest post-pass
+        # closes such files out with an explicit empty batch
+        from migration_pair_ray.schemas import CHANGE_SCHEMA
+        cols = {f.name: pa.nulls(0, f.type) for f in CHANGE_SCHEMA}
+        cols["path"] = pa.nulls(0, pa.string())
+        cols["__fields"] = pa.nulls(0, pa.string())
+        return pa.table(cols)
     before = batch.column("before") if "before" in names else None
     after = batch.column("after") if "after" in names else None
     op_raw = pc.cast(batch.column("op"), pa.string())
@@ -90,6 +99,13 @@ def envelopes_to_changes(batch: pa.Table) -> pa.Table:
     cols["lsn"] = pc.cast(batch.column("lsn"), pa.int64())
     if "path" in names:
         cols["path"] = batch.column("path")
+        # the grouped write's shuffle unifies schemas across files (an
+        # absent field comes back as typed nulls) — record which payload
+        # fields THIS file's structs actually carried so the writer can
+        # restore the per-file schema (absent != present-but-null)
+        emitted = sorted(c for c in cols
+                         if c in present or c in ("conv_id", "turn_idx"))
+        cols["__fields"] = pa.array([",".join(emitted)] * n, pa.string())
     return pa.table(cols)
 
 
@@ -115,7 +131,24 @@ def ingest_jsonl_log(cfg: JobConfig, input_dir: str, apply: bool = True) -> dict
                if not (Path(cfg.changelog_dir) / out_name(f)).exists()
                and out_name(f) not in committed]
 
-    converted = 0
+    # 0-byte inputs (log-rotation artifacts) crash Arrow's JSON reader
+    # ('Empty JSON file') and a 0-row parse can never emit a grouped
+    # output — both get an explicit empty canonical batch so they are
+    # consumed once and never re-read as eternally 'pending'
+    from migration_pair_ray.schemas import CHANGE_SCHEMA
+    from migration_pair_ray.stages.applier import _fsync_write_parquet
+
+    def write_empty(src: str) -> None:
+        _fsync_write_parquet(CHANGE_SCHEMA.empty_table(),
+                             str(Path(cfg.changelog_dir) / out_name(src)))
+
+    n_already = len(files) - len(pending)
+    empties = [f for f in pending if os.path.getsize(f) == 0]
+    for f in empties:
+        write_empty(f)
+    pending = [f for f in pending if os.path.getsize(f) > 0]
+
+    converted = len(empties)
     if pending:
         out_dir = cfg.changelog_dir
 
@@ -124,7 +157,13 @@ def ingest_jsonl_log(cfg: JobConfig, input_dir: str, apply: bool = True) -> dict
                 return pa.table({"file": pa.array([], pa.string()),
                                  "rows": pa.array([], pa.int64())})
             src = g.column("path")[0].as_py()
-            g = g.drop_columns(["path"]).sort_by([("lsn", "ascending")])
+            # restore the per-file schema the shuffle unified away: drop
+            # payload columns this file's structs never carried
+            fields = set((g.column("__fields")[0].as_py() or "").split(","))
+            prune = [c for c in ("role", "text", "tool")
+                     if c in g.schema.names and c not in fields]
+            g = g.drop_columns(["path", "__fields"] + prune)
+            g = g.sort_by([("lsn", "ascending")])
             path = str(Path(out_dir) / out_name(src))
             # fsync'd rename: a converted batch either exists whole or not
             # at all (the change log is the engine's source of truth)
@@ -133,15 +172,28 @@ def ingest_jsonl_log(cfg: JobConfig, input_dir: str, apply: bool = True) -> dict
             return pa.table({"file": pa.array([Path(path).name]),
                              "rows": pa.array([g.num_rows], pa.int64())})
 
-        written = (ray.data.read_json(pending, include_paths=True)
+        # one read dataset PER file, unioned: a multi-file read_json can
+        # pack small files into one block, whose unified struct schema
+        # destroys the per-file field information this module's schema-
+        # evolution contract depends on (absent field != present-but-null)
+        parts = [ray.data.read_json([f], include_paths=True)
+                 for f in pending]
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        written = (ds
                    .map_batches(envelopes_to_changes, batch_format="pyarrow")
                    .groupby("path").map_groups(write_file,
                                                batch_format="pyarrow")
                    .take_all())              # tiny: one record per file
-        converted = len(written)
+        converted += len(written)
+        # whitespace-only inputs parse to zero rows and emit no group —
+        # close them out with an empty batch too
+        for f in pending:
+            if not (Path(cfg.changelog_dir) / out_name(f)).exists():
+                write_empty(f)
+                converted += 1
 
     summary = {"inputs": len(files), "converted": converted,
-               "skipped": len(files) - len(pending)}
+               "skipped": n_already}
     if apply:
         from migration_pair_ray.pipelines.replay import replay
         summary["pass"] = replay(cfg)

@@ -16,7 +16,6 @@ stays idempotent (see state/manifest.py).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import time
 from pathlib import Path
@@ -108,11 +107,8 @@ class Applier:
     def _hash_file(self, path: str) -> str:
         if not self.hash_state:
             return ""
-        h = hashlib.sha256()
-        with open(path, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                h.update(chunk)
-        return h.hexdigest()
+        from migration_pair_ray.state.manifest import sha256_file
+        return sha256_file(path)
 
     def _gc(self, pid: int, referenced: set[str]) -> None:
         """Delete state files the committed manifest no longer references

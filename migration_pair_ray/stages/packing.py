@@ -61,17 +61,20 @@ def add_token_offsets(ds: "ray.data.Dataset", count_col: str = "n_tokens",
                 f"add_token_offsets: blocks overlap in {order_col!r} "
                 f"({a['hi']!r} >= {b['lo']!r}); input must be sorted and "
                 f"block-disjoint on the order column")
-    los = [r["lo"] for r in partials]
-    prefix = np.concatenate([[0], np.cumsum([r["total"] for r in partials])[:-1]]
-                            ).astype(np.int64) if partials else np.empty(0, np.int64)
-    ref = ray.put((los, prefix))
+    # dict lookup, not list.index: a linear scan per block is O(B^2) in
+    # block count and at ~10^6 blocks the scans dominate the whole pass
+    lo_prefix = {r["lo"]: int(p) for r, p in zip(
+        partials,
+        np.concatenate([[0], np.cumsum([r["total"] for r in partials])[:-1]])
+        .astype(np.int64) if partials else [])}
+    ref = ray.put(lo_prefix)
 
     def add(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column(offset_col, pa.array([], pa.int64()))
-        los_, prefix_ = ray.get(ref)
+        lo_prefix_ = ray.get(ref)
         lo = t.column(order_col)[0].as_py()
-        i = los_.index(lo)       # exact: pass-2 blocks == pass-1 blocks
+        base = lo_prefix_[lo]    # exact: pass-2 blocks == pass-1 blocks
         counts = pc.cast(t.column(count_col), pa.int64()).to_numpy(
             zero_copy_only=False)
         order = t.column(order_col).to_numpy(zero_copy_only=False)
@@ -80,7 +83,7 @@ def add_token_offsets(ds: "ray.data.Dataset", count_col: str = "n_tokens",
                 f"add_token_offsets: block not sorted by {order_col!r}")
         within = np.concatenate([[0], np.cumsum(counts)[:-1]])
         return t.append_column(
-            offset_col, pa.array(prefix_[i] + within, type=pa.int64()))
+            offset_col, pa.array(base + within, type=pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")
 

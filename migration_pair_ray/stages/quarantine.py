@@ -85,7 +85,16 @@ def make_quarantine_gate(pass_dir: str):
 
 
 def quarantined_total(pass_dir: str) -> int:
-    """Row count across a pass's quarantine files — footers only."""
+    """Row count across a pass's quarantine files — footers only.
+
+    Distinct-content count: content-addressing collapses byte-identical
+    bad blocks (e.g. an at-least-once log repeating a batch across two
+    change files) into one file, so this can undercount the raw rows
+    DIVERTED from the merge stream.  That is the useful semantic — the
+    duplicate copies are the same events, exactly as replay dedups exact
+    repeats on the good path — but it means
+    ``events_in != rows_merged + quarantined`` under replayed duplicates
+    on either path."""
     return sum(pq.ParquetFile(str(p)).metadata.num_rows
                for p in sorted(Path(pass_dir).glob("q-*.parquet")))
 
@@ -100,15 +109,14 @@ def requeue(quarantine_dir: str, changelog_dir: str,
     rows back into the change log as a normal ``batch-<epoch>-…`` file
     for the next replay pass to consume.
 
-    Idempotence leans on the lake's existing contracts: the output name
-    is derived from the rows' lsn range under a fixed ``epoch``, so
-    re-running the same requeue rewrites the identical file — if the
-    first one was already committed, discover()'s append-only size check
-    sees identical bytes and skips it; and even a duplicated requeue is
-    state-harmless because replay dedups exact (conv, turn, lsn) repeats
-    and LWW is insensitive to replays.  Requeues whose quarantine content
-    EVOLVED between runs must pass a fresh ``epoch`` (the append-only
-    gate aborts a same-name different-size write rather than corrupting).
+    Idempotence is enforced HERE, not just leaned on downstream: an
+    identical re-run finds its byte-identical output already present and
+    no-ops; a re-run whose quarantine content EVOLVED under the same
+    ``epoch`` refuses with FileExistsError (the change log is append-only
+    — an existing batch, possibly committed, is never overwritten) and
+    the operator passes a fresh ``epoch``.  A duplicated requeue is also
+    state-harmless: replay dedups exact (conv, turn, lsn) repeats and LWW
+    is insensitive to replays.
 
     The quarantine set is bounded by definition (it is the anomaly set),
     so this runs on the driver; ``reasons`` restricts which classes are
@@ -134,9 +142,25 @@ def requeue(quarantine_dir: str, changelog_dir: str,
     hi = int(good.column("lsn")[-1].as_py() or 0)
     path = Path(changelog_dir) / \
         f"batch-{epoch:05d}-{lo:012d}-{hi:012d}.parquet"
-    tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(good, tmp)
-    os.replace(tmp, path)
+    if path.exists():
+        # the change log is APPEND-ONLY: never overwrite an existing
+        # batch (it may be committed; and even identical-name content
+        # evolution must be an explicit new epoch, not a clobber)
+        import io
+        sink = io.BytesIO()
+        pq.write_table(good, sink)
+        if sink.getbuffer().nbytes == path.stat().st_size:
+            # identical re-run: the file is already there — no-op
+            return {"requeued": good.num_rows,
+                    "still_bad": still_bad.num_rows, "existing": True}
+        raise FileExistsError(
+            f"requeue output {path.name} already exists with different "
+            f"content ({path.stat().st_size} B on disk) — the quarantine "
+            f"set evolved since that file was written; pass a fresh "
+            f"epoch= instead of overwriting an append-only change file")
+    # fsync'd rename: the change log is the engine's source of truth
+    from migration_pair_ray.stages.applier import _fsync_write_parquet
+    _fsync_write_parquet(good, str(path))
     return {"requeued": good.num_rows, "still_bad": still_bad.num_rows}
 
 

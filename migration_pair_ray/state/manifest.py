@@ -47,6 +47,17 @@ def _atomic_write(path: str, data: bytes) -> None:
     _fsync_dir(path)
 
 
+def sha256_file(path: str) -> str:
+    """Streaming sha256 of a file (1 MiB chunks) — THE content-hash used
+    by the applier's manifests and fsck's deep audit; one implementation
+    so the two can never drift."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def compute_pass_id(change_files: list[str]) -> str:
     """Deterministic id for a set of change files (basename + size)."""
     h = hashlib.sha256()

@@ -441,12 +441,28 @@ def test_requeue_quarantined(tmp_path):
     st = final_state(cfg).to_pandas()
     fixed = st[st["turn_idx"].isin([201, 202, 203])]
     assert sorted(fixed["text"]) == ["fixed-a", "fixed-b"]
-    # repeat: identical requeue file -> append-only skip, state unchanged
-    assert requeue(qdir, log, fix=fix) == {"requeued": 2, "still_bad": 1}
+    # repeat: identical requeue output already on disk -> explicit no-op
+    r3 = requeue(qdir, log, fix=fix)
+    assert (r3["requeued"], r3["still_bad"], r3.get("existing")) == (2, 1, True)
     assert replay(cfg)["up_to_date"]
     pd.testing.assert_frame_equal(
         final_state(cfg).to_pandas().reset_index(drop=True),
         st.reset_index(drop=True), check_dtype=False)
+    # evolved quarantine content under the SAME epoch must refuse, never
+    # overwrite an append-only (possibly committed) change file
+    bad2 = bad.set_column(bad.schema.get_field_index("text"), "text",
+                          pa.array(["fixed-a2", "fixed-b2", "lost"],
+                                   pa.string()))
+    from pathlib import Path
+    pdir = sorted(Path(qdir).glob("pass-*"))[0]
+    pq.write_table(bad2.append_column(
+        "reason", pa.array(["bad_op"] * 3, pa.string())),
+        str(pdir / "q-evolved.parquet"))
+    with pytest.raises(FileExistsError, match="fresh epoch"):
+        requeue(qdir, log, fix=fix)
+    # a fresh epoch proceeds cleanly
+    r4 = requeue(qdir, log, fix=fix, epoch=90001)
+    assert r4["requeued"] > 2 and "existing" not in r4
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -136,3 +136,37 @@ def test_jsonl_crash_mid_conversion_resumes(tmp_path):
     got = _norm(final_state(cfg).to_pandas())
     want = _norm(duckdb.sql(ORACLE.format(d=src)).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_many_tiny_files_preserve_per_file_schema(tmp_path):
+    """Per-file schema evolution survives many tiny inputs: Arrow's JSON
+    reader parses each file into its own block (verified behavior this
+    code depends on — if Ray ever coalesces small files into one block,
+    this test fails loudly), so a pre-'tool' file's output Parquet must
+    NOT grow a tool column, while a with-'tool' file's must."""
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "envelopes")
+    os.makedirs(src)
+    for i in range(6):
+        p = {"conv_id": f"c{i}", "turn_idx": 0, "role": "u", "text": "t"}
+        if i % 2:
+            p["tool"] = "T"
+        Path(src, f"{i:02d}-f.jsonl").write_text(
+            _env("c", p, 1_000 + i, i) + "\n")
+    # plus the rotation artifacts: a 0-byte and a whitespace-only file
+    Path(src, "98-empty.jsonl").write_text("")
+    Path(src, "99-blank.jsonl").write_text("\n")
+    cfg = JobConfig(changelog_dir=str(tmp_path / "log"),
+                    lake_dir=str(tmp_path / "lake"),
+                    num_partitions=2, hash_state=False)
+    s = ingest_jsonl_log(cfg, src)
+    assert s["converted"] == 8 and s["pass"]["events_in"] == 6
+    for i in range(6):
+        sch = pq.read_schema(f"{cfg.changelog_dir}/batch-jsonl-{i:02d}-f.parquet")
+        assert ("tool" in sch.names) == bool(i % 2), (i, sch.names)
+    # empties consumed once, never pending again
+    s2 = ingest_jsonl_log(cfg, src)
+    assert s2["converted"] == 0 and s2["pass"]["up_to_date"]
+    got = final_state(cfg).to_pandas()
+    assert len(got) == 6
