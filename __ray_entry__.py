@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
         "cdc_state_diff": q.cdc_state_diff,
+        "cdc_stale_updates": q.cdc_stale_updates,
         "cdc_quarantine_stats": q.cdc_quarantine_stats,
         "events_value_outliers": q.events_value_outliers,
         "events_funnel": q.events_funnel,
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_windows": q.conv_context_windows,
         "conv_tool_stats": q.conv_tool_stats,
         "conv_role_violations": q.conv_role_violations,
+        "conv_role_transitions": q.conv_role_transitions,
         "conv_template_turns": q.conv_template_turns,
         # relational operator coverage (M1-M6 analogs + aggregates/joins)
         "agg_pricing_summary": q.agg_pricing_summary,
@@ -582,6 +584,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_type, event_type AS next_type, COUNT(*) AS n
             FROM l WHERE prev_type IS NOT NULL
             GROUP BY prev_type, next_type ORDER BY prev_type, next_type""",
+        # stale-update audit: events whose lsn exceeds their key's winner
+        # lsn but lost LWW on event-time (winner = rn 1 under ts,lsn DESC)
+        "cdc_stale_updates": lww_winners + """
+            , win AS (SELECT conv_id, turn_idx, lsn AS wlsn
+                      FROM w WHERE rn = 1)
+            SELECT ch.op AS op, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN ch.lsn > win.wlsn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stale
+            FROM ch JOIN win USING (conv_id, turn_idx)
+            GROUP BY ch.op ORDER BY ch.op""",
+        "conv_role_transitions": lww_winners + """
+            , s AS (SELECT conv_id, turn_idx, role
+                    FROM w WHERE rn = 1 AND op <> 'D'),
+            l AS (SELECT role, lead(role) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+                  FROM s)
+            SELECT role, next_role, COUNT(*) AS n
+            FROM l WHERE next_role IS NOT NULL
+            GROUP BY role, next_role ORDER BY role, next_role""",
         "conv_turn_gaps": lww_winners + """
             , s AS (SELECT conv_id, turn_idx, ts
                     FROM w WHERE rn = 1 AND op <> 'D'),

@@ -3647,3 +3647,97 @@ def cdc_state_diff(sf_dir: str, t1_us: int = 1705276800000000,
             .groupby("diff_class")
             .aggregate(Sum("n", alias_name="n_keys"))
             .sort("diff_class"))
+
+
+def cdc_stale_updates(sf_dir: str):
+    """Out-of-order-arrival audit over the raw change stream: per op, how
+    many events arrived LATER in the log than their key's LWW winner
+    (lsn > winner.lsn) yet still lost the merge (older event-time) — the
+    'stale update rate' a CDC operator watches to size reorder buffers and
+    judge source-clock health.  Generalizes the reference's silent reliance
+    on Cassandra timestamp conflict resolution (Tasks/MigrationTask.cs:
+    101-104) into an observable metric.
+
+    One shuffle: each batch derives changes and ships only the five slim
+    audit columns (conv_id, turn_idx, ts, lsn, op); each coarse
+    conv-hash bucket finds winners with one Arrow sort + boundary mask and
+    counts losers-with-higher-lsn via a segment-broadcast compare — no
+    join, no per-key dispatch.  (The count is winner-relative, so no
+    per-batch combiner exists; the exchange is the slim columns only.)"""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.functions.lww import _group_first_mask
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    n_coarse = _default_coarse(None)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "props", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _derive_changes(t).select(
+            ["conv_id", "turn_idx", "ts", "lsn", "op"])
+        return t.append_column(
+            "__b", pa.array(_coarse_key_bucket(t.column("conv_id"),
+                                               n_coarse)))
+
+    def classify_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        if g.num_rows == 0:
+            return pa.table({"op": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_stale": pa.array([], pa.int64())})
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
+                       ("ts", "ascending"), ("lsn", "ascending")],
+                      null_placement="at_start")
+        first = np.asarray(_group_first_mask(g, ["conv_id", "turn_idx"]))
+        last = np.concatenate([first[1:], [True]])     # winner rows
+        seg = np.cumsum(first) - 1                     # segment id per row
+        lsn = g.column("lsn").to_numpy(zero_copy_only=False)
+        wlsn = lsn[np.flatnonzero(last)][seg]          # winner lsn per row
+        stale = (~last) & (lsn > wlsn)
+        return (pa.table({"op": g.column("op"),
+                          "one": pa.array(np.ones(g.num_rows, np.int64)),
+                          "st": pa.array(stale.astype(np.int64))})
+                .group_by("op").aggregate([("one", "sum"), ("st", "sum")])
+                .rename_columns(["op", "n_events", "n_stale"]))
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("__b").map_groups(classify_bucket,
+                                       batch_format="pyarrow")
+            .groupby("op")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_stale", alias_name="n_stale"))
+            .sort("op"))
+
+
+def conv_role_transitions(sf_dir: str):
+    """Role-transition matrix over the merged transcripts: global counts of
+    (role -> next role) adjacencies in turn_idx order — the turn-taking
+    structure profile (user->assistant vs assistant->tool etc.) a dialogue
+    dataset is audited by before training.  Lookahead via
+    stages/analytic.grouped_lead (coarse conv-hash buckets, ONE shuffle,
+    one Arrow sort + shifted take per bucket); the matrix itself is a
+    per-batch pair-count partial + a tiny final groupby."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.analytic import grouped_lead
+    cfg = _events_lake(sf_dir)
+    st = final_state(cfg, sort=False)
+
+    led = grouped_lead(
+        st.map_batches(lambda t: t.select(["conv_id", "turn_idx", "role"]),
+                       batch_format="pyarrow"),
+        key_col="conv_id", order_cols=["turn_idx"],
+        value_col="role", lead_col="next_role")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("next_role")))
+        return (pa.table({"role": t.column("role"),
+                          "next_role": t.column("next_role"),
+                          "one": pa.array(np.ones(t.num_rows, np.int64))})
+                .group_by(["role", "next_role"]).aggregate([("one", "sum")])
+                .rename_columns(["role", "next_role", "n"]))
+
+    return (led.map_batches(partial, batch_format="pyarrow")
+            .groupby(["role", "next_role"])
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["role", "next_role"]))
