@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_point_lookup": q.cdc_point_lookup,
+        "cdc_find_by_tool": q.cdc_find_by_tool,
         "cdc_wire_forms": q.cdc_wire_forms,
         "cdc_delete_where": q.cdc_delete_where,
         "cdc_jsonl_ingest": q.cdc_jsonl_ingest,
@@ -584,6 +585,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_type, event_type AS next_type, COUNT(*) AS n
             FROM l WHERE prev_type IS NOT NULL
             GROUP BY prev_type, next_type ORDER BY prev_type, next_type""",
+        # secondary-index probe == winners whose tool matches the values
+        "cdc_find_by_tool": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D' AND tool IN ('w1', 'w3')
+            ORDER BY conv_id, turn_idx""",
         # stale-update audit: events whose lsn exceeds their key's winner
         # lsn but lost LWW on event-time (winner = rn 1 under ts,lsn DESC)
         "cdc_stale_updates": lww_winners + """

@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="delete: 'col=value' equality predicate on winners")
     p.add_argument("--tag", default="",
                    help="delete: idempotence tag (defaults to --where)")
+    p.add_argument("--column", default="",
+                   help="index: lake column to build postings for")
     p.add_argument("--deep", action="store_true",
                    help="fsck: re-read state files (hash/tombstones/"
                         "uniqueness/routing)")
@@ -63,6 +65,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["retain"] = args.retain
     if args.task == "delete":
         kw.update(where=args.where, tag=args.tag)
+    if args.task == "index":
+        kw["column"] = args.column
 
     import ray
     if not ray.is_initialized():

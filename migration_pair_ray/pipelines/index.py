@@ -1,0 +1,241 @@
+"""Secondary value index over a lake column: postings + pruned probes.
+
+The lake's primary access paths are key-routed (``pipelines/lookup``) or
+full scans; a predicate on a NON-key column (``tool = 'w3'``,
+``role = 'error'``) otherwise reads every state file.  This module adds the
+classic inverted-index answer, shaped for the lake's own commit discipline:
+
+- ``build_value_index(cfg, column)`` sweeps the committed state files ONCE
+  (distributed, column-pruned reads) and writes, per partition, a tiny
+  postings file ``_index/<column>/part-<pid>.parquet`` with rows
+  ``(value, file, n_rows)`` — which state files contain which values.
+- Builds are INCREMENTAL: each partition's postings are fingerprinted by
+  its manifest's current state-file list + sizes (state files are
+  immutable copy-on-write, so an unchanged list ⇒ unchanged contents); a
+  rebuild re-sweeps only partitions whose fingerprint moved.  The
+  ``_meta.json`` rewrite is the single atomic commit point.
+- ``lookup_by_value(cfg, column, values)`` verifies every ACTIVE
+  partition's fingerprint (a stale or missing posting raises
+  ``IndexStaleError`` — never a silently partial answer), reads only the
+  posting files, and then only the state files whose postings match,
+  with Parquet ``filters=`` bounding even those reads.
+
+At 100 TB the win is the usual one: postings are O(distinct values ×
+chunks), thousands of times smaller than the lake, and a rare-value probe
+touches O(matching chunks) files instead of all of them.  Splits, merges,
+vacuum and new passes all change the manifest file lists, so freshness
+needs no coupling to those code paths.
+
+Reference analog: none — Cassandra owned secondary indexes natively; an
+engine that owns its lake files must own the index discipline too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.functions.lww import visible_state
+from migration_pair_ray.state.manifest import (LakeMeta, ManifestStore,
+                                               _atomic_write, record_files)
+
+
+class IndexStaleError(RuntimeError):
+    """The lake moved past the index: probe refused (rebuild first)."""
+
+
+def _index_dir(cfg: JobConfig, column: str) -> Path:
+    return Path(cfg.lake_dir) / "_index" / column
+
+
+def _partition_fingerprint(lake_dir: str, files: list[str]) -> str:
+    """Freshness token for one partition's current state: the sorted
+    relative file list + byte sizes.  State files are immutable (every
+    pass writes new ones), so equality ⇒ identical contents."""
+    h = hashlib.sha256()
+    for rel in sorted(files):
+        h.update(rel.encode())
+        h.update(str(os.path.getsize(str(Path(lake_dir) / rel))).encode())
+    return h.hexdigest()[:16]
+
+
+def _current_partitions(cfg: JobConfig) -> dict[int, list[str]]:
+    """Active pid → lake-relative current state files (may be empty)."""
+    meta = LakeMeta(cfg.lake_dir)
+    store = ManifestStore(cfg.manifest_dir)
+    out: dict[int, list[str]] = {}
+    for pid in meta.active_partition_ids(cfg.num_partitions):
+        out[int(pid)] = record_files(store.read(int(pid)))
+    return out
+
+
+def build_value_index(cfg: JobConfig, column: str) -> dict:
+    """Build (or incrementally refresh) the postings for ``column``.
+
+    Returns ``{"partitions": N, "reindexed": K, "reused": N-K,
+    "postings_rows": R}``.  Only partitions whose state-file fingerprint
+    changed since the last build are re-swept; their postings files are
+    rewritten atomically, and the ``_meta.json`` flip publishes the new
+    index state as one step."""
+    idx = _index_dir(cfg, column)
+    idx.mkdir(parents=True, exist_ok=True)
+    meta_path = idx / "_meta.json"
+    old: dict[str, str] = {}
+    if meta_path.exists():
+        with open(meta_path) as f:
+            old = json.load(f).get("fingerprints", {})
+
+    parts = _current_partitions(cfg)
+    fps = {pid: _partition_fingerprint(cfg.lake_dir, files)
+           for pid, files in parts.items()}
+    dirty = [pid for pid, fp in fps.items() if old.get(str(pid)) != fp]
+
+    lake_dir, rows_written = cfg.lake_dir, 0
+    if dirty:
+        items = [{"pid": pid, "file": rel}
+                 for pid in dirty for rel in parts[pid]]
+
+        def postings(t: pa.Table) -> pa.Table:
+            # one row in == one state file; the loop is over FILES, and the
+            # read is column-pruned to the indexed column only
+            pids, vals, files, counts = [], [], [], []
+            for pid, rel in zip(t.column("pid").to_pylist(),
+                                t.column("file").to_pylist()):
+                pf = pq.ParquetFile(str(Path(lake_dir) / rel))
+                if column not in pf.schema_arrow.names:
+                    continue  # pre-evolution file: column reads all-null
+                col = pq.read_table(str(Path(lake_dir) / rel),
+                                    columns=[column]).column(column)
+                vc = pa.table({"v": col}).group_by("v").aggregate(
+                    [("v", "count")])
+                keep = vc.filter(pc.is_valid(vc.column("v")))
+                n = keep.num_rows
+                pids.extend([pid] * n)
+                files.extend([rel] * n)
+                vals.append(keep.column("v").cast(pa.string()))
+                counts.append(keep.column("v_count").cast(pa.int64()))
+            return pa.table({
+                "pid": pa.array(pids, pa.int32()),
+                "value": (pa.concat_arrays([c.combine_chunks() for c in vals])
+                          if vals else pa.array([], pa.string())),
+                "file": pa.array(files, pa.string()),
+                "n_rows": (pa.concat_arrays([c.combine_chunks()
+                                             for c in counts])
+                           if counts else pa.array([], pa.int64())),
+            })
+
+        def write_partition(g: pa.Table) -> pa.Table:
+            pid = int(g.column("pid")[0].as_py())
+            path = idx / f"part-{pid:05d}.parquet"
+            tmp = f"{path}.tmp.{os.getpid()}"
+            out = g.drop_columns(["pid"]).sort_by(
+                [("value", "ascending"), ("file", "ascending")])
+            pq.write_table(out, tmp)
+            with open(tmp, "rb") as f:
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+            return pa.table({"pid": pa.array([pid], pa.int32()),
+                             "rows": pa.array([out.num_rows], pa.int64())})
+
+        written = (rd.from_items(items)
+                   .map_batches(postings, batch_format="pyarrow")
+                   .groupby("pid").map_groups(write_partition,
+                                              batch_format="pyarrow")
+                   .take_all())
+        rows_written = sum(r["rows"] for r in written)
+        wrote_pids = {r["pid"] for r in written}
+        # dirty partitions with NO current files (or no non-null values)
+        # still need an (empty) postings file so the probe can trust them
+        for pid in dirty:
+            if pid not in wrote_pids:
+                path = idx / f"part-{pid:05d}.parquet"
+                tmp = f"{path}.tmp.{os.getpid()}"
+                pq.write_table(pa.table({
+                    "value": pa.array([], pa.string()),
+                    "file": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64())}), tmp)
+                os.replace(tmp, path)
+
+    # single atomic commit point; stale posting files for retired pids are
+    # harmless (unreferenced) but cleaned here for tidiness
+    _atomic_write(str(meta_path), json.dumps(
+        {"column": column,
+         "fingerprints": {str(pid): fp for pid, fp in fps.items()}},
+        indent=1).encode())
+    live = {f"part-{pid:05d}.parquet" for pid in fps}
+    for p in idx.glob("part-*.parquet"):
+        if p.name not in live:
+            p.unlink()
+    return {"partitions": len(fps), "reindexed": len(dirty),
+            "reused": len(fps) - len(dirty), "postings_rows": rows_written}
+
+
+def _verify_fresh(cfg: JobConfig, column: str) -> dict[int, list[str]]:
+    """Raise IndexStaleError unless every ACTIVE partition's fingerprint
+    matches the committed index meta; returns pid → current files."""
+    meta_path = _index_dir(cfg, column) / "_meta.json"
+    if not meta_path.exists():
+        raise IndexStaleError(f"no index built for column {column!r}")
+    with open(meta_path) as f:
+        recorded = json.load(f).get("fingerprints", {})
+    parts = _current_partitions(cfg)
+    for pid, files in parts.items():
+        if recorded.get(str(pid)) != _partition_fingerprint(cfg.lake_dir,
+                                                            files):
+            raise IndexStaleError(
+                f"index for {column!r} is stale at partition {pid} — "
+                f"run build_value_index first")
+    return parts
+
+
+def index_candidate_files(cfg: JobConfig, column: str,
+                          values: list[str]) -> list[str]:
+    """The pruning plan: lake-relative state files whose postings contain
+    any requested value (exposed for tests/ops, like lookup.candidate_files).
+    Verifies freshness first."""
+    parts = _verify_fresh(cfg, column)
+    idx = _index_dir(cfg, column)
+    want = pa.array(sorted(set(values)), pa.string())
+    out: list[str] = []
+    for pid in sorted(parts):
+        path = idx / f"part-{pid:05d}.parquet"
+        if not path.exists():
+            raise IndexStaleError(
+                f"postings missing for partition {pid} — rebuild")
+        t = pq.read_table(str(path), columns=["value", "file"])
+        hit = t.filter(pc.is_in(t.column("value"), value_set=want))
+        out.extend(sorted(set(hit.column("file").to_pylist())))
+    return out
+
+
+def lookup_by_value(cfg: JobConfig, column: str, values: list[str],
+                    visible_only: bool = True) -> pa.Table:
+    """All lake rows whose ``column`` equals any of ``values``, via the
+    postings — O(postings + matching chunks) I/O, never a scan.  Driver-
+    side like ``lookup_keys``: a value probe is a latency path; bulk
+    extraction should use ``read_lake`` + a distributed filter."""
+    files = index_candidate_files(cfg, column, values)
+    want = sorted(set(values))
+    tables = []
+    for rel in files:
+        t = pq.read_table(str(Path(cfg.lake_dir) / rel),
+                          filters=[(column, "in", want)])
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        from migration_pair_ray.schemas import CHANGE_SCHEMA
+        out = CHANGE_SCHEMA.empty_table()
+    else:
+        out = pa.concat_tables(tables, promote_options="permissive")
+    if visible_only:
+        out = visible_state(out, drop_meta=True)
+    return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])

@@ -3741,3 +3741,17 @@ def conv_role_transitions(sf_dir: str):
             .groupby(["role", "next_role"])
             .aggregate(Sum("n", alias_name="n"))
             .sort(["role", "next_role"]))
+
+
+def cdc_find_by_tool(sf_dir: str, values: tuple = ("w1", "w3")):
+    """Secondary-index probe: visible turns whose ``tool`` is one of the
+    requested values, served through pipelines/index postings (build is
+    incremental; probe reads only posting files + matching state chunks,
+    with Parquet filters bounding even those) — never a lake scan.  The
+    non-key-predicate serving path the reference delegated to Cassandra
+    secondary indexes."""
+    from migration_pair_ray.pipelines.index import (build_value_index,
+                                                    lookup_by_value)
+    cfg = _events_lake(sf_dir)
+    build_value_index(cfg, "tool")
+    return lookup_by_value(cfg, "tool", list(values))

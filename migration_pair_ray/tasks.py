@@ -161,6 +161,16 @@ def task_delete(cfg: JobConfig, where: str = "", tag: str = "",
     return delete_where(cfg, predicate, tag or where, max_rows=max_rows)
 
 
+def task_index(cfg: JobConfig, column: str = "", **kw) -> dict:
+    """Build/refresh the secondary value index for ``column``
+    (pipelines/index): incremental — only partitions whose state files
+    moved since the last build are re-swept."""
+    from migration_pair_ray.pipelines.index import build_value_index
+    if not column:
+        raise ValueError("task_index needs column (--column)")
+    return build_value_index(cfg, column)
+
+
 def task_vacuum(cfg: JobConfig, retain: int = 0, **kw) -> dict:
     """Trim the time-travel window to ``retain`` superseded passes per
     partition and delete the state files nothing references anymore."""
@@ -192,6 +202,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "split": task_split,
     "merge": task_merge,
     "vacuum": task_vacuum,
+    "index": task_index,
     "delete": task_delete,
     "ingest_jsonl": task_ingest_jsonl,
     "schema_history": task_schema_history,
