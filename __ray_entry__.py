@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC core (SURVEY.md §2.1/2.3/2.5/2.7: S1/S2/S5, ST1/ST4, A4/A5)
         "cdc_lww_merge": q.cdc_lww_merge,
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
+        "cdc_mor_replay": q.cdc_mor_replay,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_point_lookup": q.cdc_point_lookup,
         "cdc_find_by_tool": q.cdc_find_by_tool,
@@ -362,6 +363,12 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         "cdc_two_phase_replay": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # merge-on-read ingest must be read-invisible: folded base+delta
+        # view == the same copy-on-write winners
+        "cdc_mor_replay": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

@@ -129,6 +129,9 @@ QUERY_NAMES = [
     "conv_role_violations",
     "conv_template_turns",
     "cdc_point_lookup",
+    "cdc_find_by_tool",
+    "cdc_stale_updates",
+    "conv_role_transitions",
 ]
 # Excluded on purpose: the cdc_* lake queries (cdc_lww_merge, tombstones,
 # snapshots, lineage, compaction, quarantine, two-phase, time_travel) each

@@ -67,6 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         kw.update(where=args.where, tag=args.tag)
     if args.task == "index":
         kw["column"] = args.column
+    if args.task == "compact":
+        kw["base_pid"] = args.base_pid
 
     import ray
     if not ray.is_initialized():

@@ -69,6 +69,16 @@ class JobConfig:
     # (pipelines/compact.maybe_split_oversized — other partitions
     # untouched, crash-safe via the atomic _lake_meta commit).
     auto_split_max_rows: int = 0
+    # Merge-on-read ingest: 0 = copy-on-write (default — every pass
+    # rewrites the touched state, reads are merge-free); N > 0 = a pass
+    # appends its per-partition pre-reduced changes as a DELTA file
+    # (write cost O(changes), never O(partition)) and readers fold
+    # base + deltas with the LWW kernel at read time.  A partition
+    # compacts back to a plain base automatically when it would exceed N
+    # deltas (or explicitly via pipelines/compact.compact_deltas, CLI
+    # `compact`).  The 100-TB trade: hot-partition ingest stops paying
+    # the partition rewrite, reads pay a bounded (≤ N files) merge.
+    mor_max_deltas: int = 0
     # Time-travel retention: 0 = superseded state files are GC'd at commit
     # (no history, default); N > 0 = every partition manifest keeps its
     # last N superseded records and their state files, enabling

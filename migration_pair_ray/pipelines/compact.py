@@ -416,3 +416,66 @@ def maybe_split_oversized(cfg: JobConfig, max_rows: int,
         new_fanout = (prev[0] * 2) if prev else fanout
         out.append(split_partition(cfg, base, new_fanout))
     return out
+
+
+def compact_deltas(cfg: JobConfig, base_pid: int | None = None) -> dict:
+    """Fold merge-on-read delta files back into a plain base for every
+    active partition carrying deltas (or just ``base_pid``), under the
+    writer lease.  The logical content is unchanged — same pass_id, same
+    history — so this is a pure layout rewrite: new base files land
+    (fsync'd) first, the manifest rewrite is the atomic flip, and the old
+    base + delta files are GC'd after (a crash in between leaks bytes
+    that the next vacuum/compact sweeps, never a dangling reference).
+    Read-side features that refuse MoR partitions (the value index) work
+    again after this."""
+    with _lease(cfg, "compact"):
+        return _compact_deltas_locked(cfg, base_pid)
+
+
+def _compact_deltas_locked(cfg: JobConfig, base_pid: int | None) -> dict:
+    from migration_pair_ray.state.manifest import (record_files,
+                                                   referenced_files)
+    from migration_pair_ray.stages.applier import (_fsync_write_parquet,
+                                                   read_state_table)
+    meta = LakeMeta(cfg.lake_dir)
+    if meta.read() is None:
+        raise LakeLayoutError(f"no lake at {cfg.lake_dir} — nothing to compact")
+    store = ManifestStore(cfg.manifest_dir)
+    pids = ([base_pid] if base_pid is not None
+            else meta.active_partition_ids(cfg.num_partitions))
+    compacted = files_deleted = 0
+    for pid in pids:
+        m = store.read(pid)
+        if not m or not m.get("delta_files"):
+            continue
+        merged = read_state_table(cfg.lake_dir, m)   # base + deltas folded
+        d = Path(cfg.lake_dir) / f"part={pid:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        path = str(d / f"state-{m['pass_id']}-c{len(m['delta_files'])}.parquet")
+        _fsync_write_parquet(merged, path)
+        rec = {k: v for k, v in m.items()
+               if k not in ("data_file", "data_files", "delta_files",
+                            "content_hash")}
+        rec.update(
+            data_file=str(Path(path).relative_to(cfg.lake_dir)),
+            row_count=merged.num_rows,
+            tombstones=int(pc.sum(pc.cast(
+                pc.equal(merged.column("op"), "D"),
+                pa.int64())).as_py() or 0),
+            content_hash="")
+        if cfg.hash_state:
+            from migration_pair_ray.state.manifest import sha256_file
+            rec["content_hash"] = sha256_file(path)
+        store.rewrite(pid, rec)                       # atomic flip
+        referenced = referenced_files(rec)
+        for f in d.glob("state-*.parquet"):
+            rel = str(f.relative_to(cfg.lake_dir))
+            if rel not in referenced:
+                try:
+                    f.unlink()
+                    files_deleted += 1
+                except OSError:
+                    pass
+        compacted += 1
+    return {"partitions_compacted": compacted,
+            "files_deleted": files_deleted}

@@ -122,6 +122,23 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
             _deep_check(lake_dir, pid, e, path, bad,
                         num_partitions, mode, splits)
 
+    # merge-on-read delta files: same per-file checks (existence, footer
+    # rows, hash/tombstones/uniqueness/routing when deep) but OUTSIDE the
+    # base accounting — row_count stays the base count, and delta key
+    # ranges legitimately overlap the base chunks and each other
+    for e in manifest.get("delta_files", []):
+        path = os.path.join(lake_dir, e["file"])
+        if not os.path.exists(path):
+            bad("missing_file", e["file"])
+            continue
+        meta_rows = pq.ParquetFile(path).metadata.num_rows
+        if meta_rows != e["rows"]:
+            bad("row_count_mismatch",
+                f"{e['file']}: footer {meta_rows} != manifest {e['rows']}")
+        if deep:
+            _deep_check(lake_dir, pid, e, path, bad,
+                        num_partitions, mode, splits)
+
     if manifest.get("row_count", rows_sum) != rows_sum:
         bad("manifest_rows_mismatch",
             f"sum of file rows {rows_sum} != partition row_count "

@@ -69,12 +69,25 @@ def _partition_fingerprint(lake_dir: str, files: list[str]) -> str:
 
 
 def _current_partitions(cfg: JobConfig) -> dict[int, list[str]]:
-    """Active pid → lake-relative current state files (may be empty)."""
+    """Active pid → lake-relative current state files (may be empty).
+
+    Refuses partitions carrying merge-on-read deltas: a posting can point
+    at a base row a delta has since superseded, so a value probe against
+    an uncompacted MoR partition could return stale winners.  Compact
+    first (pipelines/compact.compact_deltas / CLI `compact`) — the same
+    read-optimized-view rule MoR lakehouse formats apply to their
+    secondary indexes."""
     meta = LakeMeta(cfg.lake_dir)
     store = ManifestStore(cfg.manifest_dir)
     out: dict[int, list[str]] = {}
     for pid in meta.active_partition_ids(cfg.num_partitions):
-        out[int(pid)] = record_files(store.read(int(pid)))
+        m = store.read(int(pid))
+        if m and m.get("delta_files"):
+            raise IndexStaleError(
+                f"partition {pid} carries {len(m['delta_files'])} "
+                f"merge-on-read delta file(s) — run compact_deltas before "
+                f"building or probing a value index")
+        out[int(pid)] = record_files(m)
     return out
 
 

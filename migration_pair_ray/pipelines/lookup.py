@@ -75,11 +75,18 @@ def candidate_files(cfg: JobConfig, conv_ids: list[str],
         if entries is None:
             if m.get("data_file"):
                 out.append(m["data_file"])
-            continue
-        for e in entries:
+        else:
+            for e in entries:
+                lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
+                # chunk covers conv c iff lo <= c <= hi (tuple range
+                # projected onto the conv component)
+                if any(lo <= c <= hi for c in want):
+                    out.append(e["file"])
+        # merge-on-read deltas carry key ranges too; a delta whose range
+        # covers a requested conv may hold a NEWER version of the key, so
+        # it must join the plan (lookup_keys reduces winners after read)
+        for e in m.get("delta_files", []):
             lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
-            # chunk covers conv c iff lo <= c <= hi (tuple range projected
-            # onto the conv component)
             if any(lo <= c <= hi for c in want):
                 out.append(e["file"])
     return out
@@ -113,6 +120,13 @@ def lookup_keys(cfg: JobConfig, conv_ids: list[str],
         out = CHANGE_SCHEMA.empty_table()
     else:
         out = pa.concat_tables(tables, promote_options="permissive")
+    if out.num_rows:
+        # under merge-on-read a key can appear in the base AND in deltas;
+        # the plan fetched every file whose range covers the key, so one
+        # LWW reduce yields the true winner (no-op on copy-on-write lakes:
+        # state files already hold one row per key)
+        from migration_pair_ray.functions.lww import lww_reduce
+        out = lww_reduce(out)
     if turn_idx is not None and out.num_rows:
         key = pc.binary_join_element_wise(
             out.column("conv_id"),

@@ -3755,3 +3755,40 @@ def cdc_find_by_tool(sf_dir: str, values: tuple = ("w1", "w3")):
     cfg = _events_lake(sf_dir)
     build_value_index(cfg, "tool")
     return lookup_by_value(cfg, "tool", list(values))
+
+
+def cdc_mor_replay(sf_dir: str):
+    """Merge-on-read ingest on the oracle path: the derived change log
+    applied in TWO passes with ``mor_max_deltas=8`` — pass 2 lands as
+    per-partition DELTA files (write cost O(changes), base untouched) and
+    the read folds base + deltas with the LWW kernel.  Final state must
+    equal the copy-on-write winners (same SQL oracle as cdc_lww_merge);
+    the fixture asserts deltas actually exist so the fold is exercised,
+    not skipped."""
+    src = _events_lake(sf_dir)   # reuse the derived change files
+    root = Path(src.changelog_dir).parent
+    lake = str(root / "lake_mor")
+    log = str(root / "log_mor")
+    marker = Path(root / "_mor_done")
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=16,
+                    mor_max_deltas=8)
+    if not marker.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(log, ignore_errors=True)
+        os.makedirs(log)
+        files = sorted(Path(src.changelog_dir).glob("batch-*.parquet"))
+        for f in files[:2]:
+            os.link(f, Path(log) / f.name)
+        replay(cfg)
+        for f in files[2:]:
+            os.link(f, Path(log) / f.name)
+        replay(cfg)
+        from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+        store = ManifestStore(cfg.manifest_dir)
+        n_deltas = sum(
+            len((store.read(pid) or {}).get("delta_files", []))
+            for pid in LakeMeta(lake).active_partition_ids(16))
+        assert n_deltas > 0, "MoR fixture produced no delta files"
+        marker.touch()
+    replay(cfg)   # no-op (idempotent); keeps the query re-runnable
+    return final_state(cfg, sort=True)

@@ -63,7 +63,7 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
         fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id,
                              cfg.hash_state, cfg.merge_chunk_rows,
                              cfg.state_chunk_rows, cfg.retain_passes,
-                             pass_seq),
+                             pass_seq, cfg.mor_max_deltas),
         batch_format="pyarrow",
         concurrency=conc,
         num_cpus=1,
@@ -219,7 +219,7 @@ def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
     from migration_pair_ray.stages.applier import state_file_paths
     from migration_pair_ray.state.manifest import (
         CheckpointStore, LakeMeta, ManifestStore, TimeTravelError,
-        manifest_as_of)
+        manifest_as_of, record_files)
     store = ManifestStore(cfg.manifest_dir)
     meta = LakeMeta(cfg.lake_dir)
     pids = meta.active_partition_ids(cfg.num_partitions)
@@ -238,7 +238,7 @@ def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
         target_seq = pass_seqs[as_of]
         base_partitions = (meta.read() or {}).get("num_partitions",
                                                   cfg.num_partitions)
-    paths = []
+    paths, mor_manifests = [], []
     for pid in pids:
         m = store.read(pid)
         if as_of is not None:
@@ -248,19 +248,51 @@ def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
                     f"partition {pid} is a split child with no record at or "
                     f"before pass {as_of!r}; its parent's pre-split state "
                     f"was GC'd — time travel cannot cross a split")
-        paths.extend(state_file_paths(cfg.lake_dir, m))
-    if not paths:
+        if m and m.get("delta_files"):
+            # merge-on-read partition: its files hold MULTIPLE versions per
+            # key, so it cannot stream raw — one read-merge task per
+            # partition folds base + deltas with the LWW kernel
+            mor_manifests.append(m)
+        else:
+            paths.extend(state_file_paths(cfg.lake_dir, m))
+    if not paths and not mor_manifests:
         from migration_pair_ray.schemas import CHANGE_SCHEMA
         return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
     # Partitions evolve independently (a pass may touch only some), so state
     # files can disagree on schema; conform every batch to the deterministic
     # unified schema (footer reads only). This also drops the hive-inferred
     # ``part=NNNNN`` layout column.
+    import json as _json
+
     import pyarrow.parquet as pq
     from migration_pair_ray.functions.normalize import make_normalizer
     from migration_pair_ray.schemas import unify_change_schemas
-    schema = unify_change_schemas([pq.read_schema(p) for p in paths])
-    ds = ray.data.read_parquet(paths, file_extensions=None)
+    all_paths = paths + [str(Path(cfg.lake_dir) / f)
+                         for m in mor_manifests for f in record_files(m)]
+    schema = unify_change_schemas([pq.read_schema(p) for p in all_paths])
+    parts = []
+    if paths:
+        parts.append(ray.data.read_parquet(paths, file_extensions=None))
+    if mor_manifests:
+        from migration_pair_ray.stages.applier import read_state_table
+        lake_dir = cfg.lake_dir
+
+        def merge_partition(t: pa.Table) -> pa.Table:
+            out = [read_state_table(lake_dir, _json.loads(mj))
+                   for mj in t.column("manifest").to_pylist()]
+            out = [o for o in out if o is not None and o.num_rows]
+            if not out:
+                from migration_pair_ray.schemas import CHANGE_SCHEMA
+                return CHANGE_SCHEMA.empty_table()
+            return (out[0] if len(out) == 1
+                    else pa.concat_tables(out, promote_options="permissive"))
+
+        mor_ds = ray.data.from_items(
+            [{"manifest": _json.dumps(m)} for m in mor_manifests]
+        ).map_batches(merge_partition, batch_format="pyarrow",
+                      batch_size=1)
+        parts.append(mor_ds)
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     return ds.map_batches(make_normalizer(schema), batch_format="pyarrow")
 
 

@@ -74,6 +74,16 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
     # the exported count, and split children must be included
     for pid in LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions):
         m = store.read(pid)
-        if m:
+        if not m:
+            continue
+        if m.get("delta_files"):
+            # merge-on-read partition: the manifest's base counts don't
+            # know which delta keys superseded base keys — fold (same read
+            # the export itself just performed for this partition)
+            from migration_pair_ray.functions.lww import visible_state
+            from migration_pair_ray.stages.applier import read_state_table
+            t = read_state_table(cfg.lake_dir, m)
+            total += visible_state(t).num_rows if t is not None else 0
+        else:
             total += int(m["row_count"]) - int(m["tombstones"])
     return total

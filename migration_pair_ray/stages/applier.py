@@ -71,7 +71,7 @@ class Applier:
     def __init__(self, lake_dir: str, manifest_dir: str, pass_id: str,
                  hash_state: bool = True, merge_chunk_rows: int = 4_000_000,
                  state_chunk_rows: int = 0, retain_passes: int = 0,
-                 pass_seq: int = -1):
+                 pass_seq: int = -1, mor_max_deltas: int = 0):
         self.lake_dir = lake_dir
         self.pass_id = pass_id
         self.hash_state = hash_state
@@ -84,6 +84,9 @@ class Applier:
         # stamped into every record so as-of reads can order records even
         # for partitions a given pass never touched
         self.pass_seq = pass_seq
+        # merge-on-read: > 0 appends delta files instead of rewriting the
+        # base, compacting when a partition would exceed this many deltas
+        self.mor_max_deltas = mor_max_deltas
         self.manifests = ManifestStore(manifest_dir)  # once per actor
 
     def _state_file(self, pid: int, seq: int | None = None) -> str:
@@ -186,6 +189,26 @@ class Applier:
         lsn_lo = int(pc.min(changes.column("lsn")).as_py())
         lsn_hi = int(pc.max(changes.column("lsn")).as_py())
 
+        if self.mor_max_deltas > 0 and prev is not None:
+            out = self._apply_mor(pid, prev, changes)
+            if out is not None:
+                record, rows_in = out
+                return self._lineage(
+                    pid, rows_in=rows_in,
+                    # MoR pass: exact merged counts would need the merge
+                    # this mode exists to avoid — report the base+delta
+                    # upper bound (exact again after compaction)
+                    rows_state=record["row_count"]
+                    + sum(e["rows"] for e in record["delta_files"]),
+                    tombstones=record.get("tombstones", 0)
+                    + sum(e["tombstones"] for e in record["delta_files"]),
+                    lsn_lo=lsn_lo, lsn_hi=lsn_hi,
+                    bytes=record["delta_files"][-1]["bytes"],
+                    seconds=time.perf_counter() - t0)
+            # fall through: compaction pass (threshold reached) or
+            # degenerate null keys — the merge paths below fold the
+            # existing deltas via read_state_table / _fold_deltas
+
         if self.state_chunk_rows > 0:
             out = self._apply_chunked(pid, prev, changes)
             if out is not None:
@@ -243,6 +266,77 @@ class Applier:
             bytes=nbytes, seconds=time.perf_counter() - t0,
         )
 
+    def _apply_mor(self, pid: int, prev: dict,
+                   changes: pa.Table) -> tuple[dict, int] | None:
+        """Merge-on-read append (COMPACTION.md): write this pass's
+        pre-reduced changes as a DELTA file next to the untouched base —
+        write cost O(changes), never O(partition).  Readers fold
+        base + deltas with the LWW kernel (read_state_table / read_lake).
+        Returns None to fall through to a compacting merge when the
+        partition would exceed ``mor_max_deltas`` or keys are degenerate
+        (null merge keys need the full-merge fallback)."""
+        import numpy as np
+        from migration_pair_ray.functions.lww import lww_reduce
+        from migration_pair_ray.state.manifest import record_files
+
+        deltas = list(prev.get("delta_files", []))
+        if len(deltas) + 1 > self.mor_max_deltas:
+            return None
+        rows_in = changes.num_rows
+        reduced = lww_reduce(changes)
+        if any(reduced.column(k).null_count > 0 for k in MERGE_KEYS):
+            return None
+
+        conv = np.asarray(reduced.column("conv_id").to_pandas())
+        turn = reduced.column("turn_idx").to_numpy(zero_copy_only=False)
+        d = Path(self.lake_dir) / f"part={pid:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        # "state-" prefix keeps the GC/fsck glob authoritative; the pass id
+        # makes a retried task rewrite identical bytes (idempotent commit)
+        path = str(d / f"state-{self.pass_id}-delta.parquet")
+        nbytes = _fsync_write_parquet(reduced, path)
+        entry = {
+            "file": str(Path(path).relative_to(self.lake_dir)),
+            "rows": reduced.num_rows,
+            "tombstones": int(pc.sum(pc.cast(
+                pc.equal(reduced.column("op"), "D"),
+                pa.int64())).as_py() or 0),
+            "lsn_lo": int(pc.min(reduced.column("lsn")).as_py()),
+            "lsn_hi": int(pc.max(reduced.column("lsn")).as_py()),
+            "key_lo": [str(conv[0]), int(turn[0])],
+            "key_hi": [str(conv[-1]), int(turn[-1])],
+            "content_hash": self._hash_file(path),
+            "bytes": nbytes,
+        }
+        record = {k: v for k, v in prev.items()
+                  if k not in ("history", "prev_records")}
+        record.update(
+            pass_id=self.pass_id,
+            lsn_lo=min(int(prev.get("lsn_lo", entry["lsn_lo"])),
+                       entry["lsn_lo"]),
+            lsn_hi=max(int(prev.get("lsn_hi", entry["lsn_hi"])),
+                       entry["lsn_hi"]),
+            delta_files=deltas + [entry])
+        self._commit(pid, record, set(record_files(record)))
+        return record, rows_in
+
+    def _fold_deltas(self, prev: dict | None, changes: pa.Table) -> pa.Table:
+        """Concat a partition's pending delta rows into the change stream
+        (schema-conformed) so a compacting merge folds them — used by the
+        chunked path, which reads base chunk FILES directly rather than
+        through read_state_table."""
+        files = (prev or {}).get("delta_files") or []
+        if not files:
+            return changes
+        from migration_pair_ray.functions.normalize import make_normalizer
+        from migration_pair_ray.schemas import unify_change_schemas
+        tables = [pq.read_table(str(Path(self.lake_dir) / e["file"]))
+                  for e in files]
+        schema = unify_change_schemas([t.schema for t in tables]
+                                      + [changes.schema])
+        norm = make_normalizer(schema)
+        return pa.concat_tables([norm(t) for t in tables] + [norm(changes)])
+
     def _apply_chunked(self, pid: int, prev: dict | None,
                        changes: pa.Table) -> tuple[list[dict], int] | None:
         """Chunked-layout merge: rewrite ONLY the chunks whose key range
@@ -259,7 +353,7 @@ class Applier:
         from migration_pair_ray.schemas import MERGE_KEYS
 
         rows_in = changes.num_rows
-        changes = lww_reduce(changes)
+        changes = lww_reduce(self._fold_deltas(prev, changes))
         if any(changes.column(k).null_count > 0 for k in MERGE_KEYS):
             return None
 
@@ -306,21 +400,37 @@ class Applier:
         return new_entries, rows_in
 
 
-def read_state_table(lake_dir: str, manifest: dict | None) -> pa.Table | None:
+def read_state_table(lake_dir: str, manifest: dict | None,
+                     fold_deltas: bool = True) -> pa.Table | None:
     """A partition's committed state as one (key-sorted) table — handles
-    both layouts: single ``data_file`` and chunked ``data_files`` (chunk
-    files are key-ordered and internally sorted, so concatenation is the
-    sorted partition)."""
+    all layouts: single ``data_file``, chunked ``data_files`` (chunk files
+    are key-ordered and internally sorted, so concatenation is the sorted
+    partition), and merge-on-read ``delta_files`` (folded into the base
+    with the LWW merge kernel, so every consumer sees the true current
+    state; ``fold_deltas=False`` returns the base only)."""
     if not manifest:
         return None
     files = manifest.get("data_files")
     if files is None:
-        return pq.read_table(str(Path(lake_dir) / manifest["data_file"]))
-    if not files:
-        return None
-    tables = [pq.read_table(str(Path(lake_dir) / e["file"])) for e in files]
-    return (tables[0] if len(tables) == 1
-            else pa.concat_tables(tables, promote_options="permissive"))
+        base = (pq.read_table(str(Path(lake_dir) / manifest["data_file"]))
+                if manifest.get("data_file") else None)
+    elif not files:
+        base = None
+    else:
+        tables = [pq.read_table(str(Path(lake_dir) / e["file"]))
+                  for e in files]
+        base = (tables[0] if len(tables) == 1
+                else pa.concat_tables(tables, promote_options="permissive"))
+    deltas = manifest.get("delta_files") if fold_deltas else None
+    if not deltas:
+        return base
+    from migration_pair_ray.functions.lww import merge_tables
+    from migration_pair_ray.functions.normalize import make_normalizer
+    from migration_pair_ray.schemas import unify_change_schemas
+    dt = [pq.read_table(str(Path(lake_dir) / e["file"])) for e in deltas]
+    schema = unify_change_schemas([t.schema for t in dt])
+    norm = make_normalizer(schema)
+    return merge_tables(base, pa.concat_tables([norm(t) for t in dt]))
 
 
 def state_file_paths(lake_dir: str, manifest: dict | None) -> list[str]:

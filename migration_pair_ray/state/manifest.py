@@ -207,14 +207,17 @@ class CheckpointStore:
 
 def record_files(record: dict | None) -> list[str]:
     """Lake-relative state-file paths ONE manifest record references —
-    handles both layouts (single ``data_file`` / chunked ``data_files``).
-    Does NOT descend into ``prev_records``."""
+    handles all layouts (single ``data_file`` / chunked ``data_files`` /
+    merge-on-read ``delta_files`` appended to either base).  Does NOT
+    descend into ``prev_records``."""
     if not record:
         return []
     files = record.get("data_files")
     if files is None:
-        return [record["data_file"]] if record.get("data_file") else []
-    return [e["file"] for e in files]
+        base = [record["data_file"]] if record.get("data_file") else []
+    else:
+        base = [e["file"] for e in files]
+    return base + [e["file"] for e in record.get("delta_files", [])]
 
 
 def referenced_files(manifest: dict | None) -> set[str]:

@@ -161,6 +161,13 @@ def task_delete(cfg: JobConfig, where: str = "", tag: str = "",
     return delete_where(cfg, predicate, tag or where, max_rows=max_rows)
 
 
+def task_compact(cfg: JobConfig, base_pid: int = -1, **kw) -> dict:
+    """Fold merge-on-read delta files back into plain bases (one
+    partition with --base-pid, else every partition carrying deltas)."""
+    from migration_pair_ray.pipelines.compact import compact_deltas
+    return compact_deltas(cfg, base_pid if base_pid >= 0 else None)
+
+
 def task_index(cfg: JobConfig, column: str = "", **kw) -> dict:
     """Build/refresh the secondary value index for ``column``
     (pipelines/index): incremental — only partitions whose state files
@@ -203,6 +210,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "merge": task_merge,
     "vacuum": task_vacuum,
     "index": task_index,
+    "compact": task_compact,
     "delete": task_delete,
     "ingest_jsonl": task_ingest_jsonl,
     "schema_history": task_schema_history,
