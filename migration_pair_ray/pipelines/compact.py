@@ -432,50 +432,119 @@ def compact_deltas(cfg: JobConfig, base_pid: int | None = None) -> dict:
         return _compact_deltas_locked(cfg, base_pid)
 
 
-def _compact_deltas_locked(cfg: JobConfig, base_pid: int | None) -> dict:
-    from migration_pair_ray.state.manifest import (record_files,
-                                                   referenced_files)
+def _compact_one_partition(lake_dir: str, m: dict, state_chunk_rows: int,
+                           hash_state: bool) -> dict:
+    """Fold one MoR partition's base + deltas and write the new base files
+    (fsync'd, names disjoint from every live file) — the distributed part
+    of compact_deltas.  Returns the replacement manifest record; the
+    driver performs the atomic rewrite + GC.  Honors the chunked layout:
+    with ``state_chunk_rows > 0`` the fold re-chunks at key boundaries
+    instead of collapsing into one unbounded file."""
     from migration_pair_ray.stages.applier import (_fsync_write_parquet,
                                                    read_state_table)
+    pid = int(m["partition"])
+    merged = read_state_table(lake_dir, m)       # base + deltas folded
+    d = Path(lake_dir) / f"part={pid:05d}"
+    d.mkdir(parents=True, exist_ok=True)
+    # the -c<n> tag keeps names disjoint from the live base (same pass_id)
+    # so a crash mid-write can never clobber a referenced file
+    tag = f"{m['pass_id']}-c{len(m['delta_files'])}"
+
+    def _hash(path: str) -> str:
+        if not hash_state:
+            return ""
+        from migration_pair_ray.state.manifest import sha256_file
+        return sha256_file(path)
+
+    def _tombs(t: pa.Table) -> int:
+        return int(pc.sum(pc.cast(pc.equal(t.column("op"), "D"),
+                                  pa.int64())).as_py() or 0)
+
+    rec = {k: v for k, v in m.items()
+           if k not in ("data_file", "data_files", "delta_files",
+                        "content_hash")}
+    if state_chunk_rows > 0 and merged.num_rows:
+        conv = np.asarray(merged.column("conv_id").to_pandas())
+        turn = merged.column("turn_idx").to_numpy(zero_copy_only=False)
+        entries, seq, lo = [], 0, 0
+        n = merged.num_rows
+        while lo < n:
+            hi = min(lo + state_chunk_rows, n)
+            while hi < n and (conv[hi] == conv[hi - 1]
+                              and turn[hi] == turn[hi - 1]):
+                hi += 1
+            sub = merged.slice(lo, hi - lo)
+            path = str(d / f"state-{tag}-{seq:04d}.parquet")
+            _fsync_write_parquet(sub, path)
+            entries.append({
+                "file": str(Path(path).relative_to(lake_dir)),
+                "rows": sub.num_rows,
+                "tombstones": _tombs(sub),
+                "key_lo": [str(conv[lo]), int(turn[lo])],
+                "key_hi": [str(conv[hi - 1]), int(turn[hi - 1])],
+                "content_hash": _hash(path),
+            })
+            seq += 1
+            lo = hi
+        rec.update(data_files=entries,
+                   row_count=sum(e["rows"] for e in entries),
+                   tombstones=sum(e["tombstones"] for e in entries))
+    else:
+        path = str(d / f"state-{tag}.parquet")
+        _fsync_write_parquet(merged, path)
+        rec.update(data_file=str(Path(path).relative_to(lake_dir)),
+                   row_count=merged.num_rows,
+                   tombstones=_tombs(merged),
+                   content_hash=_hash(path))
+    return rec
+
+
+def _compact_deltas_locked(cfg: JobConfig, base_pid: int | None) -> dict:
+    import json as _json
+
+    import ray.data as rd
+
+    from migration_pair_ray.state.manifest import referenced_files
     meta = LakeMeta(cfg.lake_dir)
     if meta.read() is None:
         raise LakeLayoutError(f"no lake at {cfg.lake_dir} — nothing to compact")
     store = ManifestStore(cfg.manifest_dir)
     pids = ([base_pid] if base_pid is not None
             else meta.active_partition_ids(cfg.num_partitions))
-    compacted = files_deleted = 0
+    todo = []
     for pid in pids:
         m = store.read(pid)
-        if not m or not m.get("delta_files"):
-            continue
-        merged = read_state_table(cfg.lake_dir, m)   # base + deltas folded
-        d = Path(cfg.lake_dir) / f"part={pid:05d}"
-        d.mkdir(parents=True, exist_ok=True)
-        path = str(d / f"state-{m['pass_id']}-c{len(m['delta_files'])}.parquet")
-        _fsync_write_parquet(merged, path)
-        rec = {k: v for k, v in m.items()
-               if k not in ("data_file", "data_files", "delta_files",
-                            "content_hash")}
-        rec.update(
-            data_file=str(Path(path).relative_to(cfg.lake_dir)),
-            row_count=merged.num_rows,
-            tombstones=int(pc.sum(pc.cast(
-                pc.equal(merged.column("op"), "D"),
-                pa.int64())).as_py() or 0),
-            content_hash="")
-        if cfg.hash_state:
-            from migration_pair_ray.state.manifest import sha256_file
-            rec["content_hash"] = sha256_file(path)
-        store.rewrite(pid, rec)                       # atomic flip
-        referenced = referenced_files(rec)
-        for f in d.glob("state-*.parquet"):
-            rel = str(f.relative_to(cfg.lake_dir))
-            if rel not in referenced:
-                try:
-                    f.unlink()
-                    files_deleted += 1
-                except OSError:
-                    pass
-        compacted += 1
-    return {"partitions_compacted": compacted,
+        if m and m.get("delta_files"):
+            todo.append(dict(m, partition=int(pid)))
+    files_deleted = 0
+    if todo:
+        lake_dir, chunk_rows = cfg.lake_dir, cfg.state_chunk_rows
+        hash_state = cfg.hash_state
+
+        def fold_batch(t: pa.Table) -> pa.Table:
+            recs = [_compact_one_partition(lake_dir, _json.loads(mj),
+                                           chunk_rows, hash_state)
+                    for mj in t.column("manifest").to_pylist()]
+            return pa.table({"rec": pa.array([_json.dumps(r) for r in recs],
+                                             pa.string())})
+
+        # fold + write distributed (one task per partition, bounded
+        # memory); the manifest flips + GC below are tiny and serial
+        recs = (rd.from_items([{"manifest": _json.dumps(m)} for m in todo])
+                .map_batches(fold_batch, batch_format="pyarrow",
+                             batch_size=1).take_all())
+        for row in recs:
+            rec = _json.loads(row["rec"])
+            pid = int(rec["partition"])
+            store.rewrite(pid, rec)                   # atomic flip
+            referenced = referenced_files(rec)
+            part_dir = Path(cfg.lake_dir) / f"part={pid:05d}"
+            for f in part_dir.glob("state-*.parquet"):
+                if str(f.relative_to(cfg.lake_dir)) not in referenced:
+                    try:
+                        f.unlink()
+                        files_deleted += 1
+                    except OSError:
+                        pass
+    return {"partitions_compacted": len(todo),
             "files_deleted": files_deleted}

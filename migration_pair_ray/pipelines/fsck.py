@@ -92,7 +92,9 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
     for f in sorted(on_disk - referenced):
         bad("unreferenced_file", f"{f} on disk but not in the manifest "
                                  f"(GC leak)")
-    for f in sorted(referenced - on_disk - {e["file"] for e in entries}):
+    current_files = ({e["file"] for e in entries}
+                     | {e["file"] for e in manifest.get("delta_files", [])})
+    for f in sorted(referenced - on_disk - current_files):
         bad("missing_retained_file",
             f"{f} pinned by a retained prev_record but absent on disk "
             f"(time-travel reads of that pass will fail)")

@@ -99,6 +99,20 @@ def build_value_index(cfg: JobConfig, column: str) -> dict:
     changed since the last build are re-swept; their postings files are
     rewritten atomically, and the ``_meta.json`` flip publishes the new
     index state as one step."""
+    # writer lease: the build reads manifest-pinned files and writes into
+    # the lake dir — a concurrent replay's commit-time GC could otherwise
+    # delete a fingerprinted state file mid-sweep (same rule as every
+    # other maintenance job: compact/vacuum/split/merge)
+    import contextlib
+
+    from migration_pair_ray.state.lock import WriterLease
+    lease = (WriterLease(cfg.lake_dir, "index", cfg.writer_lease_ttl_s)
+             if cfg.writer_lease else contextlib.nullcontext())
+    with lease:
+        return _build_value_index_locked(cfg, column)
+
+
+def _build_value_index_locked(cfg: JobConfig, column: str) -> dict:
     idx = _index_dir(cfg, column)
     idx.mkdir(parents=True, exist_ok=True)
     meta_path = idx / "_meta.json"
@@ -147,15 +161,11 @@ def build_value_index(cfg: JobConfig, column: str) -> dict:
             })
 
         def write_partition(g: pa.Table) -> pa.Table:
+            from migration_pair_ray.stages.applier import _fsync_write_parquet
             pid = int(g.column("pid")[0].as_py())
-            path = idx / f"part-{pid:05d}.parquet"
-            tmp = f"{path}.tmp.{os.getpid()}"
             out = g.drop_columns(["pid"]).sort_by(
                 [("value", "ascending"), ("file", "ascending")])
-            pq.write_table(out, tmp)
-            with open(tmp, "rb") as f:
-                os.fsync(f.fileno())
-            os.replace(tmp, path)
+            _fsync_write_parquet(out, str(idx / f"part-{pid:05d}.parquet"))
             return pa.table({"pid": pa.array([pid], pa.int32()),
                              "rows": pa.array([out.num_rows], pa.int64())})
 
@@ -168,15 +178,14 @@ def build_value_index(cfg: JobConfig, column: str) -> dict:
         wrote_pids = {r["pid"] for r in written}
         # dirty partitions with NO current files (or no non-null values)
         # still need an (empty) postings file so the probe can trust them
+        from migration_pair_ray.stages.applier import _fsync_write_parquet
         for pid in dirty:
             if pid not in wrote_pids:
-                path = idx / f"part-{pid:05d}.parquet"
-                tmp = f"{path}.tmp.{os.getpid()}"
-                pq.write_table(pa.table({
+                _fsync_write_parquet(pa.table({
                     "value": pa.array([], pa.string()),
                     "file": pa.array([], pa.string()),
-                    "n_rows": pa.array([], pa.int64())}), tmp)
-                os.replace(tmp, path)
+                    "n_rows": pa.array([], pa.int64())}),
+                    str(idx / f"part-{pid:05d}.parquet"))
 
     # single atomic commit point; stale posting files for retired pids are
     # harmless (unreferenced) but cleaned here for tidiness
@@ -217,7 +226,7 @@ def index_candidate_files(cfg: JobConfig, column: str,
     Verifies freshness first."""
     parts = _verify_fresh(cfg, column)
     idx = _index_dir(cfg, column)
-    want = pa.array(sorted(set(values)), pa.string())
+    want = pa.array(sorted({str(v) for v in values}), pa.string())
     out: list[str] = []
     for pid in sorted(parts):
         path = idx / f"part-{pid:05d}.parquet"
@@ -235,13 +244,21 @@ def lookup_by_value(cfg: JobConfig, column: str, values: list[str],
     """All lake rows whose ``column`` equals any of ``values``, via the
     postings — O(postings + matching chunks) I/O, never a scan.  Driver-
     side like ``lookup_keys``: a value probe is a latency path; bulk
-    extraction should use ``read_lake`` + a distributed filter."""
-    files = index_candidate_files(cfg, column, values)
-    want = sorted(set(values))
+    extraction should use ``read_lake`` + a distributed filter.
+
+    ``values`` are strings (postings stringify at build time); for a
+    non-string indexed column they are cast back to the column's native
+    type for the Parquet filter, so int/bool columns probe correctly."""
+    files = index_candidate_files(cfg, column, [str(v) for v in values])
+    want = sorted(set(str(v) for v in values))
     tables = []
     for rel in files:
-        t = pq.read_table(str(Path(cfg.lake_dir) / rel),
-                          filters=[(column, "in", want)])
+        path = str(Path(cfg.lake_dir) / rel)
+        col_type = pq.read_schema(path).field(column).type
+        native = (want if pa.types.is_string(col_type)
+                  or pa.types.is_large_string(col_type)
+                  else pa.array(want, pa.string()).cast(col_type).to_pylist())
+        t = pq.read_table(path, filters=[(column, "in", native)])
         if t.num_rows:
             tables.append(t)
     if not tables:

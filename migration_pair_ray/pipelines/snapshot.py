@@ -72,18 +72,35 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
     # partition enumeration from the lake's own metadata (LakeMeta), never
     # range(cfg.num_partitions): a misconfigured read must not truncate
     # the exported count, and split children must be included
+    mor = []
     for pid in LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions):
         m = store.read(pid)
         if not m:
             continue
         if m.get("delta_files"):
-            # merge-on-read partition: the manifest's base counts don't
-            # know which delta keys superseded base keys — fold (same read
-            # the export itself just performed for this partition)
-            from migration_pair_ray.functions.lww import visible_state
-            from migration_pair_ray.stages.applier import read_state_table
-            t = read_state_table(cfg.lake_dir, m)
-            total += visible_state(t).num_rows if t is not None else 0
+            mor.append(m)
         else:
             total += int(m["row_count"]) - int(m["tombstones"])
+    if mor:
+        # merge-on-read partitions: base counts don't know which delta
+        # keys superseded base keys — fold distributed (one task per
+        # partition, same read shape read_lake uses; never driver memory)
+        import json as _json
+
+        import ray.data as rd
+        lake_dir = cfg.lake_dir
+
+        def visible_count(t: pa.Table) -> pa.Table:
+            from migration_pair_ray.functions.lww import visible_state
+            from migration_pair_ray.stages.applier import read_state_table
+            ns = []
+            for mj in t.column("manifest").to_pylist():
+                st = read_state_table(lake_dir, _json.loads(mj))
+                ns.append(visible_state(st).num_rows if st is not None else 0)
+            return pa.table({"n": pa.array(ns, pa.int64())})
+
+        counts = (rd.from_items([{"manifest": _json.dumps(m)} for m in mor])
+                  .map_batches(visible_count, batch_format="pyarrow",
+                               batch_size=1).take_all())
+        total += sum(r["n"] for r in counts)
     return total

@@ -360,8 +360,12 @@ class Applier:
         entries = (prev or {}).get("data_files")
         if not entries:
             # no prior state, or a single-file layout transitioning to
-            # chunked: one full merge, then split into chunk files
-            existing = read_state_table(self.lake_dir, prev)
+            # chunked: one full merge, then split into chunk files.
+            # fold_deltas=False: pending deltas were already folded into
+            # ``changes`` above — reading them again here would only waste
+            # I/O (LWW idempotence would still make the result correct)
+            existing = read_state_table(self.lake_dir, prev,
+                                        fold_deltas=False)
             if existing is not None and any(
                     existing.column(k).null_count > 0 for k in MERGE_KEYS):
                 return None

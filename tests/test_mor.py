@@ -178,3 +178,27 @@ def test_mor_fsck_catches_missing_delta(tmp_path):
     report = validate_lake(mor)
     assert not report["ok"]
     assert any(p["kind"] == "missing_file" for p in report["problems"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_deltas_preserves_chunked_layout(tmp_path):
+    """Explicit compaction of a chunked-layout MoR lake must re-chunk at
+    key boundaries, not collapse partitions into one unbounded file."""
+    groups = _staged(tmp_path)
+    mor = _run_passes(tmp_path, "morcc", groups, mor_max_deltas=8,
+                      state_chunk_rows=60)
+    cow = _run_passes(tmp_path, "cowcc", groups, state_chunk_rows=60)
+    assert sum(_delta_counts(mor).values()) > 0
+    stats = compact_deltas(mor)
+    assert stats["partitions_compacted"] > 0
+    store = ManifestStore(mor.manifest_dir)
+    multi = 0
+    for pid in LakeMeta(mor.lake_dir).active_partition_ids(4):
+        m = store.read(pid)
+        assert not m.get("delta_files")
+        entries = m.get("data_files")
+        assert entries is not None          # chunked layout preserved
+        multi += len(entries) > 1
+    assert multi > 0                        # real chunking happened
+    pd.testing.assert_frame_equal(_fs(mor), _fs(cow))
+    assert validate_lake(mor, deep=True)["ok"]

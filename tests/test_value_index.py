@@ -133,3 +133,17 @@ def test_index_task_cli(tmp_path):
     # second run with an unchanged lake reuses every partition
     stats2 = run_task("index", cfg, column="role")
     assert stats2["reindexed"] == 0 and stats2["reused"] == stats2["partitions"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_int_column_probe(tmp_path):
+    """Postings stringify values; the probe must cast back to the
+    column's native type for the Parquet filter."""
+    cfg = _mk_lake(tmp_path)
+    build_value_index(cfg, "turn_idx")
+    full = final_state(cfg).to_pandas()
+    t = int(sorted(full["turn_idx"].unique())[0])
+    got = lookup_by_value(cfg, "turn_idx", [str(t)]).to_pandas()
+    want = (full[full["turn_idx"] == t]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
