@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_merge": q.cdc_lww_merge,
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
         "cdc_mor_replay": q.cdc_mor_replay,
+        "cdc_feed_resume": q.cdc_feed_resume,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_point_lookup": q.cdc_point_lookup,
         "cdc_find_by_tool": q.cdc_find_by_tool,
@@ -366,6 +367,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
+        # consumer acked pass 1 → resume delivers exactly the pass-2
+        # change events (lsn >= the two-phase cut)
+        "cdc_feed_resume": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            cut AS (SELECT 2 * CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS c
+                    FROM events)
+            SELECT conv_id, turn_idx, role, text, tool, ts, op, lsn
+            FROM ch, cut WHERE lsn >= cut.c ORDER BY lsn""",
         # merge-on-read ingest must be read-invisible: folded base+delta
         # view == the same copy-on-write winners
         "cdc_mor_replay": lww_winners + """

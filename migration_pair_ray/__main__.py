@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="delete: idempotence tag (defaults to --where)")
     p.add_argument("--column", default="",
                    help="index: lake column to build postings for")
+    p.add_argument("--consumer", default="",
+                   help="feed: changefeed consumer id")
+    p.add_argument("--ack", type=int, default=-1,
+                   help="feed: advance the consumer cursor to this pass seq")
     p.add_argument("--deep", action="store_true",
                    help="fsck: re-read state files (hash/tombstones/"
                         "uniqueness/routing)")
@@ -69,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["column"] = args.column
     if args.task == "compact":
         kw["base_pid"] = args.base_pid
+    if args.task == "feed":
+        kw.update(consumer=args.consumer, ack=args.ack)
 
     import ray
     if not ray.is_initialized():

@@ -1,0 +1,159 @@
+"""Changefeed consumption with durable consumer cursors.
+
+``cdc_changefeed`` (pipelines/queries) emits the NET state diff between two
+lake versions; this module is the other consumer surface a CDC engine
+owes its downstream: a resumable, at-least-once SUBSCRIPTION over the raw
+change stream, organized by committed pass.
+
+- The replay path already gives the stream durable structure: every pass
+  checkpoint (``_checkpoint/pass-*.json``) records its monotone ``seq``
+  and the change files it consumed.  A consumer's position is therefore
+  ONE integer: the highest pass seq it has acknowledged.
+- ``read_feed(cfg, consumer)`` returns the change events of every pass
+  the consumer has not acked, as a streaming Dataset (normalized schema,
+  plus ``_pass_seq`` provenance), and the frontier to ack.
+- ``ack_feed(cfg, consumer, through_seq)`` durably advances the cursor
+  (atomic file replace under ``<lake>/_consumers/``).  Crash between read
+  and ack ⇒ redelivery of the same passes — at-least-once, and exactly-
+  once for any downstream that applies the batch idempotently (e.g. this
+  engine's own replay, or any keyed upsert).
+
+Delivery is by PASS, not by file: a pass is the engine's atomic unit of
+visibility (its checkpoint lands only after every partition committed),
+so a consumer can never observe half a pass.  The change log's
+append-only contract is what makes redelivery exact: a committed file
+never changes in place (sources/changelog.discover enforces it).
+
+Scale shape: the cursor store is O(consumers) tiny JSON files; the feed
+read is the same streaming ``read_changes`` path replay itself uses —
+no driver materialization, no extra copies of the log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow as pa
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.state.manifest import CheckpointStore, _atomic_write
+
+
+class FeedRetentionError(RuntimeError):
+    """A pending pass's change files are gone from the log dir: the
+    consumer fell behind the log's retention — data loss, not a skip."""
+
+
+def _cursor_path(cfg: JobConfig, consumer: str) -> Path:
+    if not consumer or "/" in consumer or consumer.startswith("."):
+        raise ValueError(f"invalid consumer id {consumer!r}")
+    return Path(cfg.lake_dir) / "_consumers" / f"{consumer}.json"
+
+
+def consumer_cursor(cfg: JobConfig, consumer: str) -> int:
+    """Highest acked pass seq for ``consumer``; -1 = never acked (a new
+    consumer reads the log from the beginning)."""
+    try:
+        with open(_cursor_path(cfg, consumer)) as f:
+            return int(json.load(f)["acked_seq"])
+    except FileNotFoundError:
+        return -1
+
+
+def pending_passes(cfg: JobConfig, consumer: str) -> list[dict]:
+    """Committed passes the consumer has not acked, in seq order:
+    ``[{seq, pass_id, files}]`` with lake-log-relative file basenames
+    (the ``bulk:`` namespace prefix stripped)."""
+    cursor = consumer_cursor(cfg, consumer)
+    ck = CheckpointStore(cfg.checkpoint_dir)
+    out = []
+    for p in sorted(Path(ck.dir).glob("pass-*.json")):
+        with open(p) as f:
+            rec = json.load(f)
+        if "seq" not in rec or int(rec["seq"]) <= cursor:
+            continue
+        names = [n.split(":", 1)[1] if ":" in n else n
+                 for n in rec.get("files", [])]
+        out.append({"seq": int(rec["seq"]), "pass_id": rec["pass_id"],
+                    "files": names})
+    out.sort(key=lambda r: r["seq"])
+    return out
+
+
+def read_feed(cfg: JobConfig, consumer: str,
+              missing_ok: bool = False) -> tuple["object", int]:
+    """(Dataset of unacked change events, frontier seq to ack).
+
+    The Dataset carries the unified change schema plus an int64
+    ``_pass_seq`` column so a consumer can window or resume mid-stream.
+    Empty feed ⇒ (empty Dataset, current cursor).  A pending pass whose
+    files were deleted from the log dir raises FeedRetentionError
+    (``missing_ok=True`` skips those files and keeps going — an explicit
+    opt-in to data loss)."""
+    import ray.data as rd
+
+    from migration_pair_ray.sources.changelog import read_changes, unified_schema
+    pending = pending_passes(cfg, consumer)
+    frontier = (pending[-1]["seq"] if pending
+                else consumer_cursor(cfg, consumer))
+    per_pass: list[tuple[int, list[str]]] = []
+    for rec in pending:
+        paths = []
+        for name in rec["files"]:
+            p = Path(cfg.changelog_dir) / name
+            if p.exists():
+                paths.append(str(p))
+            elif not missing_ok:
+                raise FeedRetentionError(
+                    f"pass {rec['pass_id']} (seq {rec['seq']}) references "
+                    f"{name}, which is gone from {cfg.changelog_dir} — "
+                    f"consumer {consumer!r} fell behind log retention")
+        if paths:
+            per_pass.append((rec["seq"], paths))
+    if not per_pass:
+        from migration_pair_ray.schemas import CHANGE_SCHEMA
+        empty = CHANGE_SCHEMA.empty_table().append_column(
+            "_pass_seq", pa.array([], pa.int64()))
+        return rd.from_arrow(empty), frontier
+    schema = unified_schema([p for _, paths in per_pass for p in paths])
+
+    def stamp(seq: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+            return t.append_column(
+                "_pass_seq", pa.array(np.full(t.num_rows, seq, np.int64)))
+        return fn
+
+    parts = [read_changes(paths, schema).map_batches(
+        stamp(seq), batch_format="pyarrow") for seq, paths in per_pass]
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return ds, frontier
+
+
+def ack_feed(cfg: JobConfig, consumer: str, through_seq: int) -> dict:
+    """Durably advance the consumer cursor to ``through_seq`` (atomic
+    write + fsync).  Acks are monotone: a stale/duplicate ack (≤ current
+    cursor) is a no-op, so retried consumers can ack blindly."""
+    cur = consumer_cursor(cfg, consumer)
+    path = _cursor_path(cfg, consumer)
+    if through_seq <= cur:
+        return {"consumer": consumer, "acked_seq": cur, "advanced": False}
+    path.parent.mkdir(parents=True, exist_ok=True)
+    _atomic_write(str(path), json.dumps(
+        {"consumer": consumer, "acked_seq": int(through_seq)}).encode())
+    return {"consumer": consumer, "acked_seq": int(through_seq),
+            "advanced": True}
+
+
+def list_consumers(cfg: JobConfig) -> dict[str, int]:
+    """consumer id → acked seq, for ops visibility (lag = last committed
+    pass seq minus this)."""
+    d = Path(cfg.lake_dir) / "_consumers"
+    out = {}
+    for p in sorted(d.glob("*.json")) if d.exists() else []:
+        with open(p) as f:
+            rec = json.load(f)
+        out[rec["consumer"]] = int(rec["acked_seq"])
+    return out

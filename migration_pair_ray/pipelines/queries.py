@@ -3792,3 +3792,41 @@ def cdc_mor_replay(sf_dir: str):
         marker.touch()
     replay(cfg)   # no-op (idempotent); keeps the query re-runnable
     return final_state(cfg, sort=True)
+
+
+def cdc_feed_resume(sf_dir: str):
+    """Consumer-offset changefeed (pipelines/feed): a downstream consumer
+    that has acknowledged pass 1 of the two-phase lake reads EXACTLY the
+    pass-2 change events on resume — pass-granular at-least-once delivery
+    from the engine's own checkpoint records, cursor durably stored under
+    the lake.  Oracle: the derived change rows with lsn >= the two-phase
+    cut."""
+    from migration_pair_ray.pipelines.feed import ack_feed, read_feed
+    from migration_pair_ray.state.manifest import CheckpointStore
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    # own fixture (not lake_twophase): the feed depends on seq-stamped
+    # pass checkpoints, so it must not inherit a lake a previous engine
+    # version built without them
+    log, lake = str(root / "log_feedresume"), str(root / "lake_feedresume")
+    marker = root / "_feedresume_done"
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=16)
+    if not marker.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(log, ignore_errors=True)
+        os.makedirs(log)
+        files = sorted(Path(src.changelog_dir).glob("batch-*.parquet"))
+        for f in files[:2]:
+            os.link(f, Path(log) / f.name)
+        replay(cfg)
+        for f in files[2:]:
+            os.link(f, Path(log) / f.name)
+        replay(cfg)
+        marker.touch()
+    replay(cfg)   # idempotent no-op; keeps the query re-runnable
+    seq1 = min(CheckpointStore(cfg.checkpoint_dir).pass_seqs().values())
+    ack_feed(cfg, "driver-demo", seq1)  # monotone: rerun is a no-op
+    ds, _ = read_feed(cfg, "driver-demo")
+    return ds.map_batches(
+        lambda t: t.drop_columns(["_pass_seq"]),
+        batch_format="pyarrow").sort("lsn")

@@ -161,6 +161,25 @@ def task_delete(cfg: JobConfig, where: str = "", tag: str = "",
     return delete_where(cfg, predicate, tag or where, max_rows=max_rows)
 
 
+def task_feed(cfg: JobConfig, consumer: str = "", ack: int = -1,
+              **kw) -> dict:
+    """Changefeed consumer ops: report a consumer's pending passes and
+    frontier; with --ack SEQ, durably advance its cursor first."""
+    from migration_pair_ray.pipelines.feed import (ack_feed, consumer_cursor,
+                                                   pending_passes)
+    if not consumer:
+        raise ValueError("task_feed needs consumer (--consumer)")
+    out: dict = {}
+    if ack >= 0:
+        out["ack"] = ack_feed(cfg, consumer, ack)
+    pending = pending_passes(cfg, consumer)
+    out.update(consumer=consumer, cursor=consumer_cursor(cfg, consumer),
+               pending_passes=len(pending),
+               frontier=(pending[-1]["seq"] if pending
+                         else consumer_cursor(cfg, consumer)))
+    return out
+
+
 def task_compact(cfg: JobConfig, base_pid: int = -1, **kw) -> dict:
     """Fold merge-on-read delta files back into plain bases (one
     partition with --base-pid, else every partition carrying deltas)."""
@@ -211,6 +230,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "vacuum": task_vacuum,
     "index": task_index,
     "compact": task_compact,
+    "feed": task_feed,
     "delete": task_delete,
     "ingest_jsonl": task_ingest_jsonl,
     "schema_history": task_schema_history,

@@ -1,0 +1,114 @@
+"""Consumer-offset changefeed (pipelines/feed): pass-granular
+at-least-once delivery with durable monotone cursors."""
+
+import os
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from migration_pair_ray.changegen import generate_change_log
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.pipelines.feed import (FeedRetentionError, ack_feed,
+                                               consumer_cursor, list_consumers,
+                                               pending_passes, read_feed)
+from migration_pair_ray.pipelines.replay import replay
+from migration_pair_ray.state.manifest import CheckpointStore
+
+
+def _two_pass_lake(tmp_path):
+    stage = tmp_path / "stage"
+    files = generate_change_log(str(stage), n_events=1200, n_convs=10,
+                                n_files=4, tool_epoch=1, seed=31)
+    log = tmp_path / "log"
+    log.mkdir()
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, hash_state=False)
+    seqs = []
+    for group in (files[:2], files[2:]):
+        for f in group:
+            os.link(f, log / Path(f).name)
+        replay(cfg)
+        seqs.append(CheckpointStore(cfg.checkpoint_dir).last_seq())
+    return cfg, files, seqs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feed_delivers_resumes_and_acks(tmp_path):
+    cfg, files, (seq1, seq2) = _two_pass_lake(tmp_path)
+
+    # a new consumer sees BOTH passes, stamped with their seqs
+    ds, frontier = read_feed(cfg, "worker-a")
+    df = ds.to_pandas()
+    assert frontier == seq2
+    assert set(df["_pass_seq"].unique()) == {seq1, seq2}
+    n_total = sum(pd.read_parquet(f).shape[0] for f in files)
+    assert len(df) == n_total
+
+    # ack pass 1 only → redelivery of exactly pass 2
+    ack_feed(cfg, "worker-a", seq1)
+    ds2, frontier2 = read_feed(cfg, "worker-a")
+    df2 = ds2.to_pandas()
+    assert frontier2 == seq2
+    assert set(df2["_pass_seq"].unique()) == {seq2}
+    n_pass2 = sum(pd.read_parquet(f).shape[0] for f in files[2:])
+    assert len(df2) == n_pass2
+    # delivered rows match the pass-2 files exactly (per-lsn)
+    want = pd.concat([pd.read_parquet(f) for f in files[2:]])
+    assert sorted(df2["lsn"]) == sorted(want["lsn"])
+
+    # full ack → empty feed; duplicate/stale acks are monotone no-ops
+    assert ack_feed(cfg, "worker-a", seq2)["advanced"]
+    ds3, frontier3 = read_feed(cfg, "worker-a")
+    assert ds3.count() == 0 and frontier3 == seq2
+    assert not ack_feed(cfg, "worker-a", seq1)["advanced"]
+    assert consumer_cursor(cfg, "worker-a") == seq2
+    assert list_consumers(cfg) == {"worker-a": seq2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feed_independent_consumers_and_new_pass(tmp_path):
+    cfg, files, (seq1, seq2) = _two_pass_lake(tmp_path)
+    ack_feed(cfg, "a", seq2)
+    assert read_feed(cfg, "a")[0].count() == 0
+    # consumer "b" is independent and still sees everything
+    assert len(pending_passes(cfg, "b")) == 2
+
+    # a third pass arrives: only the lagging delta reaches "a"
+    extra = generate_change_log(str(tmp_path / "stage2"), n_events=300,
+                                n_convs=4, n_files=1, tool_epoch=0, seed=91)
+    os.link(extra[0], Path(cfg.changelog_dir) / "batch-90000-zz.parquet")
+    replay(cfg)
+    ds, frontier = read_feed(cfg, "a")
+    n_extra = pd.read_parquet(extra[0]).shape[0]
+    assert ds.count() == n_extra and frontier > seq2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feed_retention_violation_raises(tmp_path):
+    cfg, files, (seq1, seq2) = _two_pass_lake(tmp_path)
+    victim = Path(cfg.changelog_dir) / Path(files[0]).name
+    victim.unlink()
+    with pytest.raises(FeedRetentionError, match="fell behind"):
+        read_feed(cfg, "slow")
+    # explicit opt-in skips the lost file but still serves the rest
+    ds, _ = read_feed(cfg, "slow", missing_ok=True)
+    n_rest = sum(pd.read_parquet(f).shape[0] for f in files[1:])
+    assert ds.count() == n_rest
+
+
+def test_feed_rejects_bad_consumer_ids(tmp_path):
+    cfg = JobConfig(changelog_dir=str(tmp_path), lake_dir=str(tmp_path))
+    for bad in ("", "../x", ".hidden", "a/b"):
+        with pytest.raises(ValueError):
+            consumer_cursor(cfg, bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feed_task_cli(tmp_path):
+    from migration_pair_ray.tasks import run_task
+    cfg, files, (seq1, seq2) = _two_pass_lake(tmp_path)
+    out = run_task("feed", cfg, consumer="ops")
+    assert out["pending_passes"] == 2 and out["frontier"] == seq2
+    out = run_task("feed", cfg, consumer="ops", ack=seq1)
+    assert out["ack"]["advanced"] and out["pending_passes"] == 1
