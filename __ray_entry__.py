@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
         "cdc_mor_replay": q.cdc_mor_replay,
         "cdc_feed_resume": q.cdc_feed_resume,
+        "cdc_replica": q.cdc_replica,
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_point_lookup": q.cdc_point_lookup,
         "cdc_find_by_tool": q.cdc_find_by_tool,
@@ -364,6 +365,12 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         "cdc_two_phase_replay": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # follower lake under a different layout converges to the same
+        # visible winners as the source
+        "cdc_replica": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

@@ -157,3 +157,71 @@ def list_consumers(cfg: JobConfig) -> dict[str, int]:
             rec = json.load(f)
         out[rec["consumer"]] = int(rec["acked_seq"])
     return out
+
+
+def replicate(src: JobConfig, dst: JobConfig,
+              missing_ok: bool = False) -> dict:
+    """Replicate ``src``'s lake into ``dst`` by consuming the source's
+    committed passes in order — the cross-region / re-layout follower a
+    CDC engine owes its operators.  ``dst`` may use a DIFFERENT layout
+    (num_partitions / partition_mode / chunking / MoR): the change files
+    flow through dst's own full replay path, so the follower is also the
+    online re-partitioning story (COMPACTION.md) run as a stream instead
+    of a bulk job.
+
+    Pass-by-pass: link the source pass's change files into dst's log dir
+    (append-only: identical basenames, immutable bytes), replay dst, then
+    durably advance the replica cursor (``<dst lake>/_replica.json``).
+    Every step is idempotent — a crash at any point resumes exactly:
+    re-link skips existing files, replay skips committed passes, the
+    cursor ack is monotone.  Source file gone before the replica consumed
+    it ⇒ FeedRetentionError (the replica fell behind src log retention).
+    """
+    import shutil as _shutil
+
+    src_ck = CheckpointStore(src.checkpoint_dir)
+    cursor_path = Path(dst.lake_dir) / "_replica.json"
+    try:
+        with open(cursor_path) as f:
+            cursor = int(json.load(f)["acked_src_seq"])
+    except FileNotFoundError:
+        cursor = -1
+
+    passes = []
+    for p in sorted(Path(src_ck.dir).glob("pass-*.json")):
+        with open(p) as f:
+            rec = json.load(f)
+        if "seq" in rec and int(rec["seq"]) > cursor:
+            passes.append(rec)
+    passes.sort(key=lambda r: int(r["seq"]))
+
+    os.makedirs(dst.changelog_dir, exist_ok=True)
+    applied = events = 0
+    for rec in passes:
+        for name in rec.get("files", []):
+            base = name.split(":", 1)[1] if ":" in name else name
+            srcp = Path(src.changelog_dir) / base
+            dstp = Path(dst.changelog_dir) / base
+            if dstp.exists():
+                continue
+            if not srcp.exists():
+                if missing_ok:
+                    continue
+                raise FeedRetentionError(
+                    f"source pass {rec['pass_id']} references {base}, gone "
+                    f"from {src.changelog_dir} — replica fell behind")
+            try:
+                os.link(srcp, dstp)
+            except OSError:
+                _shutil.copy2(srcp, dstp)
+        from migration_pair_ray.pipelines.replay import replay
+        s = replay(dst)
+        if not s.get("up_to_date"):
+            applied += 1
+            events += s.get("events_in", 0)
+        cursor = int(rec["seq"])
+        cursor_path.parent.mkdir(parents=True, exist_ok=True)
+        _atomic_write(str(cursor_path),
+                      json.dumps({"acked_src_seq": cursor}).encode())
+    return {"passes_replicated": len(passes), "passes_applied": applied,
+            "events_in": events, "cursor": cursor}

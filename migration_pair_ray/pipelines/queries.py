@@ -135,6 +135,15 @@ def _events_lake(sf_dir: str) -> JobConfig:
         done_marker.touch()
     cfg = JobConfig(changelog_dir=log_dir, lake_dir=lake_dir, num_partitions=16)
     replay(cfg)  # no-op when already up to date
+    # self-heal: a lake under this tag built by an older engine version
+    # may lack seq stamps on its pass checkpoints, which seq-dependent
+    # consumers (feed, replica) need — rebuild it from the same change
+    # files (deterministic: same pass ids, same bytes)
+    from migration_pair_ray.state.manifest import CheckpointStore
+    ck = CheckpointStore(cfg.checkpoint_dir)
+    if len(list(Path(ck.dir).glob("pass-*.json"))) != len(ck.pass_seqs()):
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        replay(cfg)
     return cfg
 
 
@@ -3830,3 +3839,20 @@ def cdc_feed_resume(sf_dir: str):
     return ds.map_batches(
         lambda t: t.drop_columns(["_pass_seq"]),
         batch_format="pyarrow").sort("lsn")
+
+
+def cdc_replica(sf_dir: str):
+    """Streaming lake replication (pipelines/feed.replicate): a follower
+    lake consumes the source's committed passes in order — under a
+    DIFFERENT layout (8 salted-key partitions vs the source's 16
+    conv-hash) — and must converge to the same visible state.  Resumable:
+    the replica cursor makes the query a no-op re-run.  Oracle: the same
+    LWW winners as the source (cdc_lww_merge)."""
+    from migration_pair_ray.pipelines.feed import replicate
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    dst = JobConfig(changelog_dir=str(root / "log_replica"),
+                    lake_dir=str(root / "lake_replica"),
+                    num_partitions=8, partition_mode="key")
+    replicate(src, dst)
+    return final_state(dst, sort=True)

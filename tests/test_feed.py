@@ -112,3 +112,62 @@ def test_feed_task_cli(tmp_path):
     assert out["pending_passes"] == 2 and out["frontier"] == seq2
     out = run_task("feed", cfg, consumer="ops", ack=seq1)
     assert out["ack"]["advanced"] and out["pending_passes"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replicate_relayout_incremental_crash_resume(tmp_path):
+    """The follower converges under a different layout, consumes new
+    source passes incrementally, and survives a lost cursor (crash
+    between replay and ack) idempotently."""
+    from migration_pair_ray.pipelines.feed import replicate
+    from migration_pair_ray.pipelines.replay import final_state
+    stage = tmp_path / "stage"
+    files = generate_change_log(str(stage), n_events=1200, n_convs=10,
+                                n_files=4, tool_epoch=1, seed=31)
+    log = tmp_path / "log"
+    log.mkdir()
+    src = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "src"),
+                    num_partitions=4, hash_state=False)
+    for f in files[:2]:
+        os.link(f, log / Path(f).name)
+    replay(src)
+
+    dst = JobConfig(changelog_dir=str(tmp_path / "dlog"),
+                    lake_dir=str(tmp_path / "dst"),
+                    num_partitions=8, partition_mode="key",
+                    state_chunk_rows=60, hash_state=False)
+    s = replicate(src, dst)
+    assert s["passes_replicated"] == 1 and s["passes_applied"] == 1
+
+    def fs(cfg):
+        return final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(fs(dst), fs(src))
+
+    # second source pass → one incremental replication step
+    for f in files[2:]:
+        os.link(f, log / Path(f).name)
+    replay(src)
+    s2 = replicate(src, dst)
+    assert s2["passes_replicated"] == 1
+    pd.testing.assert_frame_equal(fs(dst), fs(src))
+
+    # crash between replay and ack: cursor lost → re-run redelivers the
+    # last pass; replay skips it as committed, state unchanged
+    (Path(dst.lake_dir) / "_replica.json").unlink()
+    s3 = replicate(src, dst)
+    assert s3["passes_replicated"] == 2 and s3["passes_applied"] == 0
+    pd.testing.assert_frame_equal(fs(dst), fs(src))
+    # quiescent: nothing pending
+    assert replicate(src, dst)["passes_replicated"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replicate_retention_error(tmp_path):
+    from migration_pair_ray.pipelines.feed import replicate
+    cfg, files, _ = _two_pass_lake(tmp_path)
+    (Path(cfg.changelog_dir) / Path(files[3]).name).unlink()
+    dst = JobConfig(changelog_dir=str(tmp_path / "dlog"),
+                    lake_dir=str(tmp_path / "dst"), num_partitions=2,
+                    hash_state=False)
+    with pytest.raises(FeedRetentionError, match="replica fell behind"):
+        replicate(cfg, dst)
