@@ -202,3 +202,40 @@ def test_compact_deltas_preserves_chunked_layout(tmp_path):
     assert multi > 0                        # real chunking happened
     pd.testing.assert_frame_equal(_fs(mor), _fs(cow))
     assert validate_lake(mor, deep=True)["ok"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mor_property_random_splits(tmp_path):
+    """Property (bounded): for random pass splits × delta thresholds ×
+    layouts, the MoR lake's visible state equals the DuckDB LWW oracle
+    over the full log."""
+    import duckdb
+    import random
+    rng = random.Random(1234)
+    stage = tmp_path / "stage"
+    files = generate_change_log(str(stage), n_events=1500, n_convs=8,
+                                n_files=6, tool_epoch=2, seed=13,
+                                shuffle_window=400, dup_frac=0.1)
+    lst = ", ".join(f"'{f}'" for f in files)
+    want = duckdb.sql(f"""
+        WITH ch AS (SELECT * FROM read_parquet([{lst}], union_by_name=true)),
+        w AS (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC) rn FROM ch)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM w WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
+    for trial in range(4):
+        cuts = sorted(rng.sample(range(1, 6), rng.randint(1, 3)))
+        groups, prev = [], 0
+        for c in cuts + [6]:
+            groups.append(files[prev:c])
+            prev = c
+        cfg = _run_passes(
+            tmp_path, f"prop{trial}", [g for g in groups if g],
+            mor_max_deltas=rng.randint(1, 4),
+            state_chunk_rows=rng.choice([0, 70]),
+            partition_mode=rng.choice(["conv", "key"]))
+        got = _fs(cfg)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert validate_lake(cfg, deep=True)["ok"], f"trial {trial}"
