@@ -440,8 +440,10 @@ def _compact_one_partition(lake_dir: str, m: dict, state_chunk_rows: int,
     driver performs the atomic rewrite + GC.  Honors the chunked layout:
     with ``state_chunk_rows > 0`` the fold re-chunks at key boundaries
     instead of collapsing into one unbounded file."""
+    from migration_pair_ray.schemas import MERGE_KEYS
     from migration_pair_ray.stages.applier import (_fsync_write_parquet,
-                                                   read_state_table)
+                                                   read_state_table,
+                                                   write_chunk_files)
     pid = int(m["partition"])
     merged = read_state_table(lake_dir, m)       # base + deltas folded
     d = Path(lake_dir) / f"part={pid:05d}"
@@ -463,29 +465,15 @@ def _compact_one_partition(lake_dir: str, m: dict, state_chunk_rows: int,
     rec = {k: v for k, v in m.items()
            if k not in ("data_file", "data_files", "delta_files",
                         "content_hash")}
-    if state_chunk_rows > 0 and merged.num_rows:
-        conv = np.asarray(merged.column("conv_id").to_pandas())
-        turn = merged.column("turn_idx").to_numpy(zero_copy_only=False)
-        entries, seq, lo = [], 0, 0
-        n = merged.num_rows
-        while lo < n:
-            hi = min(lo + state_chunk_rows, n)
-            while hi < n and (conv[hi] == conv[hi - 1]
-                              and turn[hi] == turn[hi - 1]):
-                hi += 1
-            sub = merged.slice(lo, hi - lo)
-            path = str(d / f"state-{tag}-{seq:04d}.parquet")
-            _fsync_write_parquet(sub, path)
-            entries.append({
-                "file": str(Path(path).relative_to(lake_dir)),
-                "rows": sub.num_rows,
-                "tombstones": _tombs(sub),
-                "key_lo": [str(conv[lo]), int(turn[lo])],
-                "key_hi": [str(conv[hi - 1]), int(turn[hi - 1])],
-                "content_hash": _hash(path),
-            })
-            seq += 1
-            lo = hi
+    # null merge keys make chunk key ranges meaningless (the same guard
+    # every applier write path applies) — fall back to the single file
+    has_null_keys = any(merged.column(k).null_count > 0
+                        for k in MERGE_KEYS) if merged.num_rows else False
+    if state_chunk_rows > 0 and merged.num_rows and not has_null_keys:
+        entries = write_chunk_files(
+            lake_dir, merged, state_chunk_rows,
+            name_fn=lambda s: str(d / f"state-{tag}-{s:04d}.parquet"),
+            hash_file=_hash)
         rec.update(data_files=entries,
                    row_count=sum(e["rows"] for e in entries),
                    tombstones=sum(e["tombstones"] for e in entries))

@@ -62,22 +62,37 @@ def consumer_cursor(cfg: JobConfig, consumer: str) -> int:
         return -1
 
 
+class FeedUnstampedError(RuntimeError):
+    """A committed pass has no seq stamp (written by an older engine
+    version): its position in the stream is unknowable, so serving the
+    feed would silently skip it — refuse instead."""
+
+
 def pending_passes(cfg: JobConfig, consumer: str) -> list[dict]:
     """Committed passes the consumer has not acked, in seq order:
-    ``[{seq, pass_id, files}]`` with lake-log-relative file basenames
-    (the ``bulk:`` namespace prefix stripped)."""
+    ``[{seq, pass_id, files}]``.  Each file entry is ``(basename, bulk)``
+    — ``bulk`` passes were loaded from OUTSIDE the changelog (their
+    recorded basenames are namespaced ``bulk:`` precisely so they can
+    never be confused with a changelog batch), so the feed cannot serve
+    their bytes.  A pass with no seq stamp raises FeedUnstampedError
+    (silently skipping it would violate at-least-once)."""
     cursor = consumer_cursor(cfg, consumer)
     ck = CheckpointStore(cfg.checkpoint_dir)
     out = []
     for p in sorted(Path(ck.dir).glob("pass-*.json")):
         with open(p) as f:
             rec = json.load(f)
-        if "seq" not in rec or int(rec["seq"]) <= cursor:
+        if "seq" not in rec:
+            raise FeedUnstampedError(
+                f"pass {rec.get('pass_id')!r} has no seq stamp (older "
+                f"engine version) — its stream position is unknowable; "
+                f"rebuild the lake before serving a feed from it")
+        if int(rec["seq"]) <= cursor:
             continue
-        names = [n.split(":", 1)[1] if ":" in n else n
-                 for n in rec.get("files", [])]
+        files = [(n.split(":", 1)[1], True) if n.startswith("bulk:")
+                 else (n, False) for n in rec.get("files", [])]
         out.append({"seq": int(rec["seq"]), "pass_id": rec["pass_id"],
-                    "files": names})
+                    "files": files})
     out.sort(key=lambda r: r["seq"])
     return out
 
@@ -101,7 +116,17 @@ def read_feed(cfg: JobConfig, consumer: str,
     per_pass: list[tuple[int, list[str]]] = []
     for rec in pending:
         paths = []
-        for name in rec["files"]:
+        for name, bulk in rec["files"]:
+            if bulk:
+                # a bulk-load pass's input never lived in the changelog;
+                # a same-named changelog batch would be the WRONG bytes
+                if missing_ok:
+                    continue
+                raise FeedRetentionError(
+                    f"pass {rec['pass_id']} (seq {rec['seq']}) was a "
+                    f"bulk load ({name}): its input is not retained in "
+                    f"the changelog and cannot be served — ack past it "
+                    f"explicitly or re-ingest (missing_ok=True skips)")
             p = Path(cfg.changelog_dir) / name
             if p.exists():
                 paths.append(str(p))
@@ -140,6 +165,13 @@ def ack_feed(cfg: JobConfig, consumer: str, through_seq: int) -> dict:
     path = _cursor_path(cfg, consumer)
     if through_seq <= cur:
         return {"consumer": consumer, "acked_seq": cur, "advanced": False}
+    last = CheckpointStore(cfg.checkpoint_dir).last_seq()
+    if through_seq > last:
+        # a typo'd future seq would durably skip every pass committed
+        # between now and it — at-least-once forbids that silently
+        raise ValueError(
+            f"ack seq {through_seq} is beyond the last committed pass "
+            f"seq {last} — refusing a cursor that would skip future data")
     path.parent.mkdir(parents=True, exist_ok=True)
     _atomic_write(str(path), json.dumps(
         {"consumer": consumer, "acked_seq": int(through_seq)}).encode())
@@ -191,7 +223,12 @@ def replicate(src: JobConfig, dst: JobConfig,
     for p in sorted(Path(src_ck.dir).glob("pass-*.json")):
         with open(p) as f:
             rec = json.load(f)
-        if "seq" in rec and int(rec["seq"]) > cursor:
+        if "seq" not in rec:
+            raise FeedUnstampedError(
+                f"source pass {rec.get('pass_id')!r} has no seq stamp — "
+                f"its stream position is unknowable; rebuild the source "
+                f"lake before replicating from it")
+        if int(rec["seq"]) > cursor:
             passes.append(rec)
     passes.sort(key=lambda r: int(r["seq"]))
 
@@ -199,16 +236,25 @@ def replicate(src: JobConfig, dst: JobConfig,
     applied = events = 0
     for rec in passes:
         for name in rec.get("files", []):
-            base = name.split(":", 1)[1] if ":" in name else name
-            srcp = Path(src.changelog_dir) / base
-            dstp = Path(dst.changelog_dir) / base
+            if name.startswith("bulk:"):
+                # bulk-load input never lived in the source changelog; a
+                # same-named changelog batch would be the wrong bytes
+                if missing_ok:
+                    continue
+                raise FeedRetentionError(
+                    f"source pass {rec['pass_id']} was a bulk load "
+                    f"({name}): its input is not retained in the "
+                    f"changelog — replicate cannot ship it "
+                    f"(missing_ok=True skips, diverging the follower)")
+            srcp = Path(src.changelog_dir) / name
+            dstp = Path(dst.changelog_dir) / name
             if dstp.exists():
                 continue
             if not srcp.exists():
                 if missing_ok:
                     continue
                 raise FeedRetentionError(
-                    f"source pass {rec['pass_id']} references {base}, gone "
+                    f"source pass {rec['pass_id']} references {name}, gone "
                     f"from {src.changelog_dir} — replica fell behind")
             try:
                 os.link(srcp, dstp)

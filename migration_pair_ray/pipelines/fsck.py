@@ -126,9 +126,12 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
 
     # merge-on-read delta files: same per-file checks (existence, footer
     # rows, hash/tombstones/uniqueness/routing when deep) but OUTSIDE the
-    # base accounting — row_count stays the base count, and delta key
-    # ranges legitimately overlap the base chunks and each other
+    # base rows_sum reconciliation — row_count stays the base count, and
+    # delta key ranges legitimately overlap the base chunks and each other
+    delta_files = delta_rows = 0
     for e in manifest.get("delta_files", []):
+        delta_files += 1
+        delta_rows += int(e["rows"])
         path = os.path.join(lake_dir, e["file"])
         if not os.path.exists(path):
             bad("missing_file", e["file"])
@@ -146,9 +149,11 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
             f"sum of file rows {rows_sum} != partition row_count "
             f"{manifest.get('row_count')}")
     # totals ride back with the problems (one _stats row per partition) so
-    # the driver never re-reads every manifest just to sum files/rows
+    # the driver never re-reads every manifest just to sum files/rows —
+    # audited delta files/rows count toward the ops-visible totals too
     problems.append({"partition": pid, "kind": "_stats",
-                     "detail": f"{len(entries)}:{rows_sum}"})
+                     "detail": f"{len(entries) + delta_files}:"
+                               f"{rows_sum + delta_rows}"})
     return problems
 
 

@@ -219,14 +219,25 @@ def _verify_fresh(cfg: JobConfig, column: str) -> dict[int, list[str]]:
     return parts
 
 
+def _stringify_values(values) -> list[str]:
+    """Match the build-time stringification EXACTLY: postings are written
+    with an Arrow cast-to-string, so native-typed probe values must go
+    through the same cast (str(True) = 'True' but Arrow writes 'true';
+    str(1.0) = '1.0' but Arrow writes '1')."""
+    vals = list(values)
+    if all(isinstance(v, str) for v in vals):
+        return vals
+    return pa.array(vals).cast(pa.string()).to_pylist()
+
+
 def index_candidate_files(cfg: JobConfig, column: str,
-                          values: list[str]) -> list[str]:
+                          values: list) -> list[str]:
     """The pruning plan: lake-relative state files whose postings contain
     any requested value (exposed for tests/ops, like lookup.candidate_files).
     Verifies freshness first."""
     parts = _verify_fresh(cfg, column)
     idx = _index_dir(cfg, column)
-    want = pa.array(sorted({str(v) for v in values}), pa.string())
+    want = pa.array(sorted(set(_stringify_values(values))), pa.string())
     out: list[str] = []
     for pid in sorted(parts):
         path = idx / f"part-{pid:05d}.parquet"
@@ -246,11 +257,12 @@ def lookup_by_value(cfg: JobConfig, column: str, values: list[str],
     side like ``lookup_keys``: a value probe is a latency path; bulk
     extraction should use ``read_lake`` + a distributed filter.
 
-    ``values`` are strings (postings stringify at build time); for a
-    non-string indexed column they are cast back to the column's native
-    type for the Parquet filter, so int/bool columns probe correctly."""
-    files = index_candidate_files(cfg, column, [str(v) for v in values])
-    want = sorted(set(str(v) for v in values))
+    ``values`` may be strings or native-typed scalars; both are
+    normalized with the same Arrow cast the postings were built with,
+    and cast back to the column's native type for the Parquet filter —
+    int/bool/float columns probe correctly either way."""
+    want = sorted(set(_stringify_values(values)))
+    files = index_candidate_files(cfg, column, want)
     tables = []
     for rel in files:
         path = str(Path(cfg.lake_dir) / rel)

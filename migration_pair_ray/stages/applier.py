@@ -130,34 +130,11 @@ class Applier:
         """Write ``merged`` (key-sorted) as key-range chunk files of about
         ``state_chunk_rows`` rows, cut at key-group boundaries (one key
         never spans two chunks).  Returns (manifest entries, next seq)."""
-        import numpy as np
-        n = merged.num_rows
-        entries: list[dict] = []
-        if n == 0:
-            return entries, seq
-        conv = np.asarray(merged.column("conv_id").to_pandas())
-        turn = merged.column("turn_idx").to_numpy(zero_copy_only=False)
-        lo = 0
-        while lo < n:
-            hi = min(lo + max(self.state_chunk_rows, 1), n)
-            while hi < n and (conv[hi] == conv[hi - 1]
-                              and turn[hi] == turn[hi - 1]):
-                hi += 1
-            sub = merged.slice(lo, hi - lo)
-            path = self._state_file(pid, seq)
-            _fsync_write_parquet(sub, path)
-            entries.append({
-                "file": str(Path(path).relative_to(self.lake_dir)),
-                "rows": sub.num_rows,
-                "tombstones": int(pc.sum(pc.cast(
-                    pc.equal(sub.column("op"), "D"), pa.int64())).as_py() or 0),
-                "key_lo": [str(conv[lo]), int(turn[lo])],
-                "key_hi": [str(conv[hi - 1]), int(turn[hi - 1])],
-                "content_hash": self._hash_file(path),
-            })
-            seq += 1
-            lo = hi
-        return entries, seq
+        entries = write_chunk_files(
+            self.lake_dir, merged, self.state_chunk_rows,
+            name_fn=lambda s: self._state_file(pid, s),
+            hash_file=self._hash_file, start_seq=seq)
+        return entries, seq + len(entries)
 
     def _commit(self, pid: int, record: dict, referenced: set[str]) -> None:
         if self.pass_seq >= 0:
@@ -402,6 +379,45 @@ class Applier:
             written, seq = self._write_chunks(pid, merged, seq)
             new_entries.extend(written)
         return new_entries, rows_in
+
+
+def write_chunk_files(lake_dir: str, merged: pa.Table, chunk_rows: int,
+                      name_fn, hash_file, start_seq: int = 0) -> list[dict]:
+    """The ONE chunk-cutting authority: write a key-sorted table as
+    key-range chunk files of about ``chunk_rows`` rows, cut at key-group
+    boundaries (one key never spans two chunks), fsync'd.  Used by the
+    applier's chunked merge and by delta compaction — callers supply the
+    file-naming scheme (``name_fn(seq) -> abs path``).  Callers must have
+    handled null merge keys first: key ranges are only meaningful on
+    non-null keys."""
+    import numpy as np
+    n = merged.num_rows
+    entries: list[dict] = []
+    if n == 0:
+        return entries
+    conv = np.asarray(merged.column("conv_id").to_pandas())
+    turn = merged.column("turn_idx").to_numpy(zero_copy_only=False)
+    lo, seq = 0, start_seq
+    while lo < n:
+        hi = min(lo + max(chunk_rows, 1), n)
+        while hi < n and (conv[hi] == conv[hi - 1]
+                          and turn[hi] == turn[hi - 1]):
+            hi += 1
+        sub = merged.slice(lo, hi - lo)
+        path = name_fn(seq)
+        _fsync_write_parquet(sub, path)
+        entries.append({
+            "file": str(Path(path).relative_to(lake_dir)),
+            "rows": sub.num_rows,
+            "tombstones": int(pc.sum(pc.cast(
+                pc.equal(sub.column("op"), "D"), pa.int64())).as_py() or 0),
+            "key_lo": [str(conv[lo]), int(turn[lo])],
+            "key_hi": [str(conv[hi - 1]), int(turn[hi - 1])],
+            "content_hash": hash_file(path),
+        })
+        seq += 1
+        lo = hi
+    return entries
 
 
 def read_state_table(lake_dir: str, manifest: dict | None,

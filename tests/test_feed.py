@@ -171,3 +171,52 @@ def test_replicate_retention_error(tmp_path):
                     hash_state=False)
     with pytest.raises(FeedRetentionError, match="replica fell behind"):
         replicate(cfg, dst)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feed_refuses_bulk_and_unstamped_passes(tmp_path):
+    """A bulk-load pass's input never lived in the changelog (and its
+    bulk: namespace exists to prevent basename collisions): the feed and
+    the replica must refuse rather than deliver wrong bytes; a pass with
+    no seq stamp must refuse rather than be silently skipped."""
+    import json
+    from migration_pair_ray.pipelines.feed import (FeedUnstampedError,
+                                                   replicate)
+    cfg, files, (seq1, seq2) = _two_pass_lake(tmp_path)
+    ck_dir = Path(cfg.checkpoint_dir)
+
+    # forge a bulk-load checkpoint (input outside the changelog)
+    rec = {"pass_id": "bulkpass", "seq": seq2 + 1,
+           "files": ["bulk:input.csv"], "file_sizes": {}, "stats": {}}
+    (ck_dir / "pass-bulkpass.json").write_text(json.dumps(rec))
+    with pytest.raises(FeedRetentionError, match="bulk load"):
+        read_feed(cfg, "c1")
+    ds, frontier = read_feed(cfg, "c1", missing_ok=True)  # explicit opt-in
+    assert frontier == seq2 + 1
+    dst = JobConfig(changelog_dir=str(tmp_path / "dlog"),
+                    lake_dir=str(tmp_path / "dst"), num_partitions=2,
+                    hash_state=False)
+    with pytest.raises(FeedRetentionError, match="bulk load"):
+        replicate(cfg, dst)
+
+    # a colliding changelog basename must NOT be served as the bulk pass
+    (Path(cfg.changelog_dir) / "input.csv").write_text("not,change,data")
+    with pytest.raises(FeedRetentionError, match="bulk load"):
+        read_feed(cfg, "c1")
+
+    # unstamped pass (older engine version) refuses loudly
+    (ck_dir / "pass-bulkpass.json").unlink()
+    rec = {"pass_id": "legacy", "files": [], "file_sizes": {}, "stats": {}}
+    (ck_dir / "pass-legacy.json").write_text(json.dumps(rec))
+    with pytest.raises(FeedUnstampedError, match="no seq stamp"):
+        read_feed(cfg, "c1")
+    with pytest.raises(FeedUnstampedError, match="no seq stamp"):
+        replicate(cfg, dst)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ack_rejects_future_seq(tmp_path):
+    cfg, files, (seq1, seq2) = _two_pass_lake(tmp_path)
+    with pytest.raises(ValueError, match="beyond the last committed"):
+        ack_feed(cfg, "typo", 999_999)
+    assert consumer_cursor(cfg, "typo") == -1

@@ -147,3 +147,17 @@ def test_int_column_probe(tmp_path):
     want = (full[full["turn_idx"] == t]
             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_native_typed_probe_values(tmp_path):
+    """Native-typed probe values (int, not str) go through the same
+    Arrow stringification the postings were built with."""
+    cfg = _mk_lake(tmp_path)
+    build_value_index(cfg, "turn_idx")
+    full = final_state(cfg).to_pandas()
+    t = int(sorted(full["turn_idx"].unique())[0])
+    got = lookup_by_value(cfg, "turn_idx", [t]).to_pandas()  # int, not str
+    want = (full[full["turn_idx"] == t]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
