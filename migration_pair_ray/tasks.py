@@ -180,6 +180,16 @@ def task_feed(cfg: JobConfig, consumer: str = "", ack: int = -1,
     return out
 
 
+def task_replicate(cfg: JobConfig, input_path: str = "", **kw) -> dict:
+    """Follower-lake replication: ``cfg`` is the DESTINATION (its own
+    layout), ``--input`` points at the SOURCE lake's JobConfig JSON."""
+    from migration_pair_ray.pipelines.feed import replicate
+    if not input_path:
+        raise ValueError("task_replicate needs the source JobConfig JSON "
+                         "(--input src.json)")
+    return replicate(JobConfig.from_json(input_path), cfg)
+
+
 def task_compact(cfg: JobConfig, base_pid: int = -1, **kw) -> dict:
     """Fold merge-on-read delta files back into plain bases (one
     partition with --base-pid, else every partition carrying deltas)."""
@@ -231,6 +241,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "index": task_index,
     "compact": task_compact,
     "feed": task_feed,
+    "replicate": task_replicate,
     "delete": task_delete,
     "ingest_jsonl": task_ingest_jsonl,
     "schema_history": task_schema_history,

@@ -220,3 +220,21 @@ def test_ack_rejects_future_seq(tmp_path):
     with pytest.raises(ValueError, match="beyond the last committed"):
         ack_feed(cfg, "typo", 999_999)
     assert consumer_cursor(cfg, "typo") == -1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replicate_task_cli(tmp_path):
+    """CLI shape: dst is --config, src is --input (a JobConfig JSON)."""
+    from migration_pair_ray.tasks import run_task
+    cfg, files, _ = _two_pass_lake(tmp_path)
+    src_json = tmp_path / "src.json"
+    cfg.to_json(src_json)
+    dst = JobConfig(changelog_dir=str(tmp_path / "dlog"),
+                    lake_dir=str(tmp_path / "dst"), num_partitions=8,
+                    partition_mode="key", hash_state=False)
+    out = run_task("replicate", dst, input_path=str(src_json))
+    assert out["passes_replicated"] == 2
+    from migration_pair_ray.pipelines.replay import final_state
+    pd.testing.assert_frame_equal(
+        final_state(dst).to_pandas().reset_index(drop=True),
+        final_state(cfg).to_pandas().reset_index(drop=True))
