@@ -134,10 +134,11 @@ QUERY_NAMES = [
     "conv_role_transitions",
 ]
 # Excluded on purpose: the cdc_* lake queries (cdc_lww_merge, tombstones,
-# snapshots, lineage, compaction, quarantine, two-phase, time_travel) each
-# rebuild an events lake per call — the headline replay above IS that path,
-# measured properly (warm-up + best-of-2) instead of N noisy single-shot
-# rebuilds.  cdc_point_lookup stays in: it reads the shared lake.
+# snapshots, lineage, compaction, quarantine, two-phase, time_travel,
+# mor_replay, feed_resume, replica) each rebuild an events lake per call —
+# the headline replay above IS that path, measured properly (warm-up +
+# best-of-2) instead of N noisy single-shot rebuilds.  cdc_point_lookup
+# and cdc_find_by_tool stay in: they read (and index) the shared lake.
 
 
 def ensure_change_log() -> str:
