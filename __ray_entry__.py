@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changelog_stats": q.cdc_changelog_stats,
         "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
+        "cdc_snapshot_incremental": q.cdc_snapshot_incremental,
         "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
@@ -365,6 +366,11 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         "cdc_two_phase_replay": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # incremental per-partition export read back == visible winners
+        "cdc_snapshot_incremental": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

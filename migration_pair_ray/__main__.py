@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="feed: changefeed consumer id")
     p.add_argument("--ack", type=int, default=-1,
                    help="feed: advance the consumer cursor to this pass seq")
+    p.add_argument("--incremental", action="store_true",
+                   help="snapshot: per-partition export, rewriting only "
+                        "partitions whose state moved since the last run")
     p.add_argument("--deep", action="store_true",
                    help="fsck: re-read state files (hash/tombstones/"
                         "uniqueness/routing)")
@@ -75,6 +78,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["base_pid"] = args.base_pid
     if args.task == "feed":
         kw.update(consumer=args.consumer, ack=args.ack)
+    if args.task == "snapshot" and args.incremental:
+        kw["incremental"] = True
 
     import ray
     if not ray.is_initialized():

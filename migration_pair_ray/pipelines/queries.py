@@ -3856,3 +3856,18 @@ def cdc_replica(sf_dir: str):
                     num_partitions=8, partition_mode="key")
     replicate(src, dst)
     return final_state(dst, sort=True)
+
+
+def cdc_snapshot_incremental(sf_dir: str):
+    """Incremental snapshot export roundtrip: per-partition visible-state
+    files written by pipelines/snapshot.snapshot_incremental (fingerprint-
+    keyed — a re-run rewrites nothing on an unchanged lake, asserted
+    here), read back and compared to the LWW winners oracle."""
+    from migration_pair_ray.pipelines.snapshot import snapshot_incremental
+    cfg = _events_lake(sf_dir)
+    out = str(Path(cfg.lake_dir).parent / "export_incr")
+    snapshot_incremental(cfg, out)
+    again = snapshot_incremental(cfg, out)
+    assert again["exported"] == 0, "unchanged lake must fully reuse"
+    return (rd.read_parquet(out, file_extensions=["parquet"])
+            .sort(["conv_id", "turn_idx"]))

@@ -25,11 +25,15 @@ def task_replay(cfg: JobConfig, **kw) -> dict:
 
 
 def task_snapshot(cfg: JobConfig, out_dir: str = "", fmt: str = "parquet",
-                  unix_ms_ts: bool = False, **kw) -> dict:
+                  unix_ms_ts: bool = False, incremental: bool = False,
+                  **kw) -> dict:
+    out = out_dir or f"{cfg.lake_dir}/_snapshot"
+    if incremental:
+        from migration_pair_ray.pipelines.snapshot import snapshot_incremental
+        return dict(snapshot_incremental(cfg, out), out_dir=out)
     from migration_pair_ray.pipelines.snapshot import snapshot
-    rows = snapshot(cfg, out_dir or f"{cfg.lake_dir}/_snapshot",
-                    fmt=fmt, unix_ms_ts=unix_ms_ts)
-    return {"rows": rows, "out_dir": out_dir or f"{cfg.lake_dir}/_snapshot"}
+    rows = snapshot(cfg, out, fmt=fmt, unix_ms_ts=unix_ms_ts)
+    return {"rows": rows, "out_dir": out}
 
 
 def task_bulk_load(cfg: JobConfig, input_path: str = "", fmt: str = "csv",
