@@ -238,3 +238,42 @@ def test_replicate_task_cli(tmp_path):
     pd.testing.assert_frame_equal(
         final_state(dst).to_pandas().reset_index(drop=True),
         final_state(cfg).to_pandas().reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feed_property_random_ack_suffix(tmp_path):
+    """Property (bounded): for random pass splits and a random ack point
+    k, the feed delivers exactly the suffix of passes after k."""
+    import random
+    rng = random.Random(7)
+    stage = tmp_path / "stage"
+    files = generate_change_log(str(stage), n_events=1200, n_convs=8,
+                                n_files=6, tool_epoch=1, seed=17)
+    for trial in range(3):
+        log = tmp_path / f"log{trial}"
+        log.mkdir()
+        cfg = JobConfig(changelog_dir=str(log),
+                        lake_dir=str(tmp_path / f"lake{trial}"),
+                        num_partitions=4, hash_state=False)
+        cuts = sorted(rng.sample(range(1, 6), rng.randint(1, 3)))
+        groups, prev = [], 0
+        for c in cuts + [6]:
+            if files[prev:c]:
+                groups.append(files[prev:c])
+            prev = c
+        seqs = []
+        for g in groups:
+            for f in g:
+                os.link(f, log / Path(f).name)
+            replay(cfg)
+            seqs.append(CheckpointStore(cfg.checkpoint_dir).last_seq())
+        k = rng.randrange(len(groups) + 1)   # ack nothing .. everything
+        if k > 0:
+            ack_feed(cfg, "p", seqs[k - 1])
+        ds, frontier = read_feed(cfg, "p")
+        want_files = [f for g in groups[k:] for f in g]
+        want_lsns = sorted(
+            l for f in want_files for l in pd.read_parquet(f)["lsn"])
+        got = ds.to_pandas()
+        assert sorted(got["lsn"]) == want_lsns, (trial, k)
+        assert frontier == seqs[-1]
