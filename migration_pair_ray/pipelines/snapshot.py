@@ -122,6 +122,19 @@ def snapshot_incremental(cfg: JobConfig, out_dir: str) -> dict:
     ``_export_meta.json``, rewritten atomically LAST so a crashed export
     re-runs exactly.  Files of retired partitions (splits/merges) are
     removed.  Returns {partitions, exported, reused, rows_exported}."""
+    # writer lease: the export reads manifest-pinned files a concurrent
+    # replay's commit-time GC could delete mid-run (same rule as the
+    # value-index build and every maintenance job)
+    import contextlib
+
+    from migration_pair_ray.state.lock import WriterLease
+    lease = (WriterLease(cfg.lake_dir, "export", cfg.writer_lease_ttl_s)
+             if cfg.writer_lease else contextlib.nullcontext())
+    with lease:
+        return _snapshot_incremental_locked(cfg, out_dir)
+
+
+def _snapshot_incremental_locked(cfg: JobConfig, out_dir: str) -> dict:
     import json as _json
 
     import ray.data as rd
