@@ -267,3 +267,55 @@ def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
             real_problems.append(r)
     return {"ok": not real_problems, "partitions": len(pids), "files": files,
             "rows": rows, "deep": deep, "problems": real_problems}
+
+
+def lake_stats(cfg: JobConfig) -> dict:
+    """Ops observability: per-lake layout statistics from manifests only
+    (no data reads) — file/row/byte counts, chunked/MoR depth, and the
+    small-file signal that drives compaction decisions.  Read-only; the
+    numbers a 100-TB operator checks before choosing split/merge/compact/
+    vacuum actions."""
+    lm = LakeMeta(cfg.lake_dir)
+    meta = lm.read()
+    if meta is None:
+        return {"partitions": 0, "note": "no _lake_meta.json (empty lake)"}
+    store = ManifestStore(os.path.join(cfg.lake_dir, "_manifest"))
+    parts = files = rows = tombstones = deltas = retained = 0
+    nbytes = 0
+    chunked = mor = 0
+    per_part_files: list[int] = []
+    for pid in lm.active_partition_ids():
+        m = store.read(pid)
+        if not m:
+            continue
+        parts += 1
+        entries = _entries(m)
+        dts = m.get("delta_files", [])
+        per_part_files.append(len(entries) + len(dts))
+        files += len(entries) + len(dts)
+        rows += int(m.get("row_count", 0)) + sum(int(e["rows"]) for e in dts)
+        tombstones += int(m.get("tombstones", 0))
+        deltas += len(dts)
+        retained += len(m.get("prev_records", []))
+        chunked += 1 if m.get("data_files") is not None else 0
+        mor += 1 if dts else 0
+        for e in entries + list(dts):
+            p = os.path.join(cfg.lake_dir, e["file"])
+            if os.path.exists(p):
+                nbytes += os.path.getsize(p)
+    return {
+        "partitions": parts,
+        "num_partitions": meta["num_partitions"],
+        "partition_mode": meta["partition_mode"],
+        "splits": len(lm.splits()),
+        "files": files,
+        "rows_internal": rows,
+        "tombstones": tombstones,
+        "bytes": nbytes,
+        "avg_file_bytes": (nbytes // files) if files else 0,
+        "max_files_per_partition": max(per_part_files, default=0),
+        "chunked_partitions": chunked,
+        "mor_partitions": mor,
+        "pending_deltas": deltas,
+        "retained_records": retained,
+    }

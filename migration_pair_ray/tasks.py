@@ -59,6 +59,13 @@ def task_lineage(cfg: JobConfig, **kw) -> dict:
     return lineage_summary(cfg)
 
 
+def task_stats(cfg: JobConfig, **kw) -> dict:
+    """Read-only lake layout statistics (pipelines/fsck.lake_stats):
+    file/row/byte counts, chunked/MoR depth, small-file signal."""
+    from migration_pair_ray.pipelines.fsck import lake_stats
+    return lake_stats(cfg)
+
+
 def task_fsck(cfg: JobConfig, deep: bool = False, **kw) -> dict:
     """Read-only lake audit: manifests vs on-disk files (pipelines/fsck).
     ``deep`` re-reads state files (hash, tombstones, key uniqueness,
@@ -252,6 +259,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "requeue": task_requeue,
     "tail": task_tail,
     "fsck": task_fsck,
+    "stats": task_stats,
 }
 
 

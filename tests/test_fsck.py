@@ -126,3 +126,36 @@ def test_fsck_detects_manifest_rows_mismatch(tmp_path):
     mpath.write_text(json.dumps(m))
     rep = validate_lake(cfg)
     assert "manifest_rows_mismatch" in {p["kind"] for p in rep["problems"]}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lake_stats(tmp_path):
+    """lake_stats reports layout truthfully across plain / chunked / MoR
+    lakes, from manifests only."""
+    import os
+    from migration_pair_ray.changegen import generate_change_log
+    from migration_pair_ray.pipelines.fsck import lake_stats
+    from migration_pair_ray.pipelines.replay import replay
+    from migration_pair_ray.tasks import run_task
+    stage = tmp_path / "stage"
+    files = generate_change_log(str(stage), n_events=1200, n_convs=10,
+                                n_files=4, tool_epoch=1, seed=19)
+    log = tmp_path / "log"
+    log.mkdir()
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4, hash_state=False,
+                    state_chunk_rows=60, mor_max_deltas=4)
+    for f in files[:2]:
+        os.link(f, log / Path(f).name)
+    replay(cfg)
+    s1 = lake_stats(cfg)
+    assert s1["partitions"] == 4 and s1["chunked_partitions"] == 4
+    assert s1["pending_deltas"] == 0 and s1["bytes"] > 0
+    for f in files[2:]:
+        os.link(f, log / Path(f).name)
+    replay(cfg)                       # second pass lands as deltas
+    s2 = lake_stats(cfg)
+    assert s2["mor_partitions"] > 0 and s2["pending_deltas"] > 0
+    assert s2["rows_internal"] > s1["rows_internal"]
+    assert s2["max_files_per_partition"] >= 2
+    assert run_task("stats", cfg) == s2
