@@ -20,7 +20,9 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="migration_pair_ray")
     p.add_argument("task", choices=sorted(TASKS))
     p.add_argument("--config", required=True, help="JobConfig JSON file")
-    p.add_argument("--input", default="", help="bulk_load input path")
+    p.add_argument("--input", default="",
+                   help="bulk_load/ingest_jsonl: input path; "
+                        "replicate: SOURCE JobConfig JSON")
     p.add_argument("--out", default="", help="snapshot output dir")
     p.add_argument("--fmt", default="", help="snapshot/bulk_load format")
     p.add_argument("--base-pid", type=int, default=-1,

@@ -294,7 +294,8 @@ def lake_stats(cfg: JobConfig) -> dict:
         per_part_files.append(len(entries) + len(dts))
         files += len(entries) + len(dts)
         rows += int(m.get("row_count", 0)) + sum(int(e["rows"]) for e in dts)
-        tombstones += int(m.get("tombstones", 0))
+        tombstones += (int(m.get("tombstones", 0))
+                       + sum(int(e.get("tombstones", 0)) for e in dts))
         deltas += len(dts)
         retained += len(m.get("prev_records", []))
         chunked += 1 if m.get("data_files") is not None else 0

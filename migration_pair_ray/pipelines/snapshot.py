@@ -167,23 +167,25 @@ def _snapshot_incremental_locked(cfg: JobConfig, out_dir: str) -> dict:
     if dirty:
         lake_dir, out_str = cfg.lake_dir, str(out)
 
+        from migration_pair_ray.schemas import CHANGE_SCHEMA
+
         def export_one(t: pa.Table) -> pa.Table:
             ns, pids = [], []
             for mj in t.column("manifest").to_pylist():
                 rec = _json.loads(mj)
                 pid = int(rec["pid"])
                 st = read_state_table(lake_dir, rec["m"])  # folds MoR
-                vis = (visible_state(st) if st is not None
-                       else None)
                 path = f"{out_str}/part-{pid:05d}.parquet"
-                if vis is None or vis.num_rows == 0:
-                    from migration_pair_ray.schemas import CHANGE_SCHEMA
-                    from migration_pair_ray.functions.lww import (
-                        visible_state as _vs)
-                    vis = _vs(CHANGE_SCHEMA.empty_table())
+                if st is None:
+                    # never-written partition: canonical-schema empty file
+                    vis = visible_state(CHANGE_SCHEMA.empty_table())
                 else:
-                    vis = vis.sort_by([("conv_id", "ascending"),
-                                       ("turn_idx", "ascending")])
+                    # keep the partition's own (possibly evolved) schema
+                    # even when every row is tombstoned — the export dir
+                    # must not silently mix schema vintages per file
+                    vis = visible_state(st).sort_by(
+                        [("conv_id", "ascending"),
+                         ("turn_idx", "ascending")])
                 _fsync_write_parquet(vis, path)
                 ns.append(vis.num_rows)
                 pids.append(pid)
@@ -205,5 +207,9 @@ def _snapshot_incremental_locked(cfg: JobConfig, out_dir: str) -> dict:
     for p in out.glob("part-*.parquet"):
         if p.name not in live:
             p.unlink()
+    # orphaned tmp files from a worker that died mid-write (the re-run
+    # writes under a new pid, so these never get cleaned by rename)
+    for p in out.glob("part-*.parquet.tmp.*"):
+        p.unlink()
     return {"partitions": len(fps), "exported": len(dirty),
             "reused": len(fps) - len(dirty), "rows_exported": rows_exported}

@@ -27,12 +27,19 @@ def task_replay(cfg: JobConfig, **kw) -> dict:
 def task_snapshot(cfg: JobConfig, out_dir: str = "", fmt: str = "parquet",
                   unix_ms_ts: bool = False, incremental: bool = False,
                   **kw) -> dict:
-    out = out_dir or f"{cfg.lake_dir}/_snapshot"
     if incremental:
+        # distinct default dir: mixing a full export's uuid-named files
+        # with incremental part-* files would double-count on read
+        out = out_dir or f"{cfg.lake_dir}/_snapshot_incr"
+        if fmt not in ("", "parquet") or unix_ms_ts:
+            raise ValueError("snapshot --incremental exports Parquet with "
+                             "native timestamps; --fmt/--unix-ms do not "
+                             "apply")
         from migration_pair_ray.pipelines.snapshot import snapshot_incremental
         return dict(snapshot_incremental(cfg, out), out_dir=out)
+    out = out_dir or f"{cfg.lake_dir}/_snapshot"
     from migration_pair_ray.pipelines.snapshot import snapshot
-    rows = snapshot(cfg, out, fmt=fmt, unix_ms_ts=unix_ms_ts)
+    rows = snapshot(cfg, out, fmt=fmt or "parquet", unix_ms_ts=unix_ms_ts)
     return {"rows": rows, "out_dir": out}
 
 
