@@ -79,6 +79,10 @@ def _gc_inactive_manifests(cfg: JobConfig, store: ManifestStore,
                 (Path(cfg.lake_dir) / rel).unlink()
             except OSError:
                 pass
+        # an inactive partition references nothing — this clears its whole
+        # directory of state files AND their bloom sidecars
+        from migration_pair_ray.state.bloom import gc_partition_files
+        gc_partition_files(cfg.lake_dir, pid, set())
         store.delete(pid)
         swept += 1
     return swept
@@ -161,7 +165,7 @@ def _split_partition_locked(cfg: JobConfig, base_pid: int,
 
     if tables:
         from migration_pair_ray.functions.lww import _SORT_KEYS
-        from migration_pair_ray.stages.applier import _fsync_write_parquet
+        from migration_pair_ray.stages.applier import write_state_parquet
         from migration_pair_ray.stages.partition import partition_ids
 
         state = (tables[0] if len(tables) == 1
@@ -185,7 +189,7 @@ def _split_partition_locked(cfg: JobConfig, base_pid: int,
             d = Path(cfg.lake_dir) / f"part={cid:05d}"
             d.mkdir(parents=True, exist_ok=True)
             path = str(d / f"state-{pass_id}.parquet")
-            nbytes = _fsync_write_parquet(sub, path)
+            nbytes = write_state_parquet(sub, path)
             lsn = sub.column("lsn") if sub.num_rows else None
             store.commit(cid, {
                 "partition": cid,
@@ -253,7 +257,7 @@ def _merge_partition_locked(cfg: JobConfig, base_pid: int) -> dict:
 
     from migration_pair_ray.functions.lww import _SORT_KEYS
     from migration_pair_ray.stages.applier import (
-        _fsync_write_parquet, read_state_table)
+        read_state_table, write_state_parquet)
     store = ManifestStore(cfg.manifest_dir)
     tables, src_sig = [], []
     for cid in child_ids:
@@ -282,7 +286,7 @@ def _merge_partition_locked(cfg: JobConfig, base_pid: int) -> dict:
         d = Path(cfg.lake_dir) / f"part={base_pid:05d}"
         d.mkdir(parents=True, exist_ok=True)
         path = str(d / f"state-{pass_id}.parquet")
-        _fsync_write_parquet(state, path)
+        write_state_parquet(state, path)
         lsn = state.column("lsn") if state.num_rows else None
         store.commit(base_pid, {
             "partition": base_pid,
@@ -374,18 +378,10 @@ def _vacuum_locked(cfg: JobConfig, retain_passes: int = 0) -> dict:
             # dangles a reference
             store.rewrite(pid, m)
             trimmed += 1
-        referenced = referenced_files(m)
-        part_dir = Path(cfg.lake_dir) / f"part={pid:05d}"
-        for f in part_dir.glob("state-*.parquet"):
-            rel = str(f.relative_to(cfg.lake_dir))
-            if rel not in referenced:
-                try:
-                    size = f.stat().st_size
-                    f.unlink()
-                    files_deleted += 1
-                    bytes_freed += size
-                except OSError:
-                    pass
+        from migration_pair_ray.state.bloom import gc_partition_files
+        nf, nb = gc_partition_files(cfg.lake_dir, pid, referenced_files(m))
+        files_deleted += nf
+        bytes_freed += nb
     return {"partitions": parts, "manifests_trimmed": trimmed,
             "files_deleted": files_deleted, "bytes_freed": bytes_freed,
             "inactive_swept": swept, "retain_passes": retain_passes}
@@ -441,9 +437,9 @@ def _compact_one_partition(lake_dir: str, m: dict, state_chunk_rows: int,
     with ``state_chunk_rows > 0`` the fold re-chunks at key boundaries
     instead of collapsing into one unbounded file."""
     from migration_pair_ray.schemas import MERGE_KEYS
-    from migration_pair_ray.stages.applier import (_fsync_write_parquet,
-                                                   read_state_table,
-                                                   write_chunk_files)
+    from migration_pair_ray.stages.applier import (read_state_table,
+                                                   write_chunk_files,
+                                                   write_state_parquet)
     pid = int(m["partition"])
     merged = read_state_table(lake_dir, m)       # base + deltas folded
     d = Path(lake_dir) / f"part={pid:05d}"
@@ -479,7 +475,7 @@ def _compact_one_partition(lake_dir: str, m: dict, state_chunk_rows: int,
                    tombstones=sum(e["tombstones"] for e in entries))
     else:
         path = str(d / f"state-{tag}.parquet")
-        _fsync_write_parquet(merged, path)
+        write_state_parquet(merged, path)
         rec.update(data_file=str(Path(path).relative_to(lake_dir)),
                    row_count=merged.num_rows,
                    tombstones=_tombs(merged),
@@ -525,14 +521,9 @@ def _compact_deltas_locked(cfg: JobConfig, base_pid: int | None) -> dict:
             rec = _json.loads(row["rec"])
             pid = int(rec["partition"])
             store.rewrite(pid, rec)                   # atomic flip
-            referenced = referenced_files(rec)
-            part_dir = Path(cfg.lake_dir) / f"part={pid:05d}"
-            for f in part_dir.glob("state-*.parquet"):
-                if str(f.relative_to(cfg.lake_dir)) not in referenced:
-                    try:
-                        f.unlink()
-                        files_deleted += 1
-                    except OSError:
-                        pass
+            from migration_pair_ray.state.bloom import gc_partition_files
+            nf, _ = gc_partition_files(cfg.lake_dir, pid,
+                                       referenced_files(rec))
+            files_deleted += nf
     return {"partitions_compacted": len(todo),
             "files_deleted": files_deleted}

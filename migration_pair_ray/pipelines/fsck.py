@@ -200,6 +200,17 @@ def _deep_check(lake_dir: str, pid: int, entry: dict, path: str, bad,
         bad("misrouted_keys",
             f"{entry['file']}: {wrong} rows route to other partitions "
             f"under the recorded layout")
+    # a Bloom sidecar has no false negatives over its own build set — any
+    # key in the file missing from a VALID sidecar means the sidecar
+    # describes different data (a bug, or tampering): point lookups would
+    # silently skip this file.  Missing/corrupt sidecars are fine (lookups
+    # treat them as "cannot prune"), so only a loaded one is checked.
+    from migration_pair_ray.state.bloom import load_sidecar
+    blm = load_sidecar(path)
+    if blm is not None and not blm.contains_all(t):
+        bad("bloom_mismatch",
+            f"{entry['file']}: sidecar misses keys present in the file "
+            f"(point lookups would skip live rows)")
 
 
 def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:

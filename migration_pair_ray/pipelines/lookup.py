@@ -65,7 +65,21 @@ def candidate_files(cfg: JobConfig, conv_ids: list[str],
     else:
         pids = sorted(set(int(r) for r in route))
     want = sorted(set(conv_ids))
+    pairs = (sorted(set(zip(conv_ids, turn_idx)))
+             if turn_idx is not None else None)
     store = ManifestStore(cfg.manifest_dir)
+
+    def bloom_hits(rel: str) -> bool:
+        # second pruning stage after the key range: the file's Bloom
+        # sidecar (state/bloom.py).  Missing/corrupt sidecar -> candidate
+        # (the filter is an accelerator, never an authority).
+        from migration_pair_ray.state.bloom import load_sidecar
+        blm = load_sidecar(Path(cfg.lake_dir) / rel)
+        if blm is None:
+            return True
+        return (blm.may_contain_pairs(pairs) if pairs is not None
+                else blm.may_contain_conv(want))
+
     out: list[str] = []
     for pid in pids:
         m = store.read(pid)
@@ -73,21 +87,21 @@ def candidate_files(cfg: JobConfig, conv_ids: list[str],
             continue
         entries = m.get("data_files")
         if entries is None:
-            if m.get("data_file"):
+            if m.get("data_file") and bloom_hits(m["data_file"]):
                 out.append(m["data_file"])
         else:
             for e in entries:
                 lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
                 # chunk covers conv c iff lo <= c <= hi (tuple range
                 # projected onto the conv component)
-                if any(lo <= c <= hi for c in want):
+                if any(lo <= c <= hi for c in want) and bloom_hits(e["file"]):
                     out.append(e["file"])
         # merge-on-read deltas carry key ranges too; a delta whose range
         # covers a requested conv may hold a NEWER version of the key, so
         # it must join the plan (lookup_keys reduces winners after read)
         for e in m.get("delta_files", []):
             lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
-            if any(lo <= c <= hi for c in want):
+            if any(lo <= c <= hi for c in want) and bloom_hits(e["file"]):
                 out.append(e["file"])
     return out
 

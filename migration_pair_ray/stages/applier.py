@@ -56,6 +56,16 @@ def _fsync_write_parquet(table: pa.Table, path: str) -> int:
     return os.path.getsize(path)
 
 
+def write_state_parquet(table: pa.Table, path: str) -> int:
+    """The state-file write authority: fsync'd parquet + its Bloom sidecar
+    (state/bloom.py) — change/export files use plain ``_fsync_write_parquet``
+    (blooms only pay for themselves on point-lookup-served state files)."""
+    from migration_pair_ray.state.bloom import write_sidecar
+    nbytes = _fsync_write_parquet(table, path)
+    write_sidecar(path, table)
+    return nbytes
+
+
 class Applier:
     """Callable class for ``groupby(PART_COL).map_groups(Applier, ...)``.
 
@@ -117,13 +127,8 @@ class Applier:
         """Delete state files the committed manifest no longer references
         (best-effort).  Carried-over chunk files from earlier passes stay
         referenced and therefore stay on disk."""
-        d = Path(self.lake_dir) / f"part={pid:05d}"
-        for old in d.glob("state-*.parquet"):
-            if str(old.relative_to(self.lake_dir)) not in referenced:
-                try:
-                    old.unlink()
-                except OSError:
-                    pass
+        from migration_pair_ray.state.bloom import gc_partition_files
+        gc_partition_files(self.lake_dir, pid, referenced)
 
     def _write_chunks(self, pid: int, merged: pa.Table,
                       seq: int) -> tuple[list[dict], int]:
@@ -224,7 +229,7 @@ class Applier:
         ).as_py() or 0)
 
         path = self._state_file(pid)
-        nbytes = _fsync_write_parquet(merged, path)
+        nbytes = write_state_parquet(merged, path)
         rel = str(Path(path).relative_to(self.lake_dir))
         self._commit(pid, {
             "partition": pid,
@@ -271,7 +276,7 @@ class Applier:
         # "state-" prefix keeps the GC/fsck glob authoritative; the pass id
         # makes a retried task rewrite identical bytes (idempotent commit)
         path = str(d / f"state-{self.pass_id}-delta.parquet")
-        nbytes = _fsync_write_parquet(reduced, path)
+        nbytes = write_state_parquet(reduced, path)
         entry = {
             "file": str(Path(path).relative_to(self.lake_dir)),
             "rows": reduced.num_rows,
@@ -405,7 +410,7 @@ def write_chunk_files(lake_dir: str, merged: pa.Table, chunk_rows: int,
             hi += 1
         sub = merged.slice(lo, hi - lo)
         path = name_fn(seq)
-        _fsync_write_parquet(sub, path)
+        write_state_parquet(sub, path)
         entries.append({
             "file": str(Path(path).relative_to(lake_dir)),
             "rows": sub.num_rows,
