@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
         "cdc_state_diff": q.cdc_state_diff,
+        "cdc_snapshot_diff": q.cdc_snapshot_diff,
         "cdc_stale_updates": q.cdc_stale_updates,
         "cdc_quarantine_stats": q.cdc_quarantine_stats,
         "events_value_outliers": q.events_value_outliers,
@@ -743,6 +744,43 @@ def oracle_sql() -> dict[str, str]:
                    AND s1.turn_idx = s2.turn_idx)
             SELECT diff_class, COUNT(*) AS n_keys
             FROM j GROUP BY diff_class ORDER BY diff_class""",
+        # snapshot-diff bootstrap: the change batch turning the t1 snapshot
+        # into the final state (I/U carry the new payload, D the old
+        # winning ts + null payload); untouched keys absent
+        "cdc_snapshot_diff": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            w1 AS (SELECT *, row_number() OVER (
+                     PARTITION BY conv_id, turn_idx
+                     ORDER BY ts DESC, lsn DESC) rn
+                   FROM ch WHERE epoch_us(ts) <= 1705276800000000),
+            s1 AS (SELECT conv_id, turn_idx, role, text, tool, ts
+                   FROM w1 WHERE rn = 1 AND op <> 'D'),
+            w2 AS (SELECT *, row_number() OVER (
+                     PARTITION BY conv_id, turn_idx
+                     ORDER BY ts DESC, lsn DESC) rn FROM ch),
+            s2 AS (SELECT conv_id, turn_idx, role, text, tool, ts
+                   FROM w2 WHERE rn = 1 AND op <> 'D')
+            SELECT COALESCE(s2.conv_id, s1.conv_id) AS conv_id,
+                   COALESCE(s2.turn_idx, s1.turn_idx) AS turn_idx,
+                   CASE WHEN s2.conv_id IS NULL THEN NULL
+                        ELSE s2.role END AS role,
+                   CASE WHEN s2.conv_id IS NULL THEN NULL
+                        ELSE s2.text END AS text,
+                   CASE WHEN s2.conv_id IS NULL THEN NULL
+                        ELSE s2.tool END AS tool,
+                   CASE WHEN s2.conv_id IS NULL THEN s1.ts
+                        ELSE s2.ts END AS ts,
+                   CASE WHEN s1.conv_id IS NULL THEN 'I'
+                        WHEN s2.conv_id IS NULL THEN 'D'
+                        ELSE 'U' END AS op
+            FROM s1 FULL OUTER JOIN s2
+              ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+            WHERE s1.conv_id IS NULL OR s2.conv_id IS NULL
+               OR s1.role IS DISTINCT FROM s2.role
+               OR s1.text IS DISTINCT FROM s2.text
+               OR s1.tool IS DISTINCT FROM s2.tool
+               OR s1.ts IS DISTINCT FROM s2.ts
+            ORDER BY conv_id, turn_idx""",
         # adjacent same-role turn pairs per conversation (lead() mirror of
         # stages/analytic.grouped_lead); convs with <2 role-bearing turns
         # have no pairs and drop out on both sides

@@ -3095,6 +3095,23 @@ def cdc_state_asof(sf_dir: str, cutoff_us: int = 1705276800000000):
 _SCD2_MAX_US = 253402300800000000        # 9999-01-01, the open-interval end
 
 
+def cdc_snapshot_diff(sf_dir: str, t1_us: int = 1705276800000000):
+    """Snapshot-diff CDC bootstrap (pipelines/snapshot_diff): the change
+    batch that turns the t1 point-in-time snapshot into the final state —
+    one ``I``/``U``/``D`` row per added/changed/deleted merge key, new-side
+    payload on I/U, old winning ts + null payload on D.  Both snapshots
+    come off the streaming as-of path (same derive + tool-evolution rule),
+    so this exercises the operator exactly as a bootstrap-from-dumps user
+    would.  ``lsn`` is engine-assigned (deterministic bucket-dense) and
+    dropped here; the replay roundtrip contract is pytest-verified
+    (tests/test_snapshot_diff.py)."""
+    from migration_pair_ray.pipelines.snapshot_diff import snapshot_diff
+    old = cdc_state_asof(sf_dir, t1_us)
+    new = cdc_state_asof(sf_dir, _SCD2_MAX_US)
+    return (snapshot_diff(old, new).drop_columns(["lsn"])
+            .sort(["conv_id", "turn_idx"]))
+
+
 def cdc_turn_versions(sf_dir: str):
     """SCD2 version history from the change stream: every change to a
     (conv_id, turn_idx) key becomes a versioned row with a validity
