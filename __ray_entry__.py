@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
+        "cdc_patch_merge": q.cdc_patch_merge,
         "cdc_state_diff": q.cdc_state_diff,
         "cdc_snapshot_diff": q.cdc_snapshot_diff,
         "cdc_stale_updates": q.cdc_stale_updates,
@@ -714,6 +715,41 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, lsn DESC) rn FROM f)
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # cell-level LWW with patch ops: value of column c = the last
+        # event (ts,lsn after the last D) that DETERMINES c (I/U always;
+        # P only when non-null); struct_pack keeps arg_max from skipping
+        # legitimately-null I/U values; key exists iff any live event
+        "cdc_patch_merge": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            p AS (SELECT conv_id, turn_idx,
+                    CASE WHEN op <> 'D' AND lsn % 7 IN (2, 4)
+                         THEN NULL ELSE role END AS role,
+                    CASE WHEN op <> 'D' AND lsn % 7 = 4
+                         THEN NULL ELSE text END AS text,
+                    CASE WHEN op <> 'D' AND lsn % 7 = 2
+                         THEN NULL ELSE tool END AS tool,
+                    ts,
+                    CASE WHEN op <> 'D' AND lsn % 7 IN (2, 4)
+                         THEN 'P' ELSE op END AS op,
+                    lsn
+                  FROM ch),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts, lsn) rn FROM p),
+            d AS (SELECT *, coalesce(max(CASE WHEN op = 'D' THEN rn END)
+                    OVER (PARTITION BY conv_id, turn_idx), 0) AS d_rn
+                  FROM w),
+            live AS (SELECT * FROM d WHERE rn > d_rn)
+            SELECT conv_id, turn_idx,
+                   (arg_max(struct_pack(v := role), rn)
+                    FILTER (WHERE op <> 'P' OR role IS NOT NULL)).v AS role,
+                   (arg_max(struct_pack(v := text), rn)
+                    FILTER (WHERE op <> 'P' OR text IS NOT NULL)).v AS text,
+                   (arg_max(struct_pack(v := tool), rn)
+                    FILTER (WHERE op <> 'P' OR tool IS NOT NULL)).v AS tool,
+                   max(ts) AS ts
+            FROM live GROUP BY conv_id, turn_idx
             ORDER BY conv_id, turn_idx""",
         # two-cutoff state diff: LWW winners at t1 vs t2 (engine computes
         # both sides in one pass; the oracle joins two reconstructions);

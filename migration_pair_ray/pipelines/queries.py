@@ -3112,6 +3112,62 @@ def cdc_snapshot_diff(sf_dir: str, t1_us: int = 1705276800000000):
             .sort(["conv_id", "turn_idx"]))
 
 
+def cdc_patch_merge(sf_dir: str):
+    """Cell-level LWW merge of a change stream carrying PATCH events
+    (``op == "P"``: null column = keep current value — the Debezium
+    partial-row-image / Cassandra per-cell-write shape row-level LWW
+    cannot express).  Semantics and the monotone combiner live in
+    ``functions/cells.py``; this composes them exactly like
+    ``cdc_state_asof``: derive → per-batch ``cell_reduce`` (the exchange
+    carries ≤ n_cols+2 rows per key per batch) → coarse key-bucket
+    groupby → per-bucket ``cell_finalize``.  The patch flavor is derived
+    deterministically from the log: non-delete events with ``lsn % 7 == 2``
+    become text-only patches, ``lsn % 7 == 4`` tool-only patches (the
+    latter may patch nothing — the existence-asserting degenerate case)."""
+    from migration_pair_ray.functions.cells import cell_finalize, cell_reduce
+    from migration_pair_ray.stages.windows import (_coarse_key_bucket,
+                                                   _default_coarse)
+    n_coarse = _default_coarse(None)
+    n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    tool_from = -(-n_events // 4)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "props", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _derive_changes(t)
+        pre = pc.less(t.column("lsn"), tool_from)
+        tool = pc.if_else(pre, pa.scalar(None, pa.string()),
+                          t.column("tool"))
+        lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+        opn = np.asarray(t.column("op").to_pandas(), dtype=object)
+        m7 = lsn % 7
+        p_text = (m7 == 2) & (opn != "D")   # patch sets text only
+        p_tool = (m7 == 4) & (opn != "D")   # patch sets tool only
+        any_p = pa.array(p_text | p_tool)
+        null_s = pa.scalar(None, pa.string())
+        t = pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "role": pc.if_else(any_p, null_s, t.column("role")),
+            "text": pc.if_else(pa.array(p_tool), null_s, t.column("text")),
+            "tool": pc.if_else(pa.array(p_text), null_s, tool),
+            "ts": t.column("ts"),
+            "op": pc.if_else(any_p, "P", t.column("op")),
+            "lsn": t.column("lsn"),
+        })
+        t = cell_reduce(t)
+        return t.append_column("__b", pa.array(
+            _coarse_key_bucket(t.column("conv_id"), n_coarse)))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        return cell_finalize(g.drop_columns(["__b"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(merge_bucket, batch_format="pyarrow")
+            .sort(["conv_id", "turn_idx"]))
+
+
 def cdc_turn_versions(sf_dir: str):
     """SCD2 version history from the change stream: every change to a
     (conv_id, turn_idx) key becomes a versioned row with a validity
