@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
         "cdc_patch_merge": q.cdc_patch_merge,
+        "cdc_clone_branch": q.cdc_clone_branch,
         "cdc_state_diff": q.cdc_state_diff,
         "cdc_snapshot_diff": q.cdc_snapshot_diff,
         "cdc_stale_updates": q.cdc_stale_updates,
@@ -750,6 +751,25 @@ def oracle_sql() -> dict[str, str]:
                     FILTER (WHERE op <> 'P' OR tool IS NOT NULL)).v AS tool,
                    max(ts) AS ts
             FROM live GROUP BY conv_id, turn_idx
+            ORDER BY conv_id, turn_idx""",
+        # zero-copy branch: LWW winners over original ∪ branch changes
+        # (the engine hardlink-clones the lake and replays the branch
+        # batch into the clone; isolation is pytest-verified)
+        "cdc_clone_branch": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            br AS (SELECT 'c3' AS conv_id, CAST(t.i AS INTEGER) AS turn_idx,
+                          'branch' AS role, 'branched' AS text,
+                          CAST(NULL AS VARCHAR) AS tool,
+                          TIMESTAMP '2025-01-01 00:00:00' AS ts,
+                          'U' AS op,
+                          (SELECT COUNT(*) FROM events) + t.i AS lsn
+                   FROM range(10) t(i)),
+            a AS (SELECT * FROM ch UNION ALL SELECT * FROM br),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM a)
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         # two-cutoff state diff: LWW winners at t1 vs t2 (engine computes
         # both sides in one pass; the oracle joins two reconstructions);

@@ -3168,6 +3168,51 @@ def cdc_patch_merge(sf_dir: str):
             .sort(["conv_id", "turn_idx"]))
 
 
+_BRANCH_TS_US = 1735689600000000      # 2025-01-01, above every event ts
+
+
+def cdc_clone_branch(sf_dir: str):
+    """Zero-copy lake branching (pipelines/clone): hardlink-clone the
+    events lake, then replay a branch-only change batch (10 'branched'
+    upserts on conv c3 at a dominating ts) into the CLONE.  The source
+    lake shares every data file by inode yet never sees the branch —
+    divergence isolation is pytest-verified both ways
+    (tests/test_clone.py); here the driver checks the branched state
+    against LWW winners over original ∪ branch changes."""
+    from dataclasses import replace as dc_replace
+
+    from migration_pair_ray.pipelines.clone import clone_lake
+    from migration_pair_ray.pipelines.replay import final_state, replay
+    cfg = _events_lake(sf_dir)
+    root = Path(cfg.lake_dir).parent
+    branch_lake, branch_log = root / "branch-lake", root / "branch-log"
+    marker = branch_log / "_COMPLETE"
+    if not marker.exists():
+        shutil.rmtree(branch_lake, ignore_errors=True)
+        shutil.rmtree(branch_log, ignore_errors=True)
+        branch_log.mkdir(parents=True)
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        batch = pa.table({
+            "conv_id": pa.array(["c3"] * 10, pa.string()),
+            "turn_idx": pa.array(range(10), pa.int32()),
+            "role": pa.array(["branch"] * 10, pa.string()),
+            "text": pa.array(["branched"] * 10, pa.string()),
+            "tool": pa.array([None] * 10, pa.string()),
+            "ts": pa.array([_BRANCH_TS_US] * 10, pa.timestamp("us")),
+            "op": pa.array(["U"] * 10, pa.string()),
+            "lsn": pa.array([n + i for i in range(10)], pa.int64()),
+        })
+        tmp = branch_log / f"batch-90000.parquet.tmp.{os.getpid()}"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, branch_log / "batch-90000.parquet")
+        clone_lake(cfg.lake_dir, str(branch_lake))
+        marker.touch()
+    bcfg = dc_replace(cfg, changelog_dir=str(branch_log),
+                      lake_dir=str(branch_lake))
+    replay(bcfg)          # idempotent; no-op on reuse
+    return final_state(bcfg)
+
+
 def cdc_turn_versions(sf_dir: str):
     """SCD2 version history from the change stream: every change to a
     (conv_id, turn_idx) key becomes a versioned row with a validity

@@ -225,6 +225,15 @@ def task_index(cfg: JobConfig, column: str = "", **kw) -> dict:
     return build_value_index(cfg, column)
 
 
+def task_clone(cfg: JobConfig, out_dir: str = "", **kw) -> dict:
+    """Zero-copy branch of ``cfg``'s lake into ``--out`` (hardlinked data
+    files, carried control plane — pipelines/clone)."""
+    from migration_pair_ray.pipelines.clone import clone_lake
+    if not out_dir:
+        raise ValueError("task_clone needs the destination (--out)")
+    return clone_lake(cfg.lake_dir, out_dir)
+
+
 def task_vacuum(cfg: JobConfig, retain: int = 0, **kw) -> dict:
     """Trim the time-travel window to ``retain`` superseded passes per
     partition and delete the state files nothing references anymore."""
@@ -256,6 +265,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "split": task_split,
     "merge": task_merge,
     "vacuum": task_vacuum,
+    "clone": task_clone,
     "index": task_index,
     "compact": task_compact,
     "feed": task_feed,
