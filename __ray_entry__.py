@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_state_asof": q.cdc_state_asof,
         "cdc_patch_merge": q.cdc_patch_merge,
         "cdc_clone_branch": q.cdc_clone_branch,
+        "cdc_jsonl_roundtrip": q.cdc_jsonl_roundtrip,
         "cdc_state_diff": q.cdc_state_diff,
         "cdc_snapshot_diff": q.cdc_snapshot_diff,
         "cdc_stale_updates": q.cdc_stale_updates,
@@ -380,6 +381,12 @@ def oracle_sql() -> dict[str, str]:
         # follower lake under a different layout converges to the same
         # visible winners as the source
         "cdc_replica": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # JSONL export -> re-ingest round-trip: ts_us on the wire keeps
+        # microsecond fidelity, so the follower equals the plain winners
+        "cdc_jsonl_roundtrip": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

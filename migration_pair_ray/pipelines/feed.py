@@ -271,3 +271,74 @@ def replicate(src: JobConfig, dst: JobConfig,
                       json.dumps({"acked_src_seq": cursor}).encode())
     return {"passes_replicated": len(passes), "passes_applied": applied,
             "events_in": events, "cursor": cursor}
+
+
+def export_jsonl(cfg: JobConfig, consumer: str, out_dir: str,
+                 ack: bool = False, missing_ok: bool = False) -> dict:
+    """Export the consumer's unacked passes as Debezium-style JSONL — the
+    outbound half of the changefeed (``sources/jsonl_log`` is the inbound
+    half, and round-trips this output bit-equivalently: ``ts_us`` carries
+    full microsecond fidelity next to the conventional ``ts_ms``).
+
+    One file per pass (``feed-<seq>.jsonl``), written by one Ray task per
+    pass (export parallelizes across passes), lsn-sorted within the file,
+    fsync'd atomic rename — deterministic bytes, so a crash-and-rerun
+    overwrite is a no-op.  ``ack=True`` advances the cursor only after
+    every file landed.  Per-row ``json.dumps`` is the serialization floor
+    of the JSONL wire format itself (payload extraction is C via
+    ``to_pylist``); this is an edge sink, not the replay hot path."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from migration_pair_ray.state.manifest import _fsync_dir
+
+    ds, frontier = read_feed(cfg, consumer, missing_ok=missing_ok)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_pass(g: pa.Table) -> pa.Table:
+        empty = pa.table({"seq": pa.array([], pa.int64()),
+                          "events": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        seq = int(g.column("_pass_seq")[0].as_py())
+        g = g.sort_by([("lsn", "ascending")])
+        op = np.asarray(g.column("op").to_pandas(), dtype=object)
+        is_d = op == "D"
+        wire_op = np.where(is_d, "d", np.where(op == "U", "u", "c"))
+        payload_cols = [c for c in g.schema.names
+                        if c not in ("op", "lsn", "ts", "_pass_seq")]
+        payload = g.select(payload_cols).to_pylist()
+        ts_us = pc.cast(pc.cast(g.column("ts"), pa.timestamp("us")),
+                        pa.int64()).to_pylist()
+        lsn = g.column("lsn").to_pylist()
+        lines = []
+        for i in range(g.num_rows):
+            u = ts_us[i]
+            lines.append(json.dumps({
+                "op": wire_op[i],
+                "before": payload[i] if is_d[i] else None,
+                "after": None if is_d[i] else payload[i],
+                "ts_ms": (u // 1000) if u is not None else None,
+                "ts_us": u,
+                "lsn": lsn[i],
+            }, default=str))
+        path = Path(out_dir) / f"feed-{seq:012d}.jsonl"
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        _fsync_dir(out_dir)
+        return pa.table({"seq": pa.array([seq], pa.int64()),
+                         "events": pa.array([g.num_rows], pa.int64())})
+
+    written = (ds.groupby("_pass_seq")
+               .map_groups(write_pass, batch_format="pyarrow")
+               .take_all())                    # tiny: one record per pass
+    summary = {"passes": len(written),
+               "events": int(sum(r["events"] for r in written)),
+               "frontier": frontier}
+    if ack and frontier > consumer_cursor(cfg, consumer):
+        summary["ack"] = ack_feed(cfg, consumer, frontier)
+    return summary

@@ -3976,6 +3976,28 @@ def cdc_replica(sf_dir: str):
     return final_state(dst, sort=True)
 
 
+def cdc_jsonl_roundtrip(sf_dir: str):
+    """Outbound JSONL changefeed → inbound JSONL ingest, end to end: the
+    events lake's committed passes are exported as Debezium-style JSONL
+    (``feed.export_jsonl``, with ``ts_us`` microsecond fidelity) and
+    re-ingested (``sources/jsonl_log``) into a follower lake under a
+    different layout (8 salted-key partitions vs 16 conv-hash).  The
+    follower must converge to the SAME LWW winners — full wire-format
+    round-trip with no ms truncation.  Rerun is a no-op on every leg
+    (cursor acked, outputs skipped, replay up to date)."""
+    from migration_pair_ray.pipelines.feed import export_jsonl
+    from migration_pair_ray.sources.jsonl_log import ingest_jsonl_log
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    exp = root / "jsonlmirror-wire"
+    dst = JobConfig(changelog_dir=str(root / "log_jsonlmirror"),
+                    lake_dir=str(root / "lake_jsonlmirror"),
+                    num_partitions=8, partition_mode="key")
+    export_jsonl(src, "jsonl-mirror", str(exp), ack=True)
+    ingest_jsonl_log(dst, str(exp))
+    return final_state(dst, sort=True)
+
+
 def cdc_snapshot_incremental(sf_dir: str):
     """Incremental snapshot export roundtrip: per-partition visible-state
     files written by pipelines/snapshot.snapshot_incremental (fingerprint-

@@ -86,10 +86,16 @@ def envelopes_to_changes(batch: pa.Table) -> pa.Table:
         a = _payload_field(after, f.name, typ, n)
         cols[f.name] = pc.if_else(is_d, b, a)
 
-    # epoch-ms wire form -> canonical timestamp (Extraction.cs:67-68 rule)
+    # epoch-ms wire form -> canonical timestamp (Extraction.cs:67-68 rule);
+    # envelopes that also carry ts_us (this engine's own feed export,
+    # Debezium 2.x source blocks) keep full microsecond fidelity — that is
+    # what makes export->ingest round-trips LWW-exact instead of
+    # ms-truncated
     ms = pc.cast(batch.column("ts_ms"), pa.int64())
-    cols["ts"] = pc.cast(pc.multiply(ms, pa.scalar(1000, pa.int64())),
-                         pa.timestamp("us"))
+    us = pc.multiply(ms, pa.scalar(1000, pa.int64()))
+    if "ts_us" in names and not pa.types.is_null(batch.column("ts_us").type):
+        us = pc.coalesce(pc.cast(batch.column("ts_us"), pa.int64()), us)
+    cols["ts"] = pc.cast(us, pa.timestamp("us"))
 
     op = pa.nulls(n, pa.string())
     for raw, mapped in _OP_MAP:

@@ -225,6 +225,17 @@ def task_index(cfg: JobConfig, column: str = "", **kw) -> dict:
     return build_value_index(cfg, column)
 
 
+def task_export_feed(cfg: JobConfig, consumer: str = "", out_dir: str = "",
+                     ack: int = -1, **kw) -> dict:
+    """Export the consumer's unacked passes as Debezium-style JSONL into
+    ``--out`` (one lsn-sorted file per pass; ``--ack 1`` advances the
+    cursor after every file landed)."""
+    from migration_pair_ray.pipelines.feed import export_jsonl
+    if not consumer or not out_dir:
+        raise ValueError("task_export_feed needs --consumer and --out")
+    return export_jsonl(cfg, consumer, out_dir, ack=ack > 0)
+
+
 def task_clone(cfg: JobConfig, out_dir: str = "", **kw) -> dict:
     """Zero-copy branch of ``cfg``'s lake into ``--out`` (hardlinked data
     files, carried control plane — pipelines/clone)."""
@@ -266,6 +277,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "merge": task_merge,
     "vacuum": task_vacuum,
     "clone": task_clone,
+    "export_feed": task_export_feed,
     "index": task_index,
     "compact": task_compact,
     "feed": task_feed,
