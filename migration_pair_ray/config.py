@@ -93,6 +93,14 @@ class JobConfig:
     # writer's lease expires after writer_lease_ttl_s.
     writer_lease: bool = True
     writer_lease_ttl_s: float = 1800.0
+    # Merge kernel: "row" (default — whole-row LWW, the reference's
+    # Cassandra-upsert semantics) | "cell" (column-level LWW: ``op == "P"``
+    # PATCH events set only their non-null columns — Debezium partial row
+    # images / Cassandra per-cell writes; functions/cells.py).  Decides
+    # what the lake's state FILES mean, so it is a lake-lifetime property:
+    # stamped into _lake_meta.json on first write and gated on every later
+    # pass (like num_partitions/partition_mode).
+    merge_kernel: str = "row"
     # Dead-letter sink: "" = gate off (a malformed row poisons the merge,
     # reference behavior); a directory path routes unroutable/unmergeable
     # rows (null key, unknown op) to content-addressed Parquet files under
@@ -107,6 +115,9 @@ class JobConfig:
             raise ValueError(f"partition_mode must be 'conv'|'key', got {self.partition_mode!r}")
         if self.num_partitions <= 0:
             raise ValueError("num_partitions must be positive")
+        if self.merge_kernel not in ("row", "cell"):
+            raise ValueError(
+                f"merge_kernel must be 'row'|'cell', got {self.merge_kernel!r}")
 
     @classmethod
     def from_json(cls, path: str | Path) -> "JobConfig":

@@ -73,6 +73,38 @@ def lww_reduce(table: pa.Table) -> pa.Table:
     return table.filter(_group_last_mask(table, MERGE_KEYS))
 
 
+def reduce_events(table: pa.Table, kernel: str = "row") -> pa.Table:
+    """The per-batch monotone partial reduce, kernel-dispatched.
+
+    ``kernel="row"``: whole-row LWW (``lww_reduce`` — one winner per key).
+    ``kernel="cell"``: column-level LWW with PATCH ops (``cells.cell_reduce``
+    — per key, the ≤ n_cols+2 rows that can still determine a cell).  Both
+    are join-semilattices, so both are safe as the pre-shuffle combiner AND
+    as the per-partition merge step.
+    """
+    if kernel == "row":
+        return lww_reduce(table)
+    from migration_pair_ray.functions.cells import cell_reduce
+    return cell_reduce(table)
+
+
+def finalize_visible(table: pa.Table, kernel: str = "row",
+                     drop_meta: bool = True) -> pa.Table:
+    """Internal lake form → user-visible rows, kernel-dispatched.
+
+    Row kernel: drop tombstone winners (+ meta columns).  Cell kernel:
+    fold each key's determiner rows into ONE row (``cells.cell_finalize``
+    — op/lsn are consumed by the fold, so ``drop_meta`` does not apply).
+    Cell-kernel callers must pass a table holding EVERY determiner row of
+    each key it contains (a whole partition, or a point lookup's complete
+    candidate set) — an arbitrary block slice is not finalizable.
+    """
+    if kernel == "row":
+        return visible_state(table, drop_meta=drop_meta)
+    from migration_pair_ray.functions.cells import cell_finalize
+    return cell_finalize(table)
+
+
 def dedup_replayed(table: pa.Table) -> pa.Table:
     """Exact dedup of replayed change events: keep-first per
     ``(conv_id, turn_idx, lsn)`` (an at-least-once log may repeat events;
@@ -97,15 +129,18 @@ def visible_state(table: pa.Table, drop_meta: bool = True) -> pa.Table:
     return table
 
 
-def merge_tables(existing: pa.Table | None, changes: pa.Table) -> pa.Table:
+def merge_tables(existing: pa.Table | None, changes: pa.Table,
+                 kernel: str = "row") -> pa.Table:
     """Merge a partition's existing internal state with new (pre-reduced)
     change events, with schema evolution: added columns backfill null on
     the old side, and diverged types conform to the canonical unified
     schema (numeric widening, unix-ms-int ↔ timestamp wire forms — the
     cases Arrow's permissive promotion alone cannot merge arrive when a
-    pass widens a column a PREVIOUS pass committed narrow)."""
+    pass widens a column a PREVIOUS pass committed narrow).  Both kernels'
+    internal forms stay in the change-event schema, so the merge IS
+    concat + re-reduce for either."""
     if existing is None or existing.num_rows == 0:
-        return lww_reduce(changes)
+        return reduce_events(changes, kernel)
     if existing.schema != changes.schema:
         from migration_pair_ray.functions.normalize import normalize_batch
         from migration_pair_ray.schemas import unify_change_schemas
@@ -113,11 +148,11 @@ def merge_tables(existing: pa.Table | None, changes: pa.Table) -> pa.Table:
         existing = normalize_batch(existing, target)
         changes = normalize_batch(changes, target)
     both = pa.concat_tables([existing, changes], promote_options="permissive")
-    return lww_reduce(both)
+    return reduce_events(both, kernel)
 
 
 def merge_tables_chunked(existing: pa.Table | None, changes: pa.Table,
-                         chunk_rows: int) -> pa.Table:
+                         chunk_rows: int, kernel: str = "row") -> pa.Table:
     """``merge_tables`` with a bounded transient working set — the
     partition-size guard for skewed lakes (one conversation holding a
     large share of a partition).
@@ -132,7 +167,7 @@ def merge_tables_chunked(existing: pa.Table | None, changes: pa.Table,
     """
     if (existing is None or existing.num_rows == 0
             or changes.num_rows + existing.num_rows <= chunk_rows):
-        return merge_tables(existing, changes)
+        return merge_tables(existing, changes, kernel)
 
     def _null_keys(t: pa.Table) -> bool:
         return any(t.column(k).null_count > 0 for k in MERGE_KEYS)
@@ -142,10 +177,10 @@ def merge_tables_chunked(existing: pa.Table | None, changes: pa.Table,
     # equality is False, which would split a null-key group across chunks).
     # Null-key events are degenerate; correctness beats chunking for them.
     if _null_keys(changes) or _null_keys(existing):
-        return merge_tables(existing, changes)
+        return merge_tables(existing, changes, kernel)
 
     import numpy as np
-    changes = lww_reduce(changes)
+    changes = reduce_events(changes, kernel)
     conv_c = np.asarray(changes.column("conv_id").to_pandas())
     turn_c = changes.column("turn_idx").to_numpy(zero_copy_only=False)
     conv_e = np.asarray(existing.column("conv_id").to_pandas())
@@ -169,7 +204,7 @@ def merge_tables_chunked(existing: pa.Table | None, changes: pa.Table,
         e_hi = (existing.num_rows if c_hi >= n
                 else existing_pos(conv_c[c_hi], turn_c[c_hi]))
         out.append(merge_tables(existing.slice(e_lo, e_hi - e_lo),
-                                changes.slice(c_lo, c_hi - c_lo)))
+                                changes.slice(c_lo, c_hi - c_lo), kernel))
         c_lo, e_lo = c_hi, e_hi
     if e_lo < existing.num_rows:   # tail of existing past the last change key
         out.append(existing.slice(e_lo))

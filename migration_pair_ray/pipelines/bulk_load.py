@@ -100,7 +100,7 @@ def bulk_load(cfg: JobConfig, input_path: str, fmt: str = "csv",
 def _bulk_load(cfg: JobConfig, input_path: str, fmt: str, pass_tag: str) -> dict:
     from migration_pair_ray.state.manifest import LakeMeta
     meta = LakeMeta(cfg.lake_dir)
-    meta.ensure(cfg.num_partitions, cfg.partition_mode)
+    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel)
     if fmt == "csv":
         ds = ray.data.read_csv(input_path, **_csv_read_args(cfg, input_path))
     elif fmt == "parquet":

@@ -135,11 +135,12 @@ def _split_partition_locked(cfg: JobConfig, base_pid: int,
         new_gen = meta.gen_floor(base_pid)
 
     from migration_pair_ray.stages.applier import read_state_table
+    kernel = meta.merge_kernel()
     tables, src_sig = [], []
     for pid in src_pids:
         m = store.read(pid)
         if m:
-            t = read_state_table(cfg.lake_dir, m)
+            t = read_state_table(cfg.lake_dir, m, kernel=kernel)
             if t is not None:
                 tables.append(t)
             src_sig.append(f"{pid}:{m['pass_id']}:{m['row_count']}")
@@ -259,11 +260,12 @@ def _merge_partition_locked(cfg: JobConfig, base_pid: int) -> dict:
     from migration_pair_ray.stages.applier import (
         read_state_table, write_state_parquet)
     store = ManifestStore(cfg.manifest_dir)
+    kernel = meta.merge_kernel()
     tables, src_sig = [], []
     for cid in child_ids:
         m = store.read(cid)
         if m:
-            t = read_state_table(cfg.lake_dir, m)
+            t = read_state_table(cfg.lake_dir, m, kernel=kernel)
             if t is not None and t.num_rows:
                 tables.append(t)
             src_sig.append(f"{cid}:{m['pass_id']}:{m['row_count']}")
@@ -429,7 +431,7 @@ def compact_deltas(cfg: JobConfig, base_pid: int | None = None) -> dict:
 
 
 def _compact_one_partition(lake_dir: str, m: dict, state_chunk_rows: int,
-                           hash_state: bool) -> dict:
+                           hash_state: bool, kernel: str = "row") -> dict:
     """Fold one MoR partition's base + deltas and write the new base files
     (fsync'd, names disjoint from every live file) — the distributed part
     of compact_deltas.  Returns the replacement manifest record; the
@@ -441,7 +443,7 @@ def _compact_one_partition(lake_dir: str, m: dict, state_chunk_rows: int,
                                                    write_chunk_files,
                                                    write_state_parquet)
     pid = int(m["partition"])
-    merged = read_state_table(lake_dir, m)       # base + deltas folded
+    merged = read_state_table(lake_dir, m, kernel=kernel)  # base+deltas folded
     d = Path(lake_dir) / f"part={pid:05d}"
     d.mkdir(parents=True, exist_ok=True)
     # the -c<n> tag keeps names disjoint from the live base (same pass_id)
@@ -503,11 +505,11 @@ def _compact_deltas_locked(cfg: JobConfig, base_pid: int | None) -> dict:
     files_deleted = 0
     if todo:
         lake_dir, chunk_rows = cfg.lake_dir, cfg.state_chunk_rows
-        hash_state = cfg.hash_state
+        hash_state, kernel = cfg.hash_state, meta.merge_kernel()
 
         def fold_batch(t: pa.Table) -> pa.Table:
             recs = [_compact_one_partition(lake_dir, _json.loads(mj),
-                                           chunk_rows, hash_state)
+                                           chunk_rows, hash_state, kernel)
                     for mj in t.column("manifest").to_pylist()]
             return pa.table({"rec": pa.array([_json.dumps(r) for r in recs],
                                              pa.string())})

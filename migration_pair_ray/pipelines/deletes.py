@@ -76,7 +76,8 @@ def delete_where(cfg: JobConfig,
     rename; a crash before the replay leaves a normal uncommitted change
     file the next replay consumes.
     """
-    from migration_pair_ray.functions.lww import visible_state
+    from migration_pair_ray.functions.lww import (finalize_visible,
+                                                  visible_state)
     from migration_pair_ray.pipelines.replay import read_lake, replay
 
     sig, max_lsn = _lake_sig(cfg)
@@ -92,8 +93,14 @@ def delete_where(cfg: JobConfig,
     if path.exists() or name in committed:
         written = pq.ParquetFile(str(path)).metadata.num_rows if path.exists() else 0
     else:
+        kernel = LakeMeta(cfg.lake_dir).merge_kernel()
+
         def match_keys(t: pa.Table) -> pa.Table:
-            vis = visible_state(t, drop_meta=False)
+            # cell lakes arrive pre-finalized (read_lake finalize=...), so
+            # the predicate always sees ONE visible row per key; row lakes
+            # finalize per block here (each key is one state row)
+            vis = (t if kernel == "cell"
+                   else visible_state(t, drop_meta=False))
             mask = predicate(vis)
             hit = vis.filter(mask)
             return pa.table({
@@ -102,8 +109,9 @@ def delete_where(cfg: JobConfig,
                 "ts": hit.column("ts"),       # victim's winning ts (copied)
             })
 
-        keys = (read_lake(cfg)
-                .map_batches(match_keys, batch_format="pyarrow")
+        src = (read_lake(cfg, finalize=lambda t: finalize_visible(t, "cell"))
+               if kernel == "cell" else read_lake(cfg))
+        keys = (src.map_batches(match_keys, batch_format="pyarrow")
                 .take_all())                   # bounded: targeted delete set
         if len(keys) > max_rows:
             raise DeleteTooLarge(

@@ -63,7 +63,7 @@ def _entries(manifest: dict) -> list[dict]:
 
 def _check_partition(lake_dir: str, pid: int, deep: bool,
                      num_partitions: int, mode: str,
-                     splits: dict) -> list[dict]:
+                     splits: dict, kernel: str = "row") -> list[dict]:
     """All problems found in one partition (empty list = healthy)."""
     problems: list[dict] = []
 
@@ -122,7 +122,7 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
             prev_hi = hi
         if deep:
             _deep_check(lake_dir, pid, e, path, bad,
-                        num_partitions, mode, splits)
+                        num_partitions, mode, splits, kernel)
 
     # merge-on-read delta files: same per-file checks (existence, footer
     # rows, hash/tombstones/uniqueness/routing when deep) but OUTSIDE the
@@ -142,7 +142,7 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
                 f"{e['file']}: footer {meta_rows} != manifest {e['rows']}")
         if deep:
             _deep_check(lake_dir, pid, e, path, bad,
-                        num_partitions, mode, splits)
+                        num_partitions, mode, splits, kernel)
 
     if manifest.get("row_count", rows_sum) != rows_sum:
         bad("manifest_rows_mismatch",
@@ -158,7 +158,8 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
 
 
 def _deep_check(lake_dir: str, pid: int, entry: dict, path: str, bad,
-                num_partitions: int, mode: str, splits: dict) -> None:
+                num_partitions: int, mode: str, splits: dict,
+                kernel: str = "row") -> None:
     import numpy as np
     import pyarrow.compute as pc
     from migration_pair_ray.stages.partition import partition_ids
@@ -191,8 +192,12 @@ def _deep_check(lake_dir: str, pid: int, entry: dict, path: str, bad,
     order = np.lexsort((turn, tnull, conv, cnull))
     sc, stn = conv[order], turn[order]
     scn, stn_n = cnull[order], tnull[order]
-    if np.any((sc[1:] == sc[:-1]) & (stn[1:] == stn[:-1])
-              & (scn[1:] == scn[:-1]) & (stn_n[1:] == stn_n[:-1])):
+    # one-winner-per-key holds only for the row kernel; a cell-kernel
+    # state file legitimately holds up to n_value_cols+2 determiner rows
+    # per key (functions/cells.py)
+    if kernel == "row" and np.any(
+            (sc[1:] == sc[:-1]) & (stn[1:] == stn[:-1])
+            & (scn[1:] == scn[:-1]) & (stn_n[1:] == stn_n[:-1])):
         bad("duplicate_keys", entry["file"])
     routed = partition_ids(t, num_partitions, mode, splits)
     if not np.all(routed == pid):
@@ -226,6 +231,7 @@ def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
                 "problems": [], "note": "no _lake_meta.json (empty lake)"}
     num_partitions = meta["num_partitions"]
     mode = meta["partition_mode"]
+    kernel = lm.merge_kernel()
     splits = lm.splits()
     pids = lm.active_partition_ids()
     lake_dir = cfg.lake_dir
@@ -234,7 +240,8 @@ def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
         rows = []
         for pid in t.column("pid").to_pylist():
             rows.extend(_check_partition(lake_dir, int(pid), deep,
-                                         num_partitions, mode, splits))
+                                         num_partitions, mode, splits,
+                                         kernel))
         if not rows:
             return pa.table({"partition": pa.array([], pa.int32()),
                              "kind": pa.array([], pa.string()),

@@ -78,6 +78,16 @@ def _current_partitions(cfg: JobConfig) -> dict[int, list[str]]:
     read-optimized-view rule MoR lakehouse formats apply to their
     secondary indexes."""
     meta = LakeMeta(cfg.lake_dir)
+    if meta.merge_kernel() == "cell":
+        # a cell-kernel state file holds DETERMINER rows, and a column's
+        # visible value folds from several of them — a file-level posting
+        # of raw cell values could match superseded values (stale-answer
+        # hazard, same class as uncompacted MoR).  Refuse rather than
+        # silently probe wrong.
+        raise IndexStaleError(
+            "value indexes are not supported on cell-kernel lakes: state "
+            "files hold per-cell determiner rows, so postings built from "
+            "raw file values can match superseded cells")
     store = ManifestStore(cfg.manifest_dir)
     out: dict[int, list[str]] = {}
     for pid in meta.active_partition_ids(cfg.num_partitions):

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from migration_pair_ray.config import JobConfig
-from migration_pair_ray.functions.lww import visible_state
+from migration_pair_ray.functions.lww import finalize_visible, reduce_events
 from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
 
 
@@ -115,11 +115,16 @@ def lookup_keys(cfg: JobConfig, conv_ids: list[str],
     ``turn_idx`` given (parallel to ``conv_ids``): exactly those turns —
     and the only form that routes to single partitions under the salted
     ``partition_mode="key"`` layout.
-    ``visible_only``: LWW winners minus tombstones, meta columns dropped
-    (the user-facing shape); False returns internal state rows.
+    ``visible_only``: the user-facing shape — LWW winners minus tombstones
+    (row kernel) or the per-key cell fold (cell kernel: the plan fetched
+    every file whose range/bloom covers a key, so the candidate set holds
+    the key's COMPLETE determiner rows — the precondition
+    ``finalize_visible`` documents).  False returns internal state rows
+    (one winner per key, or the determiner set under the cell kernel).
     """
     if turn_idx is not None and len(turn_idx) != len(conv_ids):
         raise ValueError("turn_idx must parallel conv_ids")
+    kernel = LakeMeta(cfg.lake_dir).merge_kernel()
     files = candidate_files(cfg, conv_ids, turn_idx)
     want = sorted(set(conv_ids))
     tables = []
@@ -137,10 +142,9 @@ def lookup_keys(cfg: JobConfig, conv_ids: list[str],
     if out.num_rows:
         # under merge-on-read a key can appear in the base AND in deltas;
         # the plan fetched every file whose range covers the key, so one
-        # LWW reduce yields the true winner (no-op on copy-on-write lakes:
-        # state files already hold one row per key)
-        from migration_pair_ray.functions.lww import lww_reduce
-        out = lww_reduce(out)
+        # kernel reduce yields the true winner set (no-op on copy-on-write
+        # lakes: state files already hold the reduced form)
+        out = reduce_events(out, kernel)
     if turn_idx is not None and out.num_rows:
         key = pc.binary_join_element_wise(
             out.column("conv_id"),
@@ -148,5 +152,5 @@ def lookup_keys(cfg: JobConfig, conv_ids: list[str],
         want_keys = pa.array([f"{c}\x00{t}" for c, t in zip(conv_ids, turn_idx)])
         out = out.filter(pc.is_in(key, value_set=want_keys))
     if visible_only:
-        out = visible_state(out, drop_meta=True)
+        out = finalize_visible(out, kernel)
     return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])

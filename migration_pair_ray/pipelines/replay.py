@@ -25,7 +25,8 @@ import pyarrow as pa
 import ray.data
 
 from migration_pair_ray.config import JobConfig
-from migration_pair_ray.functions.lww import lww_reduce, visible_state
+from migration_pair_ray.functions.lww import (finalize_visible, reduce_events,
+                                              visible_state)
 from migration_pair_ray.sources.changelog import discover, read_changes, unified_schema
 from migration_pair_ray.stages.applier import Applier, LINEAGE_SCHEMA
 from migration_pair_ray.stages.partition import PART_COL, add_partition_column
@@ -50,8 +51,12 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
     the idempotent manifest commit — the retry rewrites identical bytes.
     """
     # whole-block batches (batch_size=None): zero-copy through the fused
-    # map stages; an explicit batch_size would re-slice and copy each block
-    ds = ds.map_batches(lww_reduce, batch_format="pyarrow")
+    # map stages; an explicit batch_size would re-slice and copy each block.
+    # The combiner is kernel-dispatched: both kernels are join-semilattices,
+    # so the per-batch partial reduce before the shuffle stays safe.
+    kernel = cfg.merge_kernel
+    ds = ds.map_batches(lambda b: reduce_events(b, kernel),
+                        batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: add_partition_column(b, cfg.num_partitions,
                                        cfg.partition_mode, splits),
@@ -63,7 +68,8 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
         fn_constructor_args=(cfg.lake_dir, cfg.manifest_dir, pass_id,
                              cfg.hash_state, cfg.merge_chunk_rows,
                              cfg.state_chunk_rows, cfg.retain_passes,
-                             pass_seq, cfg.mor_max_deltas),
+                             pass_seq, cfg.mor_max_deltas,
+                             cfg.merge_kernel),
         batch_format="pyarrow",
         concurrency=conc,
         num_cpus=1,
@@ -108,6 +114,14 @@ def replay(cfg: JobConfig) -> dict:
     t0 = time.perf_counter()
     files = discover(cfg.changelog_dir, cfg.checkpoint_dir)
     if not files:
+        # even an up-to-date job must not silently accept a config whose
+        # layout/kernel contradicts the lake it points at (read-only:
+        # ensure() only writes when no meta exists yet)
+        from migration_pair_ray.state.manifest import LakeMeta
+        meta = LakeMeta(cfg.lake_dir)
+        if meta.read() is not None:
+            meta.ensure(cfg.num_partitions, cfg.partition_mode,
+                        cfg.merge_kernel)
         return {"pass_id": None, "files": 0, "events_in": 0, "partitions": 0,
                 "seconds": 0.0, "events_per_sec": 0.0, "up_to_date": True}
 
@@ -126,7 +140,7 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     # count/mode would route keys away from their existing state
     from migration_pair_ray.state.manifest import LakeMeta
     meta = LakeMeta(cfg.lake_dir)
-    meta.ensure(cfg.num_partitions, cfg.partition_mode)
+    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel)
 
     pass_id = compute_pass_id(files)
     schema = unified_schema(files)
@@ -194,9 +208,16 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     }
 
 
-def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
+def read_lake(cfg: JobConfig, as_of: str | None = None,
+              finalize=None) -> "ray.data.Dataset":
     """Streaming Dataset over the lake's committed internal state
     (tombstone rows included; only manifest-pinned files are read).
+
+    ``finalize`` (internal): a ``pa.Table -> pa.Table`` applied to each
+    partition's COMPLETE state table inside one per-partition read task.
+    Cell-kernel lakes need this shape for any fold that must see every
+    determiner row of a key (``cell_finalize``) — an arbitrary block
+    slice of the lake is not finalizable under cell semantics.
     Partition enumeration is resolved from the lake's own ``_lake_meta``
     (not ``cfg.num_partitions``): a misconfigured read cannot silently
     truncate, and split children are seen.
@@ -248,16 +269,19 @@ def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
                     f"partition {pid} is a split child with no record at or "
                     f"before pass {as_of!r}; its parent's pre-split state "
                     f"was GC'd — time travel cannot cross a split")
-        if m and m.get("delta_files"):
-            # merge-on-read partition: its files hold MULTIPLE versions per
-            # key, so it cannot stream raw — one read-merge task per
-            # partition folds base + deltas with the LWW kernel
+        if m and (m.get("delta_files") or finalize is not None):
+            # merge-on-read partition (files hold MULTIPLE versions per
+            # key — cannot stream raw) or a caller-supplied per-partition
+            # finalize: one read-merge task per partition folds base +
+            # deltas with the lake's merge kernel
             mor_manifests.append(m)
         else:
             paths.extend(state_file_paths(cfg.lake_dir, m))
     if not paths and not mor_manifests:
         from migration_pair_ray.schemas import CHANGE_SCHEMA
-        return ray.data.from_arrow(CHANGE_SCHEMA.empty_table())
+        empty = CHANGE_SCHEMA.empty_table()
+        return ray.data.from_arrow(finalize(empty) if finalize is not None
+                                   else empty)
     # Partitions evolve independently (a pass may touch only some), so state
     # files can disagree on schema; conform every batch to the deterministic
     # unified schema (footer reads only). This also drops the hive-inferred
@@ -270,30 +294,35 @@ def read_lake(cfg: JobConfig, as_of: str | None = None) -> "ray.data.Dataset":
     all_paths = paths + [str(Path(cfg.lake_dir) / f)
                          for m in mor_manifests for f in record_files(m)]
     schema = unify_change_schemas([pq.read_schema(p) for p in all_paths])
+    kernel = meta.merge_kernel()
     parts = []
     if paths:
-        parts.append(ray.data.read_parquet(paths, file_extensions=None))
+        parts.append(ray.data.read_parquet(paths, file_extensions=None)
+                     .map_batches(make_normalizer(schema),
+                                  batch_format="pyarrow"))
     if mor_manifests:
         from migration_pair_ray.stages.applier import read_state_table
         lake_dir = cfg.lake_dir
 
         def merge_partition(t: pa.Table) -> pa.Table:
-            out = [read_state_table(lake_dir, _json.loads(mj))
+            norm = make_normalizer(schema)
+            out = [read_state_table(lake_dir, _json.loads(mj), kernel=kernel)
                    for mj in t.column("manifest").to_pylist()]
-            out = [o for o in out if o is not None and o.num_rows]
+            out = [norm(o) for o in out if o is not None and o.num_rows]
             if not out:
-                from migration_pair_ray.schemas import CHANGE_SCHEMA
-                return CHANGE_SCHEMA.empty_table()
-            return (out[0] if len(out) == 1
-                    else pa.concat_tables(out, promote_options="permissive"))
+                base = schema.empty_table()
+            else:
+                base = (out[0] if len(out) == 1
+                        else pa.concat_tables(out,
+                                              promote_options="permissive"))
+            return finalize(base) if finalize is not None else base
 
         mor_ds = ray.data.from_items(
             [{"manifest": _json.dumps(m)} for m in mor_manifests]
         ).map_batches(merge_partition, batch_format="pyarrow",
                       batch_size=1)
         parts.append(mor_ds)
-    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-    return ds.map_batches(make_normalizer(schema), batch_format="pyarrow")
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
 
 def repartition_lake(cfg: JobConfig, new_cfg: JobConfig) -> dict:
@@ -315,6 +344,17 @@ def repartition_lake(cfg: JobConfig, new_cfg: JobConfig) -> dict:
     if Path(new_cfg.lake_dir).resolve() == Path(cfg.lake_dir).resolve():
         raise ValueError("repartition_lake writes a NEW lake directory; "
                          "in-place re-layout is not supported (rollback safety)")
+    from migration_pair_ray.state.manifest import LakeMeta
+    src_kernel = LakeMeta(cfg.lake_dir).merge_kernel()
+    if src_kernel != new_cfg.merge_kernel:
+        # internal cell rows are NOT row-kernel change events (a patch's
+        # null means KEEP, not set-null) and vice versa — a cross-kernel
+        # relayout would silently fold every patch wrong
+        raise ValueError(
+            f"repartition_lake cannot change the merge kernel: source lake "
+            f"is {src_kernel!r}, target config is "
+            f"{new_cfg.merge_kernel!r}. Export a snapshot and bulk-load it "
+            f"instead — kernel semantics are a lake-lifetime property.")
     # writer lease on the TARGET lake (the source is only read)
     import contextlib
     from migration_pair_ray.state.lock import WriterLease
@@ -330,7 +370,8 @@ def _repartition_locked(cfg: JobConfig, new_cfg: JobConfig, t0: float) -> dict:
     import pyarrow.compute as pc
     from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     LakeMeta(new_cfg.lake_dir).ensure(new_cfg.num_partitions,
-                                      new_cfg.partition_mode)
+                                      new_cfg.partition_mode,
+                                      new_cfg.merge_kernel)
 
     # pass identity derives from the SOURCE lake's committed content
     import hashlib
@@ -365,10 +406,22 @@ def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True,
     """User-visible final table: tombstones filtered, stable
     ``(conv_id, turn_idx)`` ordering when ``sort`` (the acceptance-comparison
     ordering from BASELINE.json).  ``as_of`` = committed pass_id for a
-    time-travel read (see read_lake)."""
-    ds = read_lake(cfg, as_of=as_of).map_batches(
-        lambda b: visible_state(b, drop_meta=drop_meta), batch_format="pyarrow"
-    )
+    time-travel read (see read_lake).
+
+    Row-kernel lakes finalize per block (each key is ONE state row, so any
+    slice is finalizable).  Cell-kernel lakes finalize per PARTITION (a
+    key's visible row folds from its whole determiner set): the fold runs
+    inside one read task per partition via ``read_lake(finalize=...)`` —
+    the same granularity the Applier merges at, so it holds at scale."""
+    from migration_pair_ray.state.manifest import LakeMeta
+    kernel = LakeMeta(cfg.lake_dir).merge_kernel()
+    if kernel == "cell":
+        ds = read_lake(cfg, as_of=as_of,
+                       finalize=lambda t: finalize_visible(t, "cell"))
+    else:
+        ds = read_lake(cfg, as_of=as_of).map_batches(
+            lambda b: visible_state(b, drop_meta=drop_meta),
+            batch_format="pyarrow")
     if sort:
         ds = ds.sort(["conv_id", "turn_idx"])
     return ds

@@ -70,6 +70,7 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
         raise ValueError(f"unknown snapshot format {fmt!r}")
     from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     store = ManifestStore(cfg.manifest_dir)
+    kernel = LakeMeta(cfg.lake_dir).merge_kernel()
     total = 0
     # partition enumeration from the lake's own metadata (LakeMeta), never
     # range(cfg.num_partitions): a misconfigured read must not truncate
@@ -79,7 +80,10 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
         m = store.read(pid)
         if not m:
             continue
-        if m.get("delta_files"):
+        if m.get("delta_files") or kernel == "cell":
+            # cell-kernel state files hold each key's DETERMINER rows, not
+            # one winner — row_count-tombstones is not the visible count;
+            # fold distributed like a MoR partition
             mor.append(m)
         else:
             total += int(m["row_count"]) - int(m["tombstones"])
@@ -93,12 +97,14 @@ def snapshot(cfg: JobConfig, out_dir: str, fmt: str = "parquet",
         lake_dir = cfg.lake_dir
 
         def visible_count(t: pa.Table) -> pa.Table:
-            from migration_pair_ray.functions.lww import visible_state
+            from migration_pair_ray.functions.lww import finalize_visible
             from migration_pair_ray.stages.applier import read_state_table
             ns = []
             for mj in t.column("manifest").to_pylist():
-                st = read_state_table(lake_dir, _json.loads(mj))
-                ns.append(visible_state(st).num_rows if st is not None else 0)
+                st = read_state_table(lake_dir, _json.loads(mj),
+                                      kernel=kernel)
+                ns.append(finalize_visible(st, kernel).num_rows
+                          if st is not None else 0)
             return pa.table({"n": pa.array(ns, pa.int64())})
 
         counts = (rd.from_items([{"manifest": _json.dumps(m)} for m in mor])
@@ -139,7 +145,7 @@ def _snapshot_incremental_locked(cfg: JobConfig, out_dir: str) -> dict:
 
     import ray.data as rd
 
-    from migration_pair_ray.functions.lww import visible_state
+    from migration_pair_ray.functions.lww import finalize_visible
     from migration_pair_ray.pipelines.index import _partition_fingerprint
     from migration_pair_ray.stages.applier import (_fsync_write_parquet,
                                                    read_state_table)
@@ -155,6 +161,7 @@ def _snapshot_incremental_locked(cfg: JobConfig, out_dir: str) -> dict:
             old = _json.load(f).get("fingerprints", {})
 
     store = ManifestStore(cfg.manifest_dir)
+    kernel = LakeMeta(cfg.lake_dir).merge_kernel()
     manifests, fps = {}, {}
     for pid in LakeMeta(cfg.lake_dir).active_partition_ids(cfg.num_partitions):
         m = store.read(int(pid))
@@ -174,16 +181,18 @@ def _snapshot_incremental_locked(cfg: JobConfig, out_dir: str) -> dict:
             for mj in t.column("manifest").to_pylist():
                 rec = _json.loads(mj)
                 pid = int(rec["pid"])
-                st = read_state_table(lake_dir, rec["m"])  # folds MoR
+                st = read_state_table(lake_dir, rec["m"],  # folds MoR
+                                      kernel=kernel)
                 path = f"{out_str}/part-{pid:05d}.parquet"
                 if st is None:
                     # never-written partition: canonical-schema empty file
-                    vis = visible_state(CHANGE_SCHEMA.empty_table())
+                    vis = finalize_visible(CHANGE_SCHEMA.empty_table(),
+                                           kernel)
                 else:
                     # keep the partition's own (possibly evolved) schema
                     # even when every row is tombstoned — the export dir
                     # must not silently mix schema vintages per file
-                    vis = visible_state(st).sort_by(
+                    vis = finalize_visible(st, kernel).sort_by(
                         [("conv_id", "ascending"),
                          ("turn_idx", "ascending")])
                 _fsync_write_parquet(vis, path)

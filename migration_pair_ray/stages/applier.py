@@ -81,7 +81,8 @@ class Applier:
     def __init__(self, lake_dir: str, manifest_dir: str, pass_id: str,
                  hash_state: bool = True, merge_chunk_rows: int = 4_000_000,
                  state_chunk_rows: int = 0, retain_passes: int = 0,
-                 pass_seq: int = -1, mor_max_deltas: int = 0):
+                 pass_seq: int = -1, mor_max_deltas: int = 0,
+                 merge_kernel: str = "row"):
         self.lake_dir = lake_dir
         self.pass_id = pass_id
         self.hash_state = hash_state
@@ -97,6 +98,10 @@ class Applier:
         # merge-on-read: > 0 appends delta files instead of rewriting the
         # base, compacting when a partition would exceed this many deltas
         self.mor_max_deltas = mor_max_deltas
+        # "row" (whole-row LWW) | "cell" (patch-op column-level LWW) —
+        # decides the reduce/merge kernel; in cell mode a state file holds
+        # each key's DETERMINER rows (≤ n_cols+2 per key), not one winner
+        self.merge_kernel = merge_kernel
         self.manifests = ManifestStore(manifest_dir)  # once per actor
 
     def _state_file(self, pid: int, seq: int | None = None) -> str:
@@ -215,14 +220,17 @@ class Applier:
                     bytes=nbytes, seconds=time.perf_counter() - t0)
             # fall through: degenerate (null merge keys) → single-file merge
 
-        existing = read_state_table(self.lake_dir, prev)
+        existing = read_state_table(self.lake_dir, prev,
+                                    kernel=self.merge_kernel)
 
-        # merge sorts by (conv_id, turn_idx, ts, lsn) and keeps one row per
-        # key — its output is therefore already in the deterministic
-        # (conv_id, turn_idx) file order; no second sort needed.  The
-        # chunked variant bounds the transient sort/concat working set when
-        # a skewed partition outgrows merge_chunk_rows.
-        merged = merge_tables_chunked(existing, changes, self.merge_chunk_rows)
+        # merge sorts by (conv_id, turn_idx, ts, lsn) and keeps the
+        # kernel's surviving rows per key — its output is therefore already
+        # in the deterministic (conv_id, turn_idx) file order; no second
+        # sort needed.  The chunked variant bounds the transient
+        # sort/concat working set when a skewed partition outgrows
+        # merge_chunk_rows.
+        merged = merge_tables_chunked(existing, changes, self.merge_chunk_rows,
+                                      self.merge_kernel)
 
         tombstones = int(pc.sum(
             pc.cast(pc.equal(merged.column("op"), "D"), pa.int64())
@@ -258,14 +266,14 @@ class Applier:
         partition would exceed ``mor_max_deltas`` or keys are degenerate
         (null merge keys need the full-merge fallback)."""
         import numpy as np
-        from migration_pair_ray.functions.lww import lww_reduce
+        from migration_pair_ray.functions.lww import reduce_events
         from migration_pair_ray.state.manifest import record_files
 
         deltas = list(prev.get("delta_files", []))
         if len(deltas) + 1 > self.mor_max_deltas:
             return None
         rows_in = changes.num_rows
-        reduced = lww_reduce(changes)
+        reduced = reduce_events(changes, self.merge_kernel)
         if any(reduced.column(k).null_count > 0 for k in MERGE_KEYS):
             return None
 
@@ -331,11 +339,12 @@ class Applier:
         degenerate null-merge-key case (caller falls back to the
         single-file merge: correctness beats chunk pruning there)."""
         import numpy as np
-        from migration_pair_ray.functions.lww import lww_reduce
+        from migration_pair_ray.functions.lww import reduce_events
         from migration_pair_ray.schemas import MERGE_KEYS
 
         rows_in = changes.num_rows
-        changes = lww_reduce(self._fold_deltas(prev, changes))
+        changes = reduce_events(self._fold_deltas(prev, changes),
+                                self.merge_kernel)
         if any(changes.column(k).null_count > 0 for k in MERGE_KEYS):
             return None
 
@@ -352,7 +361,8 @@ class Applier:
                     existing.column(k).null_count > 0 for k in MERGE_KEYS):
                 return None
             merged = merge_tables_chunked(existing, changes,
-                                          self.merge_chunk_rows)
+                                          self.merge_chunk_rows,
+                                          self.merge_kernel)
             new_entries, _ = self._write_chunks(pid, merged, 0)
             return new_entries, rows_in
 
@@ -380,7 +390,8 @@ class Applier:
             chunk_tbl = pq.read_table(str(Path(self.lake_dir) / ent["file"]))
             merged = merge_tables_chunked(chunk_tbl,
                                           changes.slice(lo_c, hi_c - lo_c),
-                                          self.merge_chunk_rows)
+                                          self.merge_chunk_rows,
+                                          self.merge_kernel)
             written, seq = self._write_chunks(pid, merged, seq)
             new_entries.extend(written)
         return new_entries, rows_in
@@ -426,13 +437,16 @@ def write_chunk_files(lake_dir: str, merged: pa.Table, chunk_rows: int,
 
 
 def read_state_table(lake_dir: str, manifest: dict | None,
-                     fold_deltas: bool = True) -> pa.Table | None:
+                     fold_deltas: bool = True,
+                     kernel: str = "row") -> pa.Table | None:
     """A partition's committed state as one (key-sorted) table — handles
     all layouts: single ``data_file``, chunked ``data_files`` (chunk files
     are key-ordered and internally sorted, so concatenation is the sorted
     partition), and merge-on-read ``delta_files`` (folded into the base
-    with the LWW merge kernel, so every consumer sees the true current
-    state; ``fold_deltas=False`` returns the base only)."""
+    with the lake's merge kernel — ``kernel`` must match what the lake
+    was written with, see ``LakeMeta.merge_kernel`` — so every consumer
+    sees the true current state; ``fold_deltas=False`` returns the base
+    only)."""
     if not manifest:
         return None
     files = manifest.get("data_files")
@@ -455,7 +469,8 @@ def read_state_table(lake_dir: str, manifest: dict | None,
     dt = [pq.read_table(str(Path(lake_dir) / e["file"])) for e in deltas]
     schema = unify_change_schemas([t.schema for t in dt])
     norm = make_normalizer(schema)
-    return merge_tables(base, pa.concat_tables([norm(t) for t in dt]))
+    return merge_tables(base, pa.concat_tables([norm(t) for t in dt]),
+                        kernel=kernel)
 
 
 def state_file_paths(lake_dir: str, manifest: dict | None) -> list[str]:

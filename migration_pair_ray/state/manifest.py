@@ -335,24 +335,37 @@ class LakeMeta:
         except FileNotFoundError:
             return None
 
-    def ensure(self, num_partitions: int, partition_mode: str) -> None:
+    def ensure(self, num_partitions: int, partition_mode: str,
+               merge_kernel: str = "row") -> None:
         """First writer records the layout; later writers must match it."""
         cur = self.read()
-        want = {"num_partitions": num_partitions, "partition_mode": partition_mode}
+        want = {"num_partitions": num_partitions,
+                "partition_mode": partition_mode,
+                "merge_kernel": merge_kernel}
         if cur is None:
             self.path.parent.mkdir(parents=True, exist_ok=True)
             _atomic_write(str(self.path), json.dumps(want, indent=1).encode())
             return
         if (cur.get("num_partitions") != num_partitions
-                or cur.get("partition_mode") != partition_mode):
+                or cur.get("partition_mode") != partition_mode
+                # pre-kernel lakes are row-kernel by construction
+                or cur.get("merge_kernel", "row") != merge_kernel):
             raise LakeLayoutError(
                 f"lake at {self.path.parent} was created with "
                 f"num_partitions={cur.get('num_partitions')} "
-                f"partition_mode={cur.get('partition_mode')!r}; this job is "
-                f"configured with num_partitions={num_partitions} "
-                f"partition_mode={partition_mode!r}. Changing the layout of "
+                f"partition_mode={cur.get('partition_mode')!r} "
+                f"merge_kernel={cur.get('merge_kernel', 'row')!r}; this job "
+                f"is configured with num_partitions={num_partitions} "
+                f"partition_mode={partition_mode!r} "
+                f"merge_kernel={merge_kernel!r}. Changing the layout of "
                 f"an existing lake requires an explicit repartition/compact "
                 f"job, not a config change.")
+
+    def merge_kernel(self) -> str:
+        """The lake's merge kernel ("row" | "cell") — a lake-lifetime
+        property (the state files' meaning depends on it).  Lakes created
+        before the kernel existed are row-kernel."""
+        return (self.read() or {}).get("merge_kernel", "row")
 
     def splits(self) -> dict[int, tuple[int, int]]:
         """{base_pid: (fanout, gen)} for every split partition."""

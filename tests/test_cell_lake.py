@@ -1,0 +1,247 @@
+"""Cell-kernel lakes: ``merge_kernel="cell"`` on the full replay path.
+
+The cell kernel (functions/cells.py) is a join-semilattice, so the lake's
+incremental pass-by-pass merges must equal a single full fold — including
+out-of-order patches across passes, chunked state layouts, merge-on-read
+deltas and splits.  These tests drive the PACKAGE surface (replay /
+final_state / lookup / snapshot / fsck) against a brute-force driver-side
+``cell_finalize`` of the complete event set.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.functions.cells import cell_finalize
+from migration_pair_ray.pipelines.replay import final_state, replay
+from migration_pair_ray.state.manifest import LakeLayoutError
+
+N_KEYS = 40
+COLS = ["role", "text", "tool"]
+
+
+def _make_events(n: int, seed: int) -> pa.Table:
+    """Deterministic mixed I/U/P/D change stream over N_KEYS keys with
+    event-time (ts) independent of log order (lsn) — late arrivals and
+    cross-pass out-of-order patches included by construction."""
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, N_KEYS, n)
+    ops = rng.choice(np.array(["I", "U", "P", "P", "D"]), size=n,
+                     p=[0.15, 0.35, 0.2, 0.2, 0.1])
+    ts = rng.integers(1_700_000_000_000_000, 1_700_000_100_000_000, n)
+    cols = {
+        "conv_id": pa.array([f"c{i % 7}" for i in k], pa.string()),
+        "turn_idx": pa.array((k // 7).astype("int32")),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "op": pa.array(ops.tolist(), pa.string()),
+        "lsn": pa.array(np.arange(n, dtype="int64")),
+    }
+    vals = {}
+    for c in COLS:
+        v = np.array([f"{c}-{i}" for i in range(n)], dtype=object)
+        # patches set a random subset of columns (possibly none); I/U may
+        # legitimately SET NULL
+        null = np.where(ops == "P", rng.random(n) < 0.5, rng.random(n) < 0.15)
+        v[null] = None
+        vals[c] = pa.array(v, pa.string())
+    return pa.table({
+        "conv_id": cols["conv_id"], "turn_idx": cols["turn_idx"],
+        "role": vals["role"], "text": vals["text"], "tool": vals["tool"],
+        "ts": cols["ts"], "op": cols["op"], "lsn": cols["lsn"],
+    })
+
+
+def _write_log(log_dir: Path, events: pa.Table, n_files: int) -> None:
+    log_dir.mkdir(parents=True, exist_ok=True)
+    per = (events.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        sub = events.slice(i * per, per)
+        if sub.num_rows:
+            pq.write_table(sub, str(log_dir / f"batch-{i:05d}.parquet"))
+
+
+def _brute(events: pa.Table) -> pa.Table:
+    return cell_finalize(events).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _final(cfg: JobConfig) -> pa.Table:
+    t = pa.Table.from_pylist(final_state(cfg, sort=True).take_all())
+    return t.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def _cfg(root: Path, name: str, **kw) -> JobConfig:
+    kw.setdefault("num_partitions", 4)
+    return JobConfig(changelog_dir=str(root / f"{name}_log"),
+                     lake_dir=str(root / f"{name}_lake"),
+                     merge_kernel="cell", **kw)
+
+
+def _assert_tables_equal(got: pa.Table, want: pa.Table) -> None:
+    assert got.num_rows == want.num_rows
+    want = want.select(got.column_names)
+    for name in got.column_names:
+        a, b = got.column(name).combine_chunks(), want.column(name).combine_chunks()
+        assert a.cast(b.type).equals(b), f"column {name} differs"
+
+
+def test_cell_lake_matches_brute_single_pass(tmp_path):
+    events = _make_events(3000, seed=1)
+    cfg = _cfg(tmp_path, "single")
+    _write_log(Path(cfg.changelog_dir), events, 3)
+    replay(cfg)
+    _assert_tables_equal(_final(cfg), _brute(events))
+
+
+def test_cell_lake_incremental_equals_full(tmp_path):
+    """Three sequential passes (out-of-order ts across passes) must end
+    bit-identical to one full pass — the semilattice property ON the lake
+    path, not just the kernel."""
+    events = _make_events(4000, seed=2)
+    inc = _cfg(tmp_path, "inc")
+    Path(inc.changelog_dir).mkdir(parents=True)
+    per = events.num_rows // 3 + 1
+    for i in range(3):
+        sub = events.slice(i * per, per)
+        if sub.num_rows:
+            pq.write_table(sub, f"{inc.changelog_dir}/batch-{i:05d}.parquet")
+            replay(inc)   # one pass per file
+    full = _cfg(tmp_path, "full")
+    _write_log(Path(full.changelog_dir), events, 1)
+    replay(full)
+    _assert_tables_equal(_final(inc), _final(full))
+    _assert_tables_equal(_final(inc), _brute(events))
+
+
+@pytest.mark.parametrize("kw", [
+    {"state_chunk_rows": 50},
+    {"mor_max_deltas": 2},
+    {"state_chunk_rows": 50, "retain_passes": 2},
+])
+def test_cell_lake_layout_matrix(tmp_path, kw):
+    """Chunked state files, merge-on-read deltas and retention all compose
+    with the cell kernel: multi-pass result equals the brute fold."""
+    events = _make_events(2500, seed=3)
+    cfg = _cfg(tmp_path, "m", **kw)
+    Path(cfg.changelog_dir).mkdir(parents=True)
+    per = events.num_rows // 3 + 1
+    for i in range(3):
+        sub = events.slice(i * per, per)
+        if sub.num_rows:
+            pq.write_table(sub, f"{cfg.changelog_dir}/batch-{i:05d}.parquet")
+            replay(cfg)
+    _assert_tables_equal(_final(cfg), _brute(events))
+
+
+def test_cell_kernel_gate(tmp_path):
+    """A lake written row-kernel refuses a cell-kernel pass (and vice
+    versa): the kernel decides what the state FILES mean — flipping it on
+    an existing lake would silently misread every partition."""
+    events = _make_events(300, seed=4)
+    row_cfg = JobConfig(changelog_dir=str(tmp_path / "log"),
+                        lake_dir=str(tmp_path / "lake"), num_partitions=2)
+    _write_log(Path(row_cfg.changelog_dir), events, 1)
+    replay(row_cfg)
+    cell_cfg = JobConfig(changelog_dir=str(tmp_path / "log2"),
+                         lake_dir=str(tmp_path / "lake"), num_partitions=2,
+                         merge_kernel="cell")
+    _write_log(Path(cell_cfg.changelog_dir), events, 1)
+    with pytest.raises(LakeLayoutError, match="merge_kernel"):
+        replay(cell_cfg)
+
+
+def test_cell_lookup_and_patch_after_delete(tmp_path):
+    """Point lookups on a cell lake finalize the key's determiner rows —
+    including the patch-resurrects-after-delete case."""
+    from migration_pair_ray.pipelines.lookup import lookup_keys
+    ts = lambda us: pa.scalar(us, pa.timestamp("us"))
+    events = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b"], pa.string()),
+        "turn_idx": pa.array([0, 0, 0, 1], pa.int32()),
+        "role": pa.array(["user", None, None, "asst"], pa.string()),
+        "text": pa.array(["hello", None, "patched", "world"], pa.string()),
+        "tool": pa.array([None, None, None, None], pa.string()),
+        "ts": pa.array([1000, 2000, 3000, 1000], pa.timestamp("us")),
+        "op": pa.array(["I", "D", "P", "I"], pa.string()),
+        "lsn": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    cfg = _cfg(tmp_path, "lk")
+    _write_log(Path(cfg.changelog_dir), events, 2)
+    replay(cfg)
+    got = lookup_keys(cfg, ["a"], [0])
+    # the patch after the delete resurrects a PARTIAL row: text from the
+    # patch, role/tool null (their pre-delete determiners are dead)
+    assert got.num_rows == 1
+    assert got.column("text")[0].as_py() == "patched"
+    assert got.column("role")[0].as_py() is None
+    assert got.column("ts")[0].as_py().timestamp() == pytest.approx(3000 / 1e6)
+    # visible_only=False returns internal determiner rows (> 1 per key ok)
+    internal = lookup_keys(cfg, ["a"], [0], visible_only=False)
+    assert internal.num_rows >= 2   # tombstone watermark + patch
+
+
+def test_cell_snapshot_count_and_fsck(tmp_path):
+    from migration_pair_ray.pipelines.fsck import validate_lake
+    from migration_pair_ray.pipelines.snapshot import snapshot
+    events = _make_events(2000, seed=5)
+    cfg = _cfg(tmp_path, "sn", state_chunk_rows=64)
+    _write_log(Path(cfg.changelog_dir), events, 2)
+    replay(cfg)
+    want = _brute(events)
+    n = snapshot(cfg, str(tmp_path / "out"), fmt="parquet")
+    assert n == want.num_rows
+    rep = validate_lake(cfg, deep=True)
+    assert rep["ok"], rep["problems"]
+
+
+def test_value_index_refuses_cell_lake(tmp_path):
+    from migration_pair_ray.pipelines.index import (IndexStaleError,
+                                                    build_value_index)
+    events = _make_events(500, seed=6)
+    cfg = _cfg(tmp_path, "ix")
+    _write_log(Path(cfg.changelog_dir), events, 1)
+    replay(cfg)
+    with pytest.raises(IndexStaleError, match="cell"):
+        build_value_index(cfg, "role")
+
+
+def test_repartition_cell_to_row_refused(tmp_path):
+    """Internal cell rows are NOT row-kernel change events (a patch's null
+    means keep, not set-null) — relayout across kernels must refuse rather
+    than silently fold patches wrong."""
+    from migration_pair_ray.pipelines.replay import repartition_lake
+    events = _make_events(400, seed=7)
+    cfg = _cfg(tmp_path, "rp")
+    _write_log(Path(cfg.changelog_dir), events, 1)
+    replay(cfg)
+    row_target = JobConfig(changelog_dir=cfg.changelog_dir,
+                           lake_dir=str(tmp_path / "row_lake"),
+                           num_partitions=8)
+    with pytest.raises(ValueError, match="kernel"):
+        repartition_lake(cfg, row_target)
+    # same-kernel relayout is fine and preserves the visible state
+    cell_target = _cfg(tmp_path, "rp2", num_partitions=8)
+    repartition_lake(cfg, cell_target)
+    _assert_tables_equal(_final(cell_target), _brute(events))
+
+
+def test_cell_lake_split_compose(tmp_path):
+    """Incremental partition split on a cell lake keeps the fold exact."""
+    from migration_pair_ray.pipelines.compact import split_partition
+    events = _make_events(2000, seed=8)
+    cfg = _cfg(tmp_path, "sp")
+    Path(cfg.changelog_dir).mkdir(parents=True)
+    pq.write_table(events.slice(0, 1000),
+                   f"{cfg.changelog_dir}/batch-00000.parquet")
+    replay(cfg)
+    split_partition(cfg, 0, fanout=2)
+    pq.write_table(events.slice(1000),
+                   f"{cfg.changelog_dir}/batch-00001.parquet")
+    replay(cfg)
+    _assert_tables_equal(_final(cfg), _brute(events))
