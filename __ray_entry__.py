@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
         "cdc_patch_merge": q.cdc_patch_merge,
+        "cdc_cell_replay": q.cdc_cell_replay,
         "cdc_clone_branch": q.cdc_clone_branch,
         "cdc_jsonl_roundtrip": q.cdc_jsonl_roundtrip,
         "cdc_state_diff": q.cdc_state_diff,
@@ -364,7 +365,7 @@ def oracle_sql() -> dict[str, str]:
           FROM ch)
     """
 
-    return {
+    out = {
         "cdc_lww_merge": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
@@ -1969,3 +1970,7 @@ def oracle_sql() -> dict[str, str]:
                 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.995)
             ORDER BY a.vec_id""",
     }
+    # the cell-kernel LAKE replay and the one-shot cell fold share their
+    # semantics (functions/cells.py) — and therefore their oracle
+    out["cdc_cell_replay"] = out["cdc_patch_merge"]
+    return out

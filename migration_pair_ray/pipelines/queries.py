@@ -73,6 +73,68 @@ def _derive_changes(batch: pa.Table) -> pa.Table:
     })
 
 
+def _write_derived_log(sf_dir: str, log_dir: str, flavor=None) -> None:
+    """Write the 4-file change log derived from ``<sf_dir>/events.parquet``
+    into ``log_dir`` — distributed, deterministic, crash-safe (stale
+    partials wiped; ``_COMPLETE`` marker written last).  ``flavor``: an
+    optional ``pa.Table -> pa.Table`` applied to each derived batch before
+    the file split (must preserve ``lsn`` — the split key)."""
+    os.makedirs(log_dir, exist_ok=True)
+    done_marker = Path(log_dir) / "_COMPLETE"
+    if done_marker.exists():
+        return
+    # a crash mid-generation must not leave a truncated log that later
+    # runs silently reuse: write everything, then the marker
+    for stale in Path(log_dir).glob("batch-*.parquet"):
+        stale.unlink()
+    # DISTRIBUTED derivation: the events table never reaches the
+    # driver.  event_id is contiguous 0..n-1 (asserted below via the
+    # footer row count == lsn range), so the 4-way file split is a
+    # pure lsn-range partition: file i owns lsn in [i*per, (i+1)*per).
+    # Each output file is produced by ONE Ray group (sorted by lsn
+    # inside the group), so bytes are identical to a driver-side
+    # slice-and-write — same content, same pass_id.
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    n_files = 4
+    per = (n + n_files - 1) // n_files
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = _derive_changes(t)
+        return flavor(t) if flavor is not None else t
+
+    def assign_file(t: pa.Table) -> pa.Table:
+        f = pc.cast(pc.floor(pc.divide(
+            pc.cast(t.column("lsn"), pa.float64()), float(per))), pa.int32())
+        return t.append_column("__f", f)
+
+    def write_file(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"file_idx": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        i = int(g.column("__f")[0].as_py())
+        g = g.drop_columns(["__f"]).sort_by([("lsn", "ascending")])
+        lo = int(g.column("lsn")[0].as_py())
+        hi = int(g.column("lsn")[-1].as_py())
+        if i == 0:
+            g = g.drop_columns(["tool"])  # schema-evolution file
+        path = f"{log_dir}/batch-{i:05d}-{lo:012d}-{hi:012d}.parquet"
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(g, tmp)
+        os.replace(tmp, path)
+        return pa.table({"file_idx": pa.array([i], pa.int32()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    written = (rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "props", "ts"])
+        .map_batches(derive, batch_format="pyarrow")
+        .map_batches(assign_file, batch_format="pyarrow")
+        .groupby("__f").map_groups(write_file, batch_format="pyarrow")
+        .take_all())
+    assert sum(r["rows"] for r in written) == n, "lsn range != row count"
+    done_marker.touch()
+
+
 def _events_lake(sf_dir: str) -> JobConfig:
     """Build (or reuse) a lake under /tmp by replaying the change log
     derived from ``<sf_dir>/events.parquet`` through the full pipeline.
@@ -84,55 +146,7 @@ def _events_lake(sf_dir: str) -> JobConfig:
     tag = f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
     root = Path("/tmp/mpr_queries") / tag
     log_dir, lake_dir = str(root / "log"), str(root / "lake")
-    os.makedirs(log_dir, exist_ok=True)
-    done_marker = Path(log_dir) / "_COMPLETE"
-    if not done_marker.exists():
-        # a crash mid-generation must not leave a truncated log that later
-        # runs silently reuse: write everything, then the marker
-        for stale in Path(log_dir).glob("batch-*.parquet"):
-            stale.unlink()
-        # DISTRIBUTED derivation: the events table never reaches the
-        # driver.  event_id is contiguous 0..n-1 (asserted below via the
-        # footer row count == lsn range), so the 4-way file split is a
-        # pure lsn-range partition: file i owns lsn in [i*per, (i+1)*per).
-        # Each output file is produced by ONE Ray group (sorted by lsn
-        # inside the group), so bytes are identical to a driver-side
-        # slice-and-write — same content, same pass_id.
-        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-        n_files = 4
-        per = (n + n_files - 1) // n_files
-
-        def assign_file(t: pa.Table) -> pa.Table:
-            f = pc.cast(pc.floor(pc.divide(
-                pc.cast(t.column("lsn"), pa.float64()), float(per))), pa.int32())
-            return t.append_column("__f", f)
-
-        def write_file(g: pa.Table) -> pa.Table:
-            if g.num_rows == 0:
-                return pa.table({"file_idx": pa.array([], pa.int32()),
-                                 "rows": pa.array([], pa.int64())})
-            i = int(g.column("__f")[0].as_py())
-            g = g.drop_columns(["__f"]).sort_by([("lsn", "ascending")])
-            lo = int(g.column("lsn")[0].as_py())
-            hi = int(g.column("lsn")[-1].as_py())
-            if i == 0:
-                g = g.drop_columns(["tool"])  # schema-evolution file
-            path = f"{log_dir}/batch-{i:05d}-{lo:012d}-{hi:012d}.parquet"
-            tmp = f"{path}.tmp.{os.getpid()}"
-            pq.write_table(g, tmp)
-            os.replace(tmp, path)
-            return pa.table({"file_idx": pa.array([i], pa.int32()),
-                             "rows": pa.array([g.num_rows], pa.int64())})
-
-        written = (rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "event_type", "props", "ts"])
-            .map_batches(_derive_changes, batch_format="pyarrow")
-            .map_batches(assign_file, batch_format="pyarrow")
-            .groupby("__f").map_groups(write_file, batch_format="pyarrow")
-            .take_all())
-        assert sum(r["rows"] for r in written) == n, "lsn range != row count"
-        done_marker.touch()
+    _write_derived_log(sf_dir, log_dir)
     cfg = JobConfig(changelog_dir=log_dir, lake_dir=lake_dir, num_partitions=16)
     replay(cfg)  # no-op when already up to date
     # self-heal: a lake under this tag built by an older engine version
@@ -3112,6 +3126,63 @@ def cdc_snapshot_diff(sf_dir: str, t1_us: int = 1705276800000000):
             .sort(["conv_id", "turn_idx"]))
 
 
+def _patch_flavor(tool_from: int):
+    """The deterministic PATCH flavoring shared by ``cdc_patch_merge`` and
+    ``cdc_cell_replay`` (keep in lockstep with their common SQL oracle):
+    non-delete events with ``lsn % 7 == 2`` become text-only patches,
+    ``lsn % 7 == 4`` tool-only patches; ``tool`` is nulled below
+    ``tool_from`` (the schema-evolution epoch DERIVED_CHANGES_SQL models)."""
+    def flavor(t: pa.Table) -> pa.Table:
+        pre = pc.less(t.column("lsn"), tool_from)
+        tool = pc.if_else(pre, pa.scalar(None, pa.string()),
+                          t.column("tool"))
+        lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+        opn = np.asarray(t.column("op").to_pandas(), dtype=object)
+        m7 = lsn % 7
+        p_text = (m7 == 2) & (opn != "D")   # patch sets text only
+        p_tool = (m7 == 4) & (opn != "D")   # patch sets tool only
+        any_p = pa.array(p_text | p_tool)
+        null_s = pa.scalar(None, pa.string())
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "role": pc.if_else(any_p, null_s, t.column("role")),
+            "text": pc.if_else(pa.array(p_tool), null_s, t.column("text")),
+            "tool": pc.if_else(pa.array(p_text), null_s, tool),
+            "ts": t.column("ts"),
+            "op": pc.if_else(any_p, "P", t.column("op")),
+            "lsn": t.column("lsn"),
+        })
+    return flavor
+
+
+def cdc_cell_replay(sf_dir: str):
+    """Cell-kernel LAKE on the oracle path: the patch-flavored change
+    stream (same flavor as ``cdc_patch_merge``) written as a 4-file change
+    log and replayed into a ``merge_kernel="cell"`` lake — partial-row-
+    image CDC as a lake-lifetime property rather than a one-shot fold.
+    State files hold per-key determiner rows; ``final_state`` folds them
+    once per partition (``read_lake(finalize=...)``).  Same cell-semantics
+    SQL oracle as ``cdc_patch_merge``: the lake path and the derive path
+    must agree.  The file split boundary equals ``tool_from`` (both are
+    ceil(n/4)), so file 0's dropped ``tool`` column reproduces the
+    oracle's schema-evolution epoch exactly."""
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
+    root = Path("/tmp/mpr_queries") / tag
+    log_dir, lake_dir = str(root / "cell-log"), str(root / "cell-lake")
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    if not (Path(log_dir) / "_COMPLETE").exists():
+        # wipe a lake built from a partially-written log (same crash rule
+        # as _write_derived_log's own marker)
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    _write_derived_log(sf_dir, log_dir, flavor=_patch_flavor(-(-n // 4)))
+    cfg = JobConfig(changelog_dir=log_dir, lake_dir=lake_dir,
+                    num_partitions=16, merge_kernel="cell")
+    replay(cfg)   # no-op when already up to date
+    return final_state(cfg, sort=True)
+
+
 def cdc_patch_merge(sf_dir: str):
     """Cell-level LWW merge of a change stream carrying PATCH events
     (``op == "P"``: null column = keep current value — the Debezium
@@ -3129,34 +3200,13 @@ def cdc_patch_merge(sf_dir: str):
                                                    _default_coarse)
     n_coarse = _default_coarse(None)
     n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    tool_from = -(-n_events // 4)
+    flavor = _patch_flavor(tool_from=-(-n_events // 4))
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "event_type",
                                   "props", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
-        t = _derive_changes(t)
-        pre = pc.less(t.column("lsn"), tool_from)
-        tool = pc.if_else(pre, pa.scalar(None, pa.string()),
-                          t.column("tool"))
-        lsn = t.column("lsn").to_numpy(zero_copy_only=False)
-        opn = np.asarray(t.column("op").to_pandas(), dtype=object)
-        m7 = lsn % 7
-        p_text = (m7 == 2) & (opn != "D")   # patch sets text only
-        p_tool = (m7 == 4) & (opn != "D")   # patch sets tool only
-        any_p = pa.array(p_text | p_tool)
-        null_s = pa.scalar(None, pa.string())
-        t = pa.table({
-            "conv_id": t.column("conv_id"),
-            "turn_idx": t.column("turn_idx"),
-            "role": pc.if_else(any_p, null_s, t.column("role")),
-            "text": pc.if_else(pa.array(p_tool), null_s, t.column("text")),
-            "tool": pc.if_else(pa.array(p_text), null_s, tool),
-            "ts": t.column("ts"),
-            "op": pc.if_else(any_p, "P", t.column("op")),
-            "lsn": t.column("lsn"),
-        })
-        t = cell_reduce(t)
+        t = cell_reduce(flavor(_derive_changes(t)))
         return t.append_column("__b", pa.array(
             _coarse_key_bucket(t.column("conv_id"), n_coarse)))
 
