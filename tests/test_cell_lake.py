@@ -231,6 +231,62 @@ def test_repartition_cell_to_row_refused(tmp_path):
     _assert_tables_equal(_final(cell_target), _brute(events))
 
 
+def test_cell_delete_where(tmp_path):
+    """GDPR-style predicate deletes on a cell lake: the predicate sees the
+    FINALIZED visible rows (one per key, cells folded), and the tombstone
+    batch kills whole keys — verified against a brute fold with the
+    victims' events removed up to the delete watermark."""
+    from migration_pair_ray.pipelines.deletes import delete_where
+    events = _make_events(1500, seed=9)
+    cfg = _cfg(tmp_path, "dw")
+    _write_log(Path(cfg.changelog_dir), events, 2)
+    replay(cfg)
+    before = _brute(events)
+    victims = {(before.column("conv_id")[i].as_py(),
+                before.column("turn_idx")[i].as_py())
+               for i in range(before.num_rows)
+               if (before.column("text")[i].as_py() or "").endswith("7")}
+    assert victims, "fixture produced no victims"
+
+    def pred(t: pa.Table) -> pa.Array:
+        import pyarrow.compute as pc
+        return pc.fill_null(
+            pc.ends_with(pc.cast(t.column("text"), pa.string()), "7"), False)
+
+    res = delete_where(cfg, pred, tag="gdpr-7")
+    assert res["tombstones"] == len(victims) and res["applied"]
+    got = _final(cfg)
+    keys = {(got.column("conv_id")[i].as_py(), got.column("turn_idx")[i].as_py())
+            for i in range(got.num_rows)}
+    assert keys == {(c, t) for c, t in
+                    zip(before.column("conv_id").to_pylist(),
+                        before.column("turn_idx").to_pylist())} - victims
+
+
+def test_cell_snapshot_incremental(tmp_path):
+    """Per-partition incremental export folds cell determiner rows to one
+    visible row per key; an unchanged lake re-exports nothing."""
+    import pyarrow.parquet as _pq
+
+    from migration_pair_ray.pipelines.snapshot import snapshot_incremental
+    events = _make_events(1800, seed=10)
+    cfg = _cfg(tmp_path, "si")
+    _write_log(Path(cfg.changelog_dir), events, 2)
+    replay(cfg)
+    out = tmp_path / "export"
+    r1 = snapshot_incremental(cfg, str(out))
+    assert r1["exported"] > 0
+    got = pa.concat_tables(
+        [_pq.read_table(str(p)) for p in sorted(out.glob("part-*.parquet"))],
+        promote_options="permissive").sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    _assert_tables_equal(
+        got.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        _brute(events))
+    r2 = snapshot_incremental(cfg, str(out))
+    assert r2["exported"] == 0             # full reuse on unchanged lake
+
+
 def test_cell_lake_split_compose(tmp_path):
     """Incremental partition split on a cell lake keeps the fold exact."""
     from migration_pair_ray.pipelines.compact import split_partition
