@@ -211,6 +211,19 @@ def replicate(src: JobConfig, dst: JobConfig,
     """
     import shutil as _shutil
 
+    from migration_pair_ray.state.manifest import LakeMeta
+    src_kernel = LakeMeta(src.lake_dir).merge_kernel()
+    if src_kernel != dst.merge_kernel:
+        # change files are kernel-agnostic raw events; the FOLLOWER's
+        # kernel decides what they mean.  A row-kernel follower of a
+        # cell-kernel source would fold every patch wrong (a P row's null
+        # means KEEP, not set-null) — and silently, since replay succeeds.
+        raise ValueError(
+            f"replicate kernel mismatch: source lake is {src_kernel!r} but "
+            f"the follower config is {dst.merge_kernel!r}; set the "
+            f"follower's merge_kernel to match the source (kernel "
+            f"semantics are a lake-lifetime property)")
+
     src_ck = CheckpointStore(src.checkpoint_dir)
     cursor_path = Path(dst.lake_dir) / "_replica.json"
     try:

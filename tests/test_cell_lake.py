@@ -287,6 +287,27 @@ def test_cell_snapshot_incremental(tmp_path):
     assert r2["exported"] == 0             # full reuse on unchanged lake
 
 
+def test_cell_replicate_kernel_guard(tmp_path):
+    """A follower's kernel must match the source's: change files are
+    kernel-agnostic raw events, so a row-kernel follower of a cell-kernel
+    source would silently fold patches wrong.  Mismatch refuses; a
+    matching follower converges to the brute fold under its own layout."""
+    from migration_pair_ray.pipelines.feed import replicate
+    events = _make_events(1200, seed=11)
+    src = _cfg(tmp_path, "rsrc")
+    _write_log(Path(src.changelog_dir), events, 2)
+    replay(src)
+    row_dst = JobConfig(changelog_dir=str(tmp_path / "rd_log"),
+                        lake_dir=str(tmp_path / "rd_lake"),
+                        num_partitions=8)
+    with pytest.raises(ValueError, match="kernel mismatch"):
+        replicate(src, row_dst)
+    cell_dst = _cfg(tmp_path, "rdst", num_partitions=8)
+    res = replicate(src, cell_dst)
+    assert res["passes_applied"] >= 1
+    _assert_tables_equal(_final(cell_dst), _brute(events))
+
+
 def test_cell_lake_split_compose(tmp_path):
     """Incremental partition split on a cell lake keeps the fold exact."""
     from migration_pair_ray.pipelines.compact import split_partition
