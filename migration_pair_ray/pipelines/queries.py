@@ -3133,6 +3133,12 @@ def _patch_flavor(tool_from: int):
     ``lsn % 7 == 4`` tool-only patches; ``tool`` is nulled below
     ``tool_from`` (the schema-evolution epoch DERIVED_CHANGES_SQL models)."""
     def flavor(t: pa.Table) -> pa.Table:
+        # single-chunk guard: pyarrow 16's if_else writes invalid offsets
+        # when the mask is a plain Array and the values a multi-chunk
+        # ChunkedArray ("First or last binary offset out of bounds");
+        # _derive_changes output is fresh single-chunk, raw file reads are
+        # not — a no-op copy-free call in the former case
+        t = t.combine_chunks()
         pre = pc.less(t.column("lsn"), tool_from)
         tool = pc.if_else(pre, pa.scalar(None, pa.string()),
                           t.column("tool"))
