@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_find_by_tool": q.cdc_find_by_tool,
         "cdc_wire_forms": q.cdc_wire_forms,
         "cdc_delete_where": q.cdc_delete_where,
+        "cdc_ttl_expiry": q.cdc_ttl_expiry,
+        "cdc_replica_verify": q.cdc_replica_verify,
         "cdc_jsonl_ingest": q.cdc_jsonl_ingest,
         "cdc_changefeed": q.cdc_changefeed,
         "cdc_incremental_agg": q.cdc_incremental_agg,
@@ -443,6 +445,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D' AND role <> 'purchase'
             ORDER BY conv_id, turn_idx""",
+        # event-time retention: winners at or after the 2024-01-15 cutoff
+        "cdc_ttl_expiry": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+              AND epoch_us(ts) >= 1705276800000000
+            ORDER BY conv_id, turn_idx""",
+        # replication audit: a healthy replica yields ZERO mismatched
+        # key-space buckets (the negative path is pytest-verified)
+        "cdc_replica_verify": """
+            SELECT CAST(NULL AS INTEGER) AS bucket,
+                   CAST(NULL AS BIGINT) AS src_rows,
+                   CAST(NULL AS BIGINT) AS dst_rows,
+                   CAST(NULL AS UBIGINT) AS src_sum,
+                   CAST(NULL AS UBIGINT) AS dst_sum
+            WHERE 1 = 0""",
         # wire forms: ts of the lsn prefix (file 0) traveled as unix-epoch
         # ms, so its sub-ms precision is truncated in BOTH engine and
         # oracle; turn_idx widening (int16 -> int32) is value-invisible

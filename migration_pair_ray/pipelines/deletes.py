@@ -151,6 +151,25 @@ def delete_where(cfg: JobConfig,
     return summary
 
 
+def expire_before(cfg: JobConfig, cutoff_us: int,
+                  max_rows: int = 10_000_000, apply: bool = True) -> dict:
+    """Event-time retention (TTL): tombstone every visible key whose
+    winning ``ts`` is strictly before ``cutoff_us`` (unix microseconds) —
+    the "expire records older than N days" policy every CDC lake owes its
+    operators, expressed as a ``delete_where`` predicate so it inherits
+    the idempotent change-batch + replay machinery (crash-safe, kernel-
+    aware, resurrect-on-later-update).  The tag embeds the cutoff, so
+    advancing the retention horizon is a NEW idempotent delete batch."""
+    import pyarrow.compute as pc
+
+    def pred(t: pa.Table) -> pa.Array:
+        ts_us = pc.cast(t.column("ts"), pa.int64())
+        return pc.fill_null(pc.less(ts_us, cutoff_us), False)
+
+    return delete_where(cfg, pred, tag=f"ttl-{cutoff_us}",
+                        max_rows=max_rows, apply=apply)
+
+
 def _slug(tag: str) -> str:
     keep = [c if c.isalnum() or c in "-_" else "-" for c in tag.lower()]
     return "".join(keep)[:40] or "untagged"

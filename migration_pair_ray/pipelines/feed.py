@@ -286,6 +286,90 @@ def replicate(src: JobConfig, dst: JobConfig,
             "events_in": events, "cursor": cursor}
 
 
+def verify_replica(src: JobConfig, dst: JobConfig,
+                   n_buckets: int = 256) -> "pa.Table":
+    """Layout-independent content-equality audit between two lakes: the
+    completion check ``replicate`` owes its operators (a follower that
+    replayed every pass SHOULD be bit-equal, but a retention skip with
+    ``missing_ok=True``, a divergent manual write, or an engine bug are
+    exactly what an audit exists to catch).
+
+    Returns the MISMATCHED key-space buckets — empty table = lakes hold
+    identical visible state.  Each side's visible rows are canonicalized
+    (columns in sorted name order, values stringified, nulls sentineled),
+    hashed to 64 bits, and folded into per-bucket (count, wrapping sum,
+    wrapping sum-of-squares) partials — order- and layout-independent, so
+    the two lakes may use different partitioning / chunking / MoR /
+    splits.  Both sides stream; the driver sees only 2 × ``n_buckets``
+    partial rows.  A false EQUAL needs colliding count+sum+sum² in every
+    bucket (≈ 2⁻¹²⁸ per bucket); any real divergence flips at least one.
+
+    Schema divergence (different visible column sets) is reported as a
+    mismatch in every bucket both sides populate — the canonical row
+    string embeds column names.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from migration_pair_ray.functions.hashing import stable_hash64
+    from migration_pair_ray.pipelines.replay import final_state
+
+    def digest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64()),
+                             "hsum": pa.array([], pa.uint64()),
+                             "hsq": pa.array([], pa.uint64())})
+        names = sorted(t.column_names)
+        cols = [pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00n\x00")
+                for c in names]
+        # last element = the schema tag (so diverged column sets mismatch),
+        # final arg = the per-element separator
+        canon = pc.binary_join_element_wise(
+            *cols, pa.scalar("|".join(names)), pa.scalar("\x1f"))
+        h = stable_hash64(canon.to_pandas()).astype(np.uint64)
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        hb, bb = h[order], b[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(bb)) + 1))
+        return pa.table({
+            "bucket": pa.array(bb[starts].astype(np.int32)),
+            "rows": pa.array(np.diff(np.concatenate(
+                (starts, [len(bb)]))).astype(np.int64)),
+            "hsum": pa.array(np.add.reduceat(hb, starts)),
+            "hsq": pa.array(np.add.reduceat(hb * hb, starts)),
+        })
+
+    def fold(cfg: JobConfig) -> dict[int, tuple[int, int, int]]:
+        parts = (final_state(cfg, sort=False)
+                 .map_batches(digest, batch_format="pyarrow")
+                 .take_all())                      # ≤ blocks × n_buckets
+        out: dict[int, tuple[int, int, int]] = {}
+        for r in parts:
+            b = int(r["bucket"])
+            n, s, q = out.get(b, (0, 0, 0))
+            out[b] = (n + int(r["rows"]),
+                      (s + int(r["hsum"])) & 0xFFFFFFFFFFFFFFFF,
+                      (q + int(r["hsq"])) & 0xFFFFFFFFFFFFFFFF)
+        return out
+
+    a, b = fold(src), fold(dst)
+    bad = []
+    for bkt in sorted(set(a) | set(b)):
+        sa, sb = a.get(bkt, (0, 0, 0)), b.get(bkt, (0, 0, 0))
+        if sa != sb:
+            bad.append({"bucket": bkt,
+                        "src_rows": sa[0], "dst_rows": sb[0],
+                        "src_sum": sa[1], "dst_sum": sb[1]})
+    schema = pa.schema([pa.field("bucket", pa.int32()),
+                        pa.field("src_rows", pa.int64()),
+                        pa.field("dst_rows", pa.int64()),
+                        pa.field("src_sum", pa.uint64()),
+                        pa.field("dst_sum", pa.uint64())])
+    return (pa.Table.from_pylist(bad, schema=schema) if bad
+            else schema.empty_table())
+
+
 def export_jsonl(cfg: JobConfig, consumer: str, out_dir: str,
                  ack: bool = False, missing_ok: bool = False) -> dict:
     """Export the consumer's unacked passes as Debezium-style JSONL — the

@@ -334,6 +334,43 @@ def cdc_delete_where(sf_dir: str):
     return final_state(cfg, sort=True)
 
 
+_TTL_CUTOFF_US = 1705276800000000     # 2024-01-15 (the as-of cutoff)
+
+
+def cdc_ttl_expiry(sf_dir: str):
+    """Event-time retention (TTL) ON the oracle path: a dedicated lake
+    replays the derived change log, then ``expire_before`` tombstones
+    every visible key whose winning ``ts`` is before 2024-01-15 — the
+    "expire older than N days" policy as an idempotent delete batch
+    through the regular replay machinery.  Oracle: LWW winners at or
+    after the cutoff."""
+    from migration_pair_ray.pipelines.deletes import expire_before
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    lake, log_t = str(root / "lake_ttl"), str(root / "log_ttl")
+    marker = Path(root / "_ttl_done")
+
+    def mk_cfg() -> JobConfig:
+        return JobConfig(changelog_dir=log_t, lake_dir=lake,
+                         num_partitions=16)
+
+    if not marker.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(log_t, ignore_errors=True)
+        os.makedirs(log_t)
+        for f in sorted(Path(src.changelog_dir).glob("batch-*.parquet")):
+            os.link(f, Path(log_t) / f.name)
+        cfg = mk_cfg()
+        replay(cfg)
+        s = expire_before(cfg, _TTL_CUTOFF_US)
+        assert s["applied"] and s["tombstones"] > 0
+        marker.touch()
+    cfg = mk_cfg()
+    # idempotent: same lake signature → the expiry file already exists
+    expire_before(cfg, _TTL_CUTOFF_US)
+    return final_state(cfg, sort=True)
+
+
 def cdc_jsonl_ingest(sf_dir: str):
     """Debezium-style JSONL source ON the oracle path: the derived change
     log re-encoded as one-envelope-per-line JSONL files (op c/u/d,
@@ -4030,6 +4067,26 @@ def cdc_replica(sf_dir: str):
                     num_partitions=8, partition_mode="key")
     replicate(src, dst)
     return final_state(dst, sort=True)
+
+
+def cdc_replica_verify(sf_dir: str):
+    """Replication audit (feed.verify_replica): layout-independent
+    content-equality between the source lake (16 conv-hash partitions)
+    and the ``cdc_replica`` follower (8 salted-key partitions) — per-
+    key-space-bucket (count, hash-sum, hash-sum²) partials folded on each
+    side, driver sees 2 × n_buckets rows.  Returns the MISMATCHED
+    buckets; a healthy replica returns the empty table, which is exactly
+    what the SQL oracle asserts (empty result, same schema).  The
+    negative path (an injected divergence is caught) is pytest-verified
+    (tests/test_feed.py)."""
+    from migration_pair_ray.pipelines.feed import replicate, verify_replica
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    dst = JobConfig(changelog_dir=str(root / "log_replica"),
+                    lake_dir=str(root / "lake_replica"),
+                    num_partitions=8, partition_mode="key")
+    replicate(dst=dst, src=src)   # no-op when the replica is caught up
+    return verify_replica(src, dst)
 
 
 def cdc_jsonl_roundtrip(sf_dir: str):

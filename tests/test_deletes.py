@@ -130,3 +130,36 @@ def test_delete_task_cli_form(tmp_path):
     assert s["tombstones"] == int((before["role"] == role).sum())
     after = final_state(cfg).to_pandas()
     assert (after["role"] != role).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_expire_before_ttl(tmp_path):
+    """Event-time retention: keys whose winner is older than the cutoff
+    are tombstoned; the survivors equal a pandas filter of the before
+    state.  Advancing the horizon is a new idempotent batch."""
+    from migration_pair_ray.pipelines.deletes import expire_before
+    cfg, _ = _mk(tmp_path)
+    before = final_state(cfg).to_pandas()
+    cutoff = int(before["ts"].astype("datetime64[us]").astype("int64")
+                 .quantile(0.4))
+    n_old = int((before["ts"].astype("datetime64[us]").astype("int64")
+                 < cutoff).sum())
+    assert 0 < n_old < len(before)
+
+    s = expire_before(cfg, cutoff)
+    assert s["applied"] and s["tombstones"] == n_old
+    after = final_state(cfg).to_pandas()
+    want = (before[before["ts"].astype("datetime64[us]").astype("int64")
+                   >= cutoff]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(after.reset_index(drop=True), want)
+    assert validate_lake(cfg, deep=True)["ok"]
+
+    # same horizon again: nothing left to expire
+    s2 = expire_before(cfg, cutoff)
+    assert s2["tombstones"] == 0 and not s2["applied"]
+    # advancing the horizon expires more (a NEW batch, distinct tag)
+    cutoff2 = int(before["ts"].astype("datetime64[us]").astype("int64")
+                  .quantile(0.8))
+    s3 = expire_before(cfg, cutoff2)
+    assert s3["applied"] and s3["tombstones"] > 0

@@ -331,3 +331,39 @@ def test_export_jsonl_deterministic_rerun(tmp_path):
     assert s["passes"] == 2
     after = {p.name: p.read_bytes() for p in out.glob("feed-*.jsonl")}
     assert before == after
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_replica_positive_and_negative(tmp_path):
+    """A caught-up follower audits clean (empty mismatch table) across a
+    layout change; an injected divergence is caught with correct per-side
+    row counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from migration_pair_ray.pipelines.feed import replicate, verify_replica
+    src, _, _ = _two_pass_lake(tmp_path)
+    dst = JobConfig(changelog_dir=str(tmp_path / "dlog"),
+                    lake_dir=str(tmp_path / "dlake"),
+                    num_partitions=3, partition_mode="key",
+                    state_chunk_rows=64)
+    replicate(src, dst)
+    assert verify_replica(src, dst).num_rows == 0
+
+    # divergence: one extra key applied only to the follower
+    bad = pa.table({
+        "conv_id": pa.array(["zz-div"], pa.string()),
+        "turn_idx": pa.array([1], pa.int32()),
+        "role": pa.array(["x"], pa.string()),
+        "text": pa.array(["diverged"], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([9_999_999_999_000_000], pa.timestamp("us")),
+        "op": pa.array(["I"], pa.string()),
+        "lsn": pa.array([10**9], pa.int64()),
+    })
+    _pq.write_table(bad, str(Path(dst.changelog_dir) / "batch-99999.parquet"))
+    replay(dst)
+    m = verify_replica(src, dst)
+    assert m.num_rows == 1
+    assert (m.column("dst_rows")[0].as_py()
+            == m.column("src_rows")[0].as_py() + 1)
