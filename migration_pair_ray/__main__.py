@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--deep", action="store_true",
                    help="fsck: re-read state files (hash/tombstones/"
                         "uniqueness/routing)")
+    p.add_argument("--cutoff-us", type=int, default=0,
+                   help="expire: tombstone winners with ts before this "
+                        "unix-microsecond cutoff")
     p.add_argument("--num-cpus", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -82,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
         kw.update(consumer=args.consumer, ack=args.ack)
     if args.task == "snapshot" and args.incremental:
         kw["incremental"] = True
+    if args.task == "expire":
+        kw["cutoff_us"] = args.cutoff_us
 
     import ray
     if not ray.is_initialized():

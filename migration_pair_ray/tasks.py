@@ -208,6 +208,29 @@ def task_replicate(cfg: JobConfig, input_path: str = "", **kw) -> dict:
     return replicate(JobConfig.from_json(input_path), cfg)
 
 
+def task_verify_replica(cfg: JobConfig, input_path: str = "", **kw) -> dict:
+    """Replication audit: ``cfg`` is the FOLLOWER, ``--input`` the source
+    lake's JobConfig JSON.  Reports the mismatched key-space buckets
+    (ok=True = content-identical visible state, any layout/kernel)."""
+    from migration_pair_ray.pipelines.feed import verify_replica
+    if not input_path:
+        raise ValueError("task_verify_replica needs the source JobConfig "
+                         "JSON (--input src.json)")
+    m = verify_replica(JobConfig.from_json(input_path), cfg)
+    return {"ok": m.num_rows == 0, "mismatched_buckets": m.num_rows,
+            "detail": m.to_pylist()[:32]}
+
+
+def task_expire(cfg: JobConfig, cutoff_us: int = 0,
+                max_rows: int = 10_000_000, **kw) -> dict:
+    """Event-time retention: tombstone every visible key whose winning ts
+    is before ``cutoff_us`` (unix microseconds)."""
+    from migration_pair_ray.pipelines.deletes import expire_before
+    if cutoff_us <= 0:
+        raise ValueError("task_expire needs --cutoff-us (unix microseconds)")
+    return expire_before(cfg, cutoff_us, max_rows=max_rows)
+
+
 def task_compact(cfg: JobConfig, base_pid: int = -1, **kw) -> dict:
     """Fold merge-on-read delta files back into plain bases (one
     partition with --base-pid, else every partition carrying deltas)."""
@@ -282,7 +305,9 @@ TASKS: dict[str, Callable[..., dict]] = {
     "compact": task_compact,
     "feed": task_feed,
     "replicate": task_replicate,
+    "verify_replica": task_verify_replica,
     "delete": task_delete,
+    "expire": task_expire,
     "ingest_jsonl": task_ingest_jsonl,
     "schema_history": task_schema_history,
     "requeue": task_requeue,

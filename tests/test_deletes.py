@@ -163,3 +163,17 @@ def test_expire_before_ttl(tmp_path):
                   .quantile(0.8))
     s3 = expire_before(cfg, cutoff2)
     assert s3["applied"] and s3["tombstones"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_expire_task_form(tmp_path):
+    from migration_pair_ray.tasks import run_task
+    cfg, _ = _mk(tmp_path)
+    before = final_state(cfg).to_pandas()
+    cutoff = int(before["ts"].astype("datetime64[us]").astype("int64")
+                 .median())
+    s = run_task("expire", cfg, cutoff_us=cutoff)
+    assert s["applied"] and s["tombstones"] > 0
+    after = final_state(cfg).to_pandas()
+    assert (after["ts"].astype("datetime64[us]").astype("int64")
+            >= cutoff).all()

@@ -367,3 +367,21 @@ def test_verify_replica_positive_and_negative(tmp_path):
     assert m.num_rows == 1
     assert (m.column("dst_rows")[0].as_py()
             == m.column("src_rows")[0].as_py() + 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_replica_task_form(tmp_path):
+    import json as _json
+
+    from migration_pair_ray.pipelines.feed import replicate
+    from migration_pair_ray.tasks import run_task
+    src, _, _ = _two_pass_lake(tmp_path)
+    dst = JobConfig(changelog_dir=str(tmp_path / "dlog"),
+                    lake_dir=str(tmp_path / "dlake"), num_partitions=2)
+    replicate(src, dst)
+    src_json = tmp_path / "src.json"
+    src_json.write_text(_json.dumps({
+        "changelog_dir": src.changelog_dir, "lake_dir": src.lake_dir,
+        "num_partitions": src.num_partitions}))
+    s = run_task("verify_replica", dst, input_path=str(src_json))
+    assert s["ok"] and s["mismatched_buckets"] == 0
