@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--deep", action="store_true",
                    help="fsck: re-read state files (hash/tombstones/"
                         "uniqueness/routing)")
+    p.add_argument("--through-seq", type=int, default=-1,
+                   help="truncate_log: delete change files of passes up "
+                        "to this seq (still capped by consumer cursors)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="truncate_log: report without deleting")
     p.add_argument("--cutoff-us", type=int, default=0,
                    help="expire: tombstone winners with ts before this "
                         "unix-microsecond cutoff")
@@ -87,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["incremental"] = True
     if args.task == "expire":
         kw["cutoff_us"] = args.cutoff_us
+    if args.task == "truncate_log":
+        kw.update(through_seq=args.through_seq, dry_run=args.dry_run)
 
     import ray
     if not ray.is_initialized():

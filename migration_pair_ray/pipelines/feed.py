@@ -68,6 +68,21 @@ class FeedUnstampedError(RuntimeError):
     feed would silently skip it — refuse instead."""
 
 
+def _retention_note(cfg: JobConfig, seq: int) -> str:
+    """Suffix for FeedRetentionError when the loss is EXPLAINED by a
+    recorded ``truncate_log`` horizon (policy, not corruption)."""
+    marker = Path(cfg.lake_dir) / "_log_retention.json"
+    try:
+        with open(marker) as f:
+            t = int(json.load(f).get("truncated_through_seq", -1))
+    except FileNotFoundError:
+        return ""
+    if int(seq) <= t:
+        return (f" (truncate_log removed passes through seq {t} by "
+                f"retention policy; bootstrap from a snapshot instead)")
+    return ""
+
+
 def pending_passes(cfg: JobConfig, consumer: str) -> list[dict]:
     """Committed passes the consumer has not acked, in seq order:
     ``[{seq, pass_id, files}]``.  Each file entry is ``(basename, bulk)``
@@ -134,7 +149,8 @@ def read_feed(cfg: JobConfig, consumer: str,
                 raise FeedRetentionError(
                     f"pass {rec['pass_id']} (seq {rec['seq']}) references "
                     f"{name}, which is gone from {cfg.changelog_dir} — "
-                    f"consumer {consumer!r} fell behind log retention")
+                    f"consumer {consumer!r} fell behind log retention"
+                    f"{_retention_note(cfg, rec['seq'])}")
         if paths:
             per_pass.append((rec["seq"], paths))
     if not per_pass:
@@ -189,6 +205,72 @@ def list_consumers(cfg: JobConfig) -> dict[str, int]:
             rec = json.load(f)
         out[rec["consumer"]] = int(rec["acked_seq"])
     return out
+
+
+def truncate_log(cfg: JobConfig, through_seq: int | None = None,
+                 dry_run: bool = False) -> dict:
+    """Change-log retention: delete the change files of committed passes
+    up to a safe horizon — the WAL-truncation half of log management
+    (``cdc_log_compaction`` demonstrates the compaction half).  The lake's
+    state files already hold those passes' effect (replay never re-reads
+    a committed file; time travel pins STATE files, not change files), so
+    the only readers that still need old change files are feed consumers
+    and replicas.
+
+    Safety rails: the horizon is ``min(through_seq, every registered
+    consumer's acked seq)`` — a file a consumer has not acked is never
+    deleted; with no ``through_seq`` and no consumers, nothing is deleted
+    (an unbounded default would silently break replica bootstrap).  The
+    truncation seq is recorded durably (``_log_retention.json``) BEFORE
+    any unlink, so a consumer that later falls behind the horizon gets a
+    FeedRetentionError naming retention, not mystery-missing files; a
+    crash mid-delete re-runs idempotently.  New followers bootstrap from
+    a snapshot (+ ``snapshot_diff``) and tail from there — the standard
+    compacted-log contract.
+    """
+    horizons = [int(through_seq)] if through_seq is not None else []
+    horizons += list(list_consumers(cfg).values())
+    if not horizons:
+        return {"truncated_through_seq": None, "files_deleted": 0,
+                "note": "no through_seq and no registered consumers"}
+    horizon = min(horizons)
+
+    ck = CheckpointStore(cfg.checkpoint_dir)
+    victims: list[str] = []
+    for p in sorted(Path(ck.dir).glob("pass-*.json")):
+        with open(p) as f:
+            rec = json.load(f)
+        if "seq" not in rec:
+            raise FeedUnstampedError(
+                f"pass {rec.get('pass_id')!r} has no seq stamp — cannot "
+                f"prove it is inside the retention horizon; rebuild the "
+                f"lake before truncating its log")
+        if int(rec["seq"]) > horizon:
+            continue
+        victims.extend(n for n in rec.get("files", [])
+                       if not n.startswith("bulk:"))
+
+    marker = Path(cfg.lake_dir) / "_log_retention.json"
+    if not dry_run:
+        prev = -1
+        if marker.exists():
+            with open(marker) as f:
+                prev = int(json.load(f).get("truncated_through_seq", -1))
+        # the record lands BEFORE any unlink (monotone), so a crash
+        # between the two leaves an honest marker, never silent loss
+        if horizon > prev:
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            _atomic_write(str(marker), json.dumps(
+                {"truncated_through_seq": max(horizon, prev)}).encode())
+    deleted = 0
+    for name in victims:
+        path = Path(cfg.changelog_dir) / name
+        if path.exists():
+            if not dry_run:
+                path.unlink()
+            deleted += 1
+    return {"truncated_through_seq": horizon, "files_deleted": deleted,
+            "dry_run": dry_run}
 
 
 def replicate(src: JobConfig, dst: JobConfig,
@@ -268,7 +350,8 @@ def replicate(src: JobConfig, dst: JobConfig,
                     continue
                 raise FeedRetentionError(
                     f"source pass {rec['pass_id']} references {name}, gone "
-                    f"from {src.changelog_dir} — replica fell behind")
+                    f"from {src.changelog_dir} — replica fell behind"
+                    f"{_retention_note(src, rec['seq'])}")
             try:
                 os.link(srcp, dstp)
             except OSError:

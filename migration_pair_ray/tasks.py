@@ -221,6 +221,15 @@ def task_verify_replica(cfg: JobConfig, input_path: str = "", **kw) -> dict:
             "detail": m.to_pylist()[:32]}
 
 
+def task_truncate_log(cfg: JobConfig, through_seq: int = -1,
+                      dry_run: bool = False, **kw) -> dict:
+    """Change-log retention: delete change files of passes every consumer
+    has acked (capped by --through-seq when given)."""
+    from migration_pair_ray.pipelines.feed import truncate_log
+    return truncate_log(cfg, through_seq if through_seq >= 0 else None,
+                        dry_run=dry_run)
+
+
 def task_expire(cfg: JobConfig, cutoff_us: int = 0,
                 max_rows: int = 10_000_000, **kw) -> dict:
     """Event-time retention: tombstone every visible key whose winning ts
@@ -308,6 +317,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "verify_replica": task_verify_replica,
     "delete": task_delete,
     "expire": task_expire,
+    "truncate_log": task_truncate_log,
     "ingest_jsonl": task_ingest_jsonl,
     "schema_history": task_schema_history,
     "requeue": task_requeue,

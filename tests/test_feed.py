@@ -385,3 +385,49 @@ def test_verify_replica_task_form(tmp_path):
         "num_partitions": src.num_partitions}))
     s = run_task("verify_replica", dst, input_path=str(src_json))
     assert s["ok"] and s["mismatched_buckets"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_truncate_log_retention(tmp_path):
+    """Log truncation respects consumer cursors, records its horizon
+    BEFORE deleting, leaves replay/lake state intact, and turns later
+    fell-behind errors into named retention errors."""
+    from migration_pair_ray.pipelines.feed import truncate_log
+    from migration_pair_ray.pipelines.replay import final_state
+    cfg, files, (seq1, seq2) = _two_pass_lake(tmp_path)
+    before = final_state(cfg).to_pandas()
+
+    # no consumers, no through_seq → refuses to guess
+    assert truncate_log(cfg)["truncated_through_seq"] is None
+
+    # consumer acked only pass 1 → horizon = seq1 even with a higher cap
+    ack_feed(cfg, "a", seq1)
+    dry = truncate_log(cfg, through_seq=seq2, dry_run=True)
+    assert dry["truncated_through_seq"] == seq1 and dry["files_deleted"] == 2
+    assert all((Path(cfg.changelog_dir) / Path(f).name).exists()
+               for f in files)                     # dry run deleted nothing
+
+    s = truncate_log(cfg, through_seq=seq2)
+    assert s["truncated_through_seq"] == seq1 and s["files_deleted"] == 2
+    for f in files[:2]:
+        assert not (Path(cfg.changelog_dir) / Path(f).name).exists()
+    for f in files[2:]:
+        assert (Path(cfg.changelog_dir) / Path(f).name).exists()
+
+    # lake unaffected; replay is a clean no-op; re-truncate idempotent
+    pd.testing.assert_frame_equal(final_state(cfg).to_pandas(), before)
+    assert replay(cfg)["up_to_date"]
+    assert truncate_log(cfg, through_seq=seq2)["files_deleted"] == 0
+
+    # consumer "a" (acked through horizon) is unaffected
+    ds, _ = read_feed(cfg, "a")
+    assert ds.count() > 0
+    # a NEW consumer fell behind the horizon — error names retention
+    with pytest.raises(FeedRetentionError, match="retention policy"):
+        read_feed(cfg, "fresh")
+
+    # after everyone acks everything, the tail can go too
+    ack_feed(cfg, "a", seq2)
+    s2 = truncate_log(cfg, through_seq=seq2)
+    assert s2["files_deleted"] == 2
+    assert replay(cfg)["up_to_date"]
