@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_delete_where": q.cdc_delete_where,
         "cdc_ttl_expiry": q.cdc_ttl_expiry,
         "cdc_replica_verify": q.cdc_replica_verify,
+        "cdc_replica_bootstrap": q.cdc_replica_bootstrap,
         "cdc_jsonl_ingest": q.cdc_jsonl_ingest,
         "cdc_changefeed": q.cdc_changefeed,
         "cdc_incremental_agg": q.cdc_incremental_agg,
@@ -369,6 +370,10 @@ def oracle_sql() -> dict[str, str]:
 
     out = {
         "cdc_lww_merge": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        "cdc_replica_bootstrap": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

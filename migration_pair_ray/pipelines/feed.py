@@ -273,8 +273,65 @@ def truncate_log(cfg: JobConfig, through_seq: int | None = None,
             "dry_run": dry_run}
 
 
+def bootstrap_replica(src: JobConfig, dst: JobConfig) -> dict:
+    """Seed a NEW follower from the source's current state instead of its
+    full change log — the compacted-log bootstrap ``truncate_log``
+    documents (a truncated source cannot serve its history; a 100-TB one
+    should not even when it can).
+
+    The source's INTERNAL state rows — tombstone winners / cell determiner
+    rows included, original (ts, lsn, op) intact — are exported
+    distributed into the follower's changelog as ordinary batch files and
+    replayed under the follower's own layout, so delete-dominance and
+    patch semantics survive exactly (a visible-rows-only snapshot would
+    let a late pre-tombstone event resurrect on the follower).  The
+    replica cursor is set to the source seq captured BEFORE the state
+    read: any pass committed DURING the read is partially folded in
+    already, and re-applying it via the tail is a no-op under either
+    kernel (both are join-semilattices) — at-least-once, never a gap.
+
+    Idempotent: an existing replica cursor on ``dst`` makes this a no-op
+    (the follower is live; use ``replicate`` to tail).  Crash-safe: the
+    cursor lands LAST, so a crash re-runs the bootstrap export (file
+    names are seq-keyed and replay skips committed files).
+    """
+    from migration_pair_ray.pipelines.replay import read_lake, replay
+    from migration_pair_ray.state.manifest import LakeMeta
+
+    src_kernel = LakeMeta(src.lake_dir).merge_kernel()
+    if src_kernel != dst.merge_kernel:
+        raise ValueError(
+            f"bootstrap kernel mismatch: source lake is {src_kernel!r} but "
+            f"the follower config is {dst.merge_kernel!r}")
+    cursor_path = Path(dst.lake_dir) / "_replica.json"
+    if cursor_path.exists():
+        with open(cursor_path) as f:
+            cur = int(json.load(f)["acked_src_seq"])
+        return {"bootstrapped": False, "cursor": cur,
+                "note": "follower already has a replica cursor"}
+
+    seq = CheckpointStore(src.checkpoint_dir).last_seq()  # BEFORE the read
+    os.makedirs(dst.changelog_dir, exist_ok=True)
+    tmp = Path(dst.changelog_dir) / f"_boot_tmp_s{seq}"
+    import shutil as _shutil
+    _shutil.rmtree(tmp, ignore_errors=True)
+    read_lake(src).write_parquet(str(tmp))
+    n_files = 0
+    for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
+        os.replace(f, Path(dst.changelog_dir)
+                   / f"batch-00000-boot-s{seq:06d}-{i:04d}.parquet")
+        n_files += 1
+    _shutil.rmtree(tmp, ignore_errors=True)
+    s = replay(dst)
+    cursor_path.parent.mkdir(parents=True, exist_ok=True)
+    _atomic_write(str(cursor_path),
+                  json.dumps({"acked_src_seq": int(seq)}).encode())
+    return {"bootstrapped": True, "cursor": int(seq),
+            "boot_files": n_files, "rows": s.get("events_in", 0)}
+
+
 def replicate(src: JobConfig, dst: JobConfig,
-              missing_ok: bool = False) -> dict:
+              missing_ok: bool = False, src_consumer: str = "") -> dict:
     """Replicate ``src``'s lake into ``dst`` by consuming the source's
     committed passes in order — the cross-region / re-layout follower a
     CDC engine owes its operators.  ``dst`` may use a DIFFERENT layout
@@ -365,6 +422,10 @@ def replicate(src: JobConfig, dst: JobConfig,
         cursor_path.parent.mkdir(parents=True, exist_ok=True)
         _atomic_write(str(cursor_path),
                       json.dumps({"acked_src_seq": cursor}).encode())
+    if src_consumer:
+        # register/advance a SOURCE-side consumer cursor so truncate_log's
+        # retention horizon protects this replica's unconsumed passes
+        ack_feed(src, src_consumer, cursor)
     return {"passes_replicated": len(passes), "passes_applied": applied,
             "events_in": events, "cursor": cursor}
 

@@ -4089,6 +4089,26 @@ def cdc_replica_verify(sf_dir: str):
     return verify_replica(src, dst)
 
 
+def cdc_replica_bootstrap(sf_dir: str):
+    """Snapshot-seeded follower (feed.bootstrap_replica): a NEW follower
+    is seeded from the source lake's internal STATE (tombstone winners
+    included, original ts/lsn/op intact — delete dominance survives) and
+    the replica cursor set to the pre-read seq, so tailing via
+    ``replicate`` continues exactly — the compacted-log bootstrap path a
+    100-TB source requires (shipping the full history is not an option).
+    Oracle: the same LWW winners as the source (cdc_lww_merge); the
+    truncated-source and late-pre-tombstone-event paths are
+    pytest-verified (tests/test_feed.py)."""
+    from migration_pair_ray.pipelines.feed import bootstrap_replica
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    dst = JobConfig(changelog_dir=str(root / "log_bootstrap"),
+                    lake_dir=str(root / "lake_bootstrap"),
+                    num_partitions=8, partition_mode="key")
+    bootstrap_replica(src, dst)   # no-op once the follower is live
+    return final_state(dst, sort=True)
+
+
 def cdc_jsonl_roundtrip(sf_dir: str):
     """Outbound JSONL changefeed → inbound JSONL ingest, end to end: the
     events lake's committed passes are exported as Debezium-style JSONL

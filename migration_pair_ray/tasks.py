@@ -221,6 +221,17 @@ def task_verify_replica(cfg: JobConfig, input_path: str = "", **kw) -> dict:
             "detail": m.to_pylist()[:32]}
 
 
+def task_bootstrap(cfg: JobConfig, input_path: str = "", **kw) -> dict:
+    """Seed a NEW follower lake from the source's current state
+    (tombstones preserved): ``cfg`` is the FOLLOWER, ``--input`` the
+    source JobConfig JSON.  Tail afterwards with ``replicate``."""
+    from migration_pair_ray.pipelines.feed import bootstrap_replica
+    if not input_path:
+        raise ValueError("task_bootstrap needs the source JobConfig JSON "
+                         "(--input src.json)")
+    return bootstrap_replica(JobConfig.from_json(input_path), cfg)
+
+
 def task_truncate_log(cfg: JobConfig, through_seq: int = -1,
                       dry_run: bool = False, **kw) -> dict:
     """Change-log retention: delete change files of passes every consumer
@@ -315,6 +326,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "feed": task_feed,
     "replicate": task_replicate,
     "verify_replica": task_verify_replica,
+    "bootstrap": task_bootstrap,
     "delete": task_delete,
     "expire": task_expire,
     "truncate_log": task_truncate_log,

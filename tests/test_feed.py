@@ -431,3 +431,73 @@ def test_truncate_log_retention(tmp_path):
     s2 = truncate_log(cfg, through_seq=seq2)
     assert s2["files_deleted"] == 2
     assert replay(cfg)["up_to_date"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bootstrap_replica_from_truncated_source(tmp_path):
+    """A follower seeded from source STATE (not history) converges, keeps
+    tailing, and preserves delete dominance: a late pre-tombstone event
+    must not resurrect on the follower.  Works even after the source's
+    log was fully truncated."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from migration_pair_ray.pipelines.feed import (bootstrap_replica,
+                                                   replicate, truncate_log,
+                                                   verify_replica)
+    from migration_pair_ray.pipelines.replay import final_state
+    cfg, files, (seq1, seq2) = _two_pass_lake(tmp_path)
+    # pick a live key and tombstone it at a dominating ts
+    st = final_state(cfg).to_pandas()
+    k_conv, k_turn = st.iloc[0]["conv_id"], int(st.iloc[0]["turn_idx"])
+    dead_ts = 9_999_000_000_000_000
+    tomb = pa.table({
+        "conv_id": pa.array([k_conv], pa.string()),
+        "turn_idx": pa.array([k_turn], pa.int32()),
+        "role": pa.array([None], pa.string()),
+        "text": pa.array([None], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([dead_ts], pa.timestamp("us")),
+        "op": pa.array(["D"], pa.string()),
+        "lsn": pa.array([10**7], pa.int64()),
+    })
+    _pq.write_table(tomb, str(Path(cfg.changelog_dir) / "batch-70000.parquet"))
+    replay(cfg)
+
+    # source truncates its whole history (everyone acked = just us)
+    ack_feed(cfg, "ops", CheckpointStore(cfg.checkpoint_dir).last_seq())
+    truncate_log(cfg)
+    assert not list(Path(cfg.changelog_dir).glob("batch-*.parquet"))
+
+    dst = JobConfig(changelog_dir=str(tmp_path / "dlog"),
+                    lake_dir=str(tmp_path / "dlake"),
+                    num_partitions=8, partition_mode="key")
+    b = bootstrap_replica(cfg, dst)
+    assert b["bootstrapped"] and b["boot_files"] > 0
+    assert verify_replica(cfg, dst).num_rows == 0
+    # idempotent: second bootstrap is a no-op
+    assert not bootstrap_replica(cfg, dst)["bootstrapped"]
+
+    # a LATE event for the dead key (older ts than the tombstone) arrives;
+    # both sides must keep the key dead
+    late = pa.table({
+        "conv_id": pa.array([k_conv], pa.string()),
+        "turn_idx": pa.array([k_turn], pa.int32()),
+        "role": pa.array(["late"], pa.string()),
+        "text": pa.array(["resurrect?"], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([dead_ts - 1000], pa.timestamp("us")),
+        "op": pa.array(["U"], pa.string()),
+        "lsn": pa.array([10**7 + 1], pa.int64()),
+    })
+    _pq.write_table(late, str(Path(cfg.changelog_dir) / "batch-80000.parquet"))
+    replay(cfg)
+    r = replicate(cfg, dst, src_consumer="replica-1")
+    assert r["passes_applied"] == 1
+    assert verify_replica(cfg, dst).num_rows == 0
+    got = final_state(dst).to_pandas()
+    assert not ((got["conv_id"] == k_conv)
+                & (got["turn_idx"] == k_turn)).any()
+
+    # the src-side registered consumer now caps retention for the replica
+    assert "replica-1" in list_consumers(cfg)
