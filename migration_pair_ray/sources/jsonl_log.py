@@ -18,7 +18,12 @@ Payload schema follows the envelopes: a field absent from every struct in
 a file (e.g. ``tool`` before it existed) is absent from that file's
 Parquet schema too — the same schema-evolution contract the Parquet log
 has.  ``op`` maps c/r → I (Debezium emits ``r`` for initial-snapshot
-reads), u → U, d → D; delete payloads come from ``before``.
+reads), u → U, d → D; delete payloads come from ``before``.  ``p`` → P
+(partial row image — the MongoDB-connector / reduced-row-image shape):
+``after`` carries ONLY the columns the event set, null/absent = keep.
+Patch envelopes carry cell semantics, so they belong in
+``merge_kernel="cell"`` lakes (a row-kernel lake reads their nulls as
+SET NULL — the kernel is the lake's declared contract, not the wire's).
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ import pyarrow.parquet as pq
 from migration_pair_ray.config import JobConfig
 from migration_pair_ray.schemas import BASE_SCHEMA
 
-_OP_MAP = [("c", "I"), ("r", "I"), ("u", "U"), ("d", "D")]
+_OP_MAP = [("c", "I"), ("r", "I"), ("u", "U"), ("d", "D"), ("p", "P")]
 
 
 def _payload_field(struct_col, name: str, typ: pa.DataType, n: int):

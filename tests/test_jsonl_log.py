@@ -170,3 +170,48 @@ def test_many_tiny_files_preserve_per_file_schema(tmp_path):
     assert s2["converted"] == 0 and s2["pass"]["up_to_date"]
     got = final_state(cfg).to_pandas()
     assert len(got) == 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_patch_envelopes_into_cell_lake(tmp_path):
+    """Debezium partial row images (op 'p': after carries ONLY the set
+    columns) land as P events; a cell-kernel lake folds them per column.
+    Late-arriving patch loses to a newer full image per cell; a patch
+    after a delete resurrects a partial row."""
+    src = tmp_path / "jl"
+    src.mkdir()
+    env = [
+        {"op": "c", "after": {"conv_id": "a", "turn_idx": 0, "role": "user",
+                              "text": "hello", "tool": "t0"},
+         "ts_ms": 1000, "lsn": 0},
+        # patch sets text only (tool/role keep)
+        {"op": "p", "after": {"conv_id": "a", "turn_idx": 0,
+                              "text": "patched"},
+         "ts_ms": 2000, "lsn": 1},
+        # delete, then a patch resurrects a PARTIAL row
+        {"op": "c", "after": {"conv_id": "b", "turn_idx": 1, "role": "sys",
+                              "text": "x", "tool": None},
+         "ts_ms": 1000, "lsn": 2},
+        {"op": "d", "before": {"conv_id": "b", "turn_idx": 1, "role": "sys",
+                               "text": "x", "tool": None},
+         "ts_ms": 3000, "lsn": 3},
+        {"op": "p", "after": {"conv_id": "b", "turn_idx": 1,
+                              "tool": "revived"},
+         "ts_ms": 4000, "lsn": 4},
+    ]
+    with open(src / "feed-000.jsonl", "w") as f:
+        for e in env:
+            f.write(json.dumps(e) + "\n")
+    cfg = JobConfig(changelog_dir=str(tmp_path / "log"),
+                    lake_dir=str(tmp_path / "lake"),
+                    num_partitions=2, merge_kernel="cell")
+    s = ingest_jsonl_log(cfg, str(src))
+    assert s["pass"]["events_in"] == 5
+    got = (final_state(cfg, sort=True).to_pandas()
+           .set_index(["conv_id", "turn_idx"]))
+    assert got.loc[("a", 0), "text"] == "patched"
+    assert got.loc[("a", 0), "role"] == "user"      # kept, not nulled
+    assert got.loc[("a", 0), "tool"] == "t0"        # kept, not nulled
+    assert got.loc[("b", 1), "tool"] == "revived"
+    assert pd.isna(got.loc[("b", 1), "role"])       # pre-delete cell dead
+    assert pd.isna(got.loc[("b", 1), "text"])
