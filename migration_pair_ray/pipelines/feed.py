@@ -545,7 +545,10 @@ def export_jsonl(cfg: JobConfig, consumer: str, out_dir: str,
         g = g.sort_by([("lsn", "ascending")])
         op = np.asarray(g.column("op").to_pandas(), dtype=object)
         is_d = op == "D"
-        wire_op = np.where(is_d, "d", np.where(op == "U", "u", "c"))
+        # P → "p" keeps patch semantics on the wire: re-ingesting an
+        # exported patch must not turn its kept-column nulls into SET NULL
+        wire_op = np.where(is_d, "d", np.where(op == "U", "u",
+                           np.where(op == "P", "p", "c")))
         payload_cols = [c for c in g.schema.names
                         if c not in ("op", "lsn", "ts", "_pass_seq")]
         payload = g.select(payload_cols).to_pylist()

@@ -322,3 +322,22 @@ def test_cell_lake_split_compose(tmp_path):
                    f"{cfg.changelog_dir}/batch-00001.parquet")
     replay(cfg)
     _assert_tables_equal(_final(cfg), _brute(events))
+
+
+def test_cell_jsonl_export_ingest_roundtrip(tmp_path):
+    """Patch events survive the JSONL wire: export a cell lake's passes
+    as envelopes (P -> op 'p'), re-ingest into a fresh cell lake, and the
+    follower audits content-identical (kept-column nulls stayed KEEP,
+    they did not become SET NULL)."""
+    from migration_pair_ray.pipelines.feed import export_jsonl, verify_replica
+    from migration_pair_ray.sources.jsonl_log import ingest_jsonl_log
+    events = _make_events(2000, seed=12)
+    src = _cfg(tmp_path, "rt")
+    _write_log(Path(src.changelog_dir), events, 2)
+    replay(src)
+    wire = tmp_path / "wire"
+    export_jsonl(src, "mirror", str(wire), ack=True)
+    dst = _cfg(tmp_path, "rt2", num_partitions=8)
+    ingest_jsonl_log(dst, str(wire))
+    assert verify_replica(src, dst).num_rows == 0
+    _assert_tables_equal(_final(dst), _brute(events))
