@@ -68,37 +68,37 @@ def _partition_fingerprint(lake_dir: str, files: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def _current_partitions(cfg: JobConfig) -> dict[int, list[str]]:
-    """Active pid → lake-relative current state files (may be empty).
+def _current_partitions(cfg: JobConfig) -> tuple[dict[int, list[str]], str]:
+    """(active pid → lake-relative current state files, lake kernel).
 
-    Refuses partitions carrying merge-on-read deltas: a posting can point
-    at a base row a delta has since superseded, so a value probe against
-    an uncompacted MoR partition could return stale winners.  Compact
-    first (pipelines/compact.compact_deltas / CLI `compact`) — the same
+    Row-kernel lakes index at FILE grain (postings point at state files,
+    probes read only matching files) but refuse partitions carrying
+    merge-on-read deltas: a posting can point at a base row a delta has
+    since superseded, so a probe could return stale winners.  Compact
+    first (pipelines/compact.compact_deltas / CLI `compact`) — the
     read-optimized-view rule MoR lakehouse formats apply to their
-    secondary indexes."""
+    secondary indexes.
+
+    Cell-kernel lakes index at PARTITION grain: a column's visible value
+    folds from several determiner rows (possibly across files), so the
+    build folds each partition (``read_state_table`` + ``cell_finalize``)
+    and postings record visible values per partition; probes re-fold only
+    matching partitions.  The fold path handles MoR deltas natively, and
+    the fingerprint covers them (``record_files`` includes delta files),
+    so cell indexes accept MoR partitions."""
     meta = LakeMeta(cfg.lake_dir)
-    if meta.merge_kernel() == "cell":
-        # a cell-kernel state file holds DETERMINER rows, and a column's
-        # visible value folds from several of them — a file-level posting
-        # of raw cell values could match superseded values (stale-answer
-        # hazard, same class as uncompacted MoR).  Refuse rather than
-        # silently probe wrong.
-        raise IndexStaleError(
-            "value indexes are not supported on cell-kernel lakes: state "
-            "files hold per-cell determiner rows, so postings built from "
-            "raw file values can match superseded cells")
+    kernel = meta.merge_kernel()
     store = ManifestStore(cfg.manifest_dir)
     out: dict[int, list[str]] = {}
     for pid in meta.active_partition_ids(cfg.num_partitions):
         m = store.read(int(pid))
-        if m and m.get("delta_files"):
+        if kernel == "row" and m and m.get("delta_files"):
             raise IndexStaleError(
                 f"partition {pid} carries {len(m['delta_files'])} "
                 f"merge-on-read delta file(s) — run compact_deltas before "
                 f"building or probing a value index")
         out[int(pid)] = record_files(m)
-    return out
+    return out, kernel
 
 
 def build_value_index(cfg: JobConfig, column: str) -> dict:
@@ -131,13 +131,73 @@ def _build_value_index_locked(cfg: JobConfig, column: str) -> dict:
         with open(meta_path) as f:
             old = json.load(f).get("fingerprints", {})
 
-    parts = _current_partitions(cfg)
+    parts, kernel = _current_partitions(cfg)
     fps = {pid: _partition_fingerprint(cfg.lake_dir, files)
            for pid, files in parts.items()}
     dirty = [pid for pid, fp in fps.items() if old.get(str(pid)) != fp]
 
     lake_dir, rows_written = cfg.lake_dir, 0
-    if dirty:
+    if dirty and kernel == "cell":
+        # partition-grain sweep: fold each dirty partition's determiner
+        # rows to its VISIBLE values (read_state_table folds MoR deltas
+        # too), one partition per task; postings carry file="" (the probe
+        # re-folds whole partitions, files are not value-addressable)
+        store = ManifestStore(cfg.manifest_dir)
+        items = [{"pid": pid, "manifest": json.dumps(store.read(pid) or {})}
+                 for pid in dirty]
+
+        def postings_cell(t: pa.Table) -> pa.Table:
+            from migration_pair_ray.functions.cells import cell_finalize
+            from migration_pair_ray.stages.applier import read_state_table
+            pids, vals, counts = [], [], []
+            for pid, mj in zip(t.column("pid").to_pylist(),
+                               t.column("manifest").to_pylist()):
+                m = json.loads(mj)
+                st = read_state_table(lake_dir, m or None, kernel="cell")
+                if st is None or column not in st.schema.names:
+                    continue
+                vis = cell_finalize(st)
+                vc = pa.table({"v": vis.column(column)}).group_by(
+                    "v").aggregate([("v", "count")])
+                keep = vc.filter(pc.is_valid(vc.column("v")))
+                pids.extend([pid] * keep.num_rows)
+                vals.append(keep.column("v").cast(pa.string()))
+                counts.append(keep.column("v_count").cast(pa.int64()))
+            return pa.table({
+                "pid": pa.array(pids, pa.int32()),
+                "value": (pa.concat_arrays([c.combine_chunks() for c in vals])
+                          if vals else pa.array([], pa.string())),
+                "file": pa.array([""] * len(pids), pa.string()),
+                "n_rows": (pa.concat_arrays([c.combine_chunks()
+                                             for c in counts])
+                           if counts else pa.array([], pa.int64())),
+            })
+
+        def write_partition(g: pa.Table) -> pa.Table:
+            from migration_pair_ray.stages.applier import _fsync_write_parquet
+            pid = int(g.column("pid")[0].as_py())
+            out = g.drop_columns(["pid"]).sort_by([("value", "ascending")])
+            _fsync_write_parquet(out, str(idx / f"part-{pid:05d}.parquet"))
+            return pa.table({"pid": pa.array([pid], pa.int32()),
+                             "rows": pa.array([out.num_rows], pa.int64())})
+
+        written = (rd.from_items(items)
+                   .map_batches(postings_cell, batch_format="pyarrow",
+                                batch_size=1)
+                   .groupby("pid").map_groups(write_partition,
+                                              batch_format="pyarrow")
+                   .take_all())
+        rows_written = sum(r["rows"] for r in written)
+        wrote_pids = {r["pid"] for r in written}
+        from migration_pair_ray.stages.applier import _fsync_write_parquet
+        for pid in dirty:
+            if pid not in wrote_pids:
+                _fsync_write_parquet(pa.table({
+                    "value": pa.array([], pa.string()),
+                    "file": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64())}),
+                    str(idx / f"part-{pid:05d}.parquet"))
+    elif dirty:
         items = [{"pid": pid, "file": rel}
                  for pid in dirty for rel in parts[pid]]
 
@@ -200,7 +260,7 @@ def _build_value_index_locked(cfg: JobConfig, column: str) -> dict:
     # single atomic commit point; stale posting files for retired pids are
     # harmless (unreferenced) but cleaned here for tidiness
     _atomic_write(str(meta_path), json.dumps(
-        {"column": column,
+        {"column": column, "kernel": kernel,
          "fingerprints": {str(pid): fp for pid, fp in fps.items()}},
         indent=1).encode())
     live = {f"part-{pid:05d}.parquet" for pid in fps}
@@ -211,22 +271,24 @@ def _build_value_index_locked(cfg: JobConfig, column: str) -> dict:
             "reused": len(fps) - len(dirty), "postings_rows": rows_written}
 
 
-def _verify_fresh(cfg: JobConfig, column: str) -> dict[int, list[str]]:
+def _verify_fresh(cfg: JobConfig,
+                  column: str) -> tuple[dict[int, list[str]], str]:
     """Raise IndexStaleError unless every ACTIVE partition's fingerprint
-    matches the committed index meta; returns pid → current files."""
+    matches the committed index meta; returns (pid → current files,
+    lake kernel)."""
     meta_path = _index_dir(cfg, column) / "_meta.json"
     if not meta_path.exists():
         raise IndexStaleError(f"no index built for column {column!r}")
     with open(meta_path) as f:
         recorded = json.load(f).get("fingerprints", {})
-    parts = _current_partitions(cfg)
+    parts, kernel = _current_partitions(cfg)
     for pid, files in parts.items():
         if recorded.get(str(pid)) != _partition_fingerprint(cfg.lake_dir,
                                                             files):
             raise IndexStaleError(
                 f"index for {column!r} is stale at partition {pid} — "
                 f"run build_value_index first")
-    return parts
+    return parts, kernel
 
 
 def _stringify_values(values) -> list[str]:
@@ -240,15 +302,16 @@ def _stringify_values(values) -> list[str]:
     return pa.array(vals).cast(pa.string()).to_pylist()
 
 
-def index_candidate_files(cfg: JobConfig, column: str,
-                          values: list) -> list[str]:
-    """The pruning plan: lake-relative state files whose postings contain
-    any requested value (exposed for tests/ops, like lookup.candidate_files).
-    Verifies freshness first."""
-    parts = _verify_fresh(cfg, column)
+def _matching_postings(cfg: JobConfig, column: str,
+                       values: list) -> tuple[list[str], list[int], str]:
+    """(matching state files, matching partition ids, kernel) — the raw
+    pruning plan behind the probes.  Row-kernel postings address files;
+    cell-kernel postings address partitions (file='')."""
+    parts, kernel = _verify_fresh(cfg, column)
     idx = _index_dir(cfg, column)
     want = pa.array(sorted(set(_stringify_values(values))), pa.string())
-    out: list[str] = []
+    files: list[str] = []
+    pids: list[int] = []
     for pid in sorted(parts):
         path = idx / f"part-{pid:05d}.parquet"
         if not path.exists():
@@ -256,8 +319,25 @@ def index_candidate_files(cfg: JobConfig, column: str,
                 f"postings missing for partition {pid} — rebuild")
         t = pq.read_table(str(path), columns=["value", "file"])
         hit = t.filter(pc.is_in(t.column("value"), value_set=want))
-        out.extend(sorted(set(hit.column("file").to_pylist())))
-    return out
+        if hit.num_rows:
+            pids.append(pid)
+            files.extend(sorted(set(f for f in hit.column("file").to_pylist()
+                                    if f)))
+    return files, pids, kernel
+
+
+def index_candidate_files(cfg: JobConfig, column: str,
+                          values: list) -> list[str]:
+    """The pruning plan: lake-relative state files the probe will read for
+    any requested value (exposed for tests/ops, like
+    lookup.candidate_files).  Verifies freshness first.  On cell-kernel
+    lakes the probe grain is the PARTITION, so the plan is the matching
+    partitions' full current file lists."""
+    files, pids, kernel = _matching_postings(cfg, column, values)
+    if kernel == "cell":
+        parts, _ = _current_partitions(cfg)
+        return sorted({f for pid in pids for f in parts[pid]})
+    return files
 
 
 def lookup_by_value(cfg: JobConfig, column: str, values: list[str],
@@ -270,9 +350,47 @@ def lookup_by_value(cfg: JobConfig, column: str, values: list[str],
     ``values`` may be strings or native-typed scalars; both are
     normalized with the same Arrow cast the postings were built with,
     and cast back to the column's native type for the Parquet filter —
-    int/bool/float columns probe correctly either way."""
+    int/bool/float columns probe correctly either way.
+
+    Cell-kernel lakes probe at PARTITION grain: matching partitions are
+    re-folded (``read_state_table`` + ``cell_finalize``) and the visible
+    rows filtered — a determiner row's raw value is not the visible
+    value, so ``visible_only=False`` is not expressible and raises."""
     want = sorted(set(_stringify_values(values)))
-    files = index_candidate_files(cfg, column, want)
+    files, pids, kernel = _matching_postings(cfg, column, want)
+    if kernel == "cell":
+        if not visible_only:
+            raise ValueError(
+                "visible_only=False is not supported on cell-kernel lakes: "
+                "internal determiner rows are not value-addressable (a "
+                "column's visible value folds from several of them)")
+        from migration_pair_ray.functions.cells import cell_finalize
+        from migration_pair_ray.stages.applier import read_state_table
+        store = ManifestStore(cfg.manifest_dir)
+        tables = []
+        for pid in pids:
+            st = read_state_table(cfg.lake_dir, store.read(pid),
+                                  kernel="cell")
+            if st is None or column not in st.schema.names:
+                continue
+            vis = cell_finalize(st)
+            col_type = vis.schema.field(column).type
+            native = (want if pa.types.is_string(col_type)
+                      or pa.types.is_large_string(col_type)
+                      else pa.array(want, pa.string())
+                      .cast(col_type).to_pylist())
+            hit = vis.filter(pc.is_in(vis.column(column),
+                                      value_set=pa.array(native, col_type)))
+            if hit.num_rows:
+                tables.append(hit)
+        if not tables:
+            from migration_pair_ray.schemas import CHANGE_SCHEMA
+            from migration_pair_ray.functions.cells import cell_finalize
+            out = cell_finalize(CHANGE_SCHEMA.empty_table())
+        else:
+            out = pa.concat_tables(tables, promote_options="permissive")
+        return out.sort_by([("conv_id", "ascending"),
+                            ("turn_idx", "ascending")])
     tables = []
     for rel in files:
         path = str(Path(cfg.lake_dir) / rel)

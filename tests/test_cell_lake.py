@@ -200,15 +200,51 @@ def test_cell_snapshot_count_and_fsck(tmp_path):
     assert rep["ok"], rep["problems"]
 
 
-def test_value_index_refuses_cell_lake(tmp_path):
+def test_value_index_on_cell_lake(tmp_path):
+    """Cell lakes index at PARTITION grain: postings hold FOLDED visible
+    values (a raw determiner value that lost its cell never matches), the
+    probe re-folds only matching partitions, staleness still raises, and
+    MoR deltas are handled natively."""
     from migration_pair_ray.pipelines.index import (IndexStaleError,
-                                                    build_value_index)
-    events = _make_events(500, seed=6)
-    cfg = _cfg(tmp_path, "ix")
-    _write_log(Path(cfg.changelog_dir), events, 1)
+                                                    build_value_index,
+                                                    index_candidate_files,
+                                                    lookup_by_value)
+    events = _make_events(1500, seed=6)
+    cfg = _cfg(tmp_path, "ix", mor_max_deltas=3)
+    _write_log(Path(cfg.changelog_dir), events, 2)
     replay(cfg)
-    with pytest.raises(IndexStaleError, match="cell"):
-        build_value_index(cfg, "role")
+    s = build_value_index(cfg, "role")
+    assert s["reindexed"] > 0
+    want = _brute(events)
+    vis_roles = [r for r in want.column("role").to_pylist() if r is not None]
+    probe_val = vis_roles[0]
+    got = lookup_by_value(cfg, "role", [probe_val])
+    expect = want.filter(pa.compute.equal(want.column("role"), probe_val))
+    _assert_tables_equal(
+        got.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        expect)
+    # the probe plan is partition-grain: a strict subset of partitions
+    assert index_candidate_files(cfg, "role", [probe_val])
+    # a raw determiner value whose cell was superseded must NOT match:
+    # find a role value present in events but absent from the fold
+    all_roles = set(r for r in events.column("role").to_pylist() if r)
+    dead = sorted(all_roles - set(vis_roles))
+    if dead:
+        assert lookup_by_value(cfg, "role", [dead[0]]).num_rows == 0
+    # internal rows are not value-addressable under the cell kernel
+    with pytest.raises(ValueError, match="visible_only"):
+        lookup_by_value(cfg, "role", [probe_val], visible_only=False)
+    # a new pass moves fingerprints -> stale probe refuses, rebuild heals
+    extra = _make_events(200, seed=66)
+    extra = extra.set_column(
+        extra.schema.get_field_index("lsn"), "lsn",
+        pa.compute.add(extra.column("lsn"), 10_000))
+    pq.write_table(extra, f"{cfg.changelog_dir}/batch-00099.parquet")
+    replay(cfg)
+    with pytest.raises(IndexStaleError, match="stale"):
+        lookup_by_value(cfg, "role", [probe_val])
+    build_value_index(cfg, "role")
+    lookup_by_value(cfg, "role", [probe_val])   # fresh again
 
 
 def test_repartition_cell_to_row_refused(tmp_path):
