@@ -62,6 +62,21 @@ def consumer_cursor(cfg: JobConfig, consumer: str) -> int:
         return -1
 
 
+def register_consumer(cfg: JobConfig, consumer: str) -> int:
+    """Make ``consumer`` visible to retention (``truncate_log``) even
+    before its first ack: creates the cursor file at -1 when missing
+    (``ack_feed`` is monotone-advance only, so a consumer that has not
+    consumed anything yet would otherwise not exist and not be
+    protected).  Returns the current cursor."""
+    cur = consumer_cursor(cfg, consumer)
+    path = _cursor_path(cfg, consumer)
+    if not path.exists():
+        path.parent.mkdir(parents=True, exist_ok=True)
+        _atomic_write(str(path), json.dumps(
+            {"consumer": consumer, "acked_seq": -1}).encode())
+    return cur
+
+
 class FeedUnstampedError(RuntimeError):
     """A committed pass has no seq stamp (written by an older engine
     version): its position in the stream is unknowable, so serving the
@@ -233,9 +248,15 @@ def truncate_log(cfg: JobConfig, through_seq: int | None = None,
     if not horizons:
         return {"truncated_through_seq": None, "files_deleted": 0,
                 "note": "no through_seq and no registered consumers"}
-    horizon = min(horizons)
-
     ck = CheckpointStore(cfg.checkpoint_dir)
+    # cap at the last committed pass: a typo'd huge through_seq must not
+    # durably record a horizon covering passes that never existed (the
+    # marker is monotone, and _retention_note would then misdiagnose any
+    # future non-retention file loss as policy)
+    horizon = min(min(horizons), ck.last_seq())
+    if horizon < 0:
+        return {"truncated_through_seq": None, "files_deleted": 0,
+                "note": "nothing committed (or nothing acked) yet"}
     victims: list[str] = []
     for p in sorted(Path(ck.dir).glob("pass-*.json")):
         with open(p) as f:
@@ -273,7 +294,8 @@ def truncate_log(cfg: JobConfig, through_seq: int | None = None,
             "dry_run": dry_run}
 
 
-def bootstrap_replica(src: JobConfig, dst: JobConfig) -> dict:
+def bootstrap_replica(src: JobConfig, dst: JobConfig,
+                      src_consumer: str = "") -> dict:
     """Seed a NEW follower from the source's current state instead of its
     full change log — the compacted-log bootstrap ``truncate_log``
     documents (a truncated source cannot serve its history; a 100-TB one
@@ -298,11 +320,15 @@ def bootstrap_replica(src: JobConfig, dst: JobConfig) -> dict:
     from migration_pair_ray.pipelines.replay import read_lake, replay
     from migration_pair_ray.state.manifest import LakeMeta
 
-    src_kernel = LakeMeta(src.lake_dir).merge_kernel()
-    if src_kernel != dst.merge_kernel:
-        raise ValueError(
-            f"bootstrap kernel mismatch: source lake is {src_kernel!r} but "
-            f"the follower config is {dst.merge_kernel!r}")
+    src_meta = LakeMeta(src.lake_dir).read()
+    # an unwritten source has no declared kernel yet — don't fabricate a
+    # 'row' default and refuse a legitimate cell-to-cell setup
+    if src_meta is not None:
+        src_kernel = src_meta.get("merge_kernel", "row")
+        if src_kernel != dst.merge_kernel:
+            raise ValueError(
+                f"bootstrap kernel mismatch: source lake is {src_kernel!r} "
+                f"but the follower config is {dst.merge_kernel!r}")
     cursor_path = Path(dst.lake_dir) / "_replica.json"
     if cursor_path.exists():
         with open(cursor_path) as f:
@@ -326,6 +352,14 @@ def bootstrap_replica(src: JobConfig, dst: JobConfig) -> dict:
     cursor_path.parent.mkdir(parents=True, exist_ok=True)
     _atomic_write(str(cursor_path),
                   json.dumps({"acked_src_seq": int(seq)}).encode())
+    if src_consumer:
+        # protect the bootstrap-to-first-tail window: register on the
+        # source (and ack what the bootstrap already covers) so a
+        # retention job between bootstrap and the first replicate cannot
+        # delete the passes the tail will need
+        register_consumer(src, src_consumer)
+        if seq >= 0:
+            ack_feed(src, src_consumer, int(seq))
     return {"bootstrapped": True, "cursor": int(seq),
             "boot_files": n_files, "rows": s.get("events_in", 0)}
 
@@ -351,17 +385,22 @@ def replicate(src: JobConfig, dst: JobConfig,
     import shutil as _shutil
 
     from migration_pair_ray.state.manifest import LakeMeta
-    src_kernel = LakeMeta(src.lake_dir).merge_kernel()
-    if src_kernel != dst.merge_kernel:
+    src_meta = LakeMeta(src.lake_dir).read()
+    # an unwritten source has no declared kernel yet (a polling follower
+    # may legitimately start before the source's first pass) — only gate
+    # once the source has stamped one
+    if src_meta is not None and (src_meta.get("merge_kernel", "row")
+                                 != dst.merge_kernel):
         # change files are kernel-agnostic raw events; the FOLLOWER's
         # kernel decides what they mean.  A row-kernel follower of a
         # cell-kernel source would fold every patch wrong (a P row's null
         # means KEEP, not set-null) — and silently, since replay succeeds.
         raise ValueError(
-            f"replicate kernel mismatch: source lake is {src_kernel!r} but "
-            f"the follower config is {dst.merge_kernel!r}; set the "
-            f"follower's merge_kernel to match the source (kernel "
-            f"semantics are a lake-lifetime property)")
+            f"replicate kernel mismatch: source lake is "
+            f"{src_meta.get('merge_kernel', 'row')!r} but the follower "
+            f"config is {dst.merge_kernel!r}; set the follower's "
+            f"merge_kernel to match the source (kernel semantics are a "
+            f"lake-lifetime property)")
 
     src_ck = CheckpointStore(src.checkpoint_dir)
     cursor_path = Path(dst.lake_dir) / "_replica.json"
@@ -424,8 +463,13 @@ def replicate(src: JobConfig, dst: JobConfig,
                       json.dumps({"acked_src_seq": cursor}).encode())
     if src_consumer:
         # register/advance a SOURCE-side consumer cursor so truncate_log's
-        # retention horizon protects this replica's unconsumed passes
-        ack_feed(src, src_consumer, cursor)
+        # retention horizon protects this replica's unconsumed passes —
+        # registration happens even when nothing was replicated yet
+        # (cursor -1): ack_feed alone is monotone-advance-only and would
+        # leave a brand-new replica invisible to retention
+        register_consumer(src, src_consumer)
+        if cursor >= 0:
+            ack_feed(src, src_consumer, cursor)
     return {"passes_replicated": len(passes), "passes_applied": applied,
             "events_in": events, "cursor": cursor}
 
@@ -484,20 +528,26 @@ def verify_replica(src: JobConfig, dst: JobConfig,
             "hsq": pa.array(np.add.reduceat(hb * hb, starts)),
         })
 
-    def fold(cfg: JobConfig) -> dict[int, tuple[int, int, int]]:
-        parts = (final_state(cfg, sort=False)
-                 .map_batches(digest, batch_format="pyarrow")
-                 .take_all())                      # ≤ blocks × n_buckets
-        out: dict[int, tuple[int, int, int]] = {}
-        for r in parts:
-            b = int(r["bucket"])
-            n, s, q = out.get(b, (0, 0, 0))
-            out[b] = (n + int(r["rows"]),
-                      (s + int(r["hsum"])) & 0xFFFFFFFFFFFFFFFF,
-                      (q + int(r["hsq"])) & 0xFFFFFFFFFFFFFFFF)
-        return out
+    def tagged(cfg: JobConfig, side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            d = digest(t)
+            return d.append_column(
+                "side", pa.array([side] * d.num_rows, pa.string()))
+        return (final_state(cfg, sort=False)
+                .map_batches(fn, batch_format="pyarrow"))
 
-    a, b = fold(src), fold(dst)
+    # one union = ONE streaming execution: both lakes scan concurrently
+    # (two sequential take_all calls would serialize two full-lake folds)
+    parts = tagged(src, "src").union(tagged(dst, "dst")).take_all()
+    a: dict[int, tuple[int, int, int]] = {}
+    b: dict[int, tuple[int, int, int]] = {}
+    for r in parts:                               # ≤ 2 × blocks × n_buckets
+        out = a if r["side"] == "src" else b
+        bkt = int(r["bucket"])
+        n, s, q = out.get(bkt, (0, 0, 0))
+        out[bkt] = (n + int(r["rows"]),
+                    (s + int(r["hsum"])) & 0xFFFFFFFFFFFFFFFF,
+                    (q + int(r["hsq"])) & 0xFFFFFFFFFFFFFFFF)
     bad = []
     for bkt in sorted(set(a) | set(b)):
         sa, sb = a.get(bkt, (0, 0, 0)), b.get(bkt, (0, 0, 0))

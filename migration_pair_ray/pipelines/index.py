@@ -302,11 +302,15 @@ def _stringify_values(values) -> list[str]:
     return pa.array(vals).cast(pa.string()).to_pylist()
 
 
-def _matching_postings(cfg: JobConfig, column: str,
-                       values: list) -> tuple[list[str], list[int], str]:
-    """(matching state files, matching partition ids, kernel) — the raw
-    pruning plan behind the probes.  Row-kernel postings address files;
-    cell-kernel postings address partitions (file='')."""
+def _matching_postings(
+        cfg: JobConfig, column: str, values: list,
+) -> tuple[list[str], list[int], str, dict[int, list[str]]]:
+    """(matching state files, matching partition ids, kernel, the
+    freshness-VERIFIED pid→files map) — the raw pruning plan behind the
+    probes.  Row-kernel postings address files; cell-kernel postings
+    address partitions (file='').  Callers needing partition file lists
+    must use the returned map, not re-scan (a concurrent commit between
+    the freshness check and a re-scan could hand back unverified files)."""
     parts, kernel = _verify_fresh(cfg, column)
     idx = _index_dir(cfg, column)
     want = pa.array(sorted(set(_stringify_values(values))), pa.string())
@@ -323,7 +327,7 @@ def _matching_postings(cfg: JobConfig, column: str,
             pids.append(pid)
             files.extend(sorted(set(f for f in hit.column("file").to_pylist()
                                     if f)))
-    return files, pids, kernel
+    return files, pids, kernel, parts
 
 
 def index_candidate_files(cfg: JobConfig, column: str,
@@ -333,9 +337,8 @@ def index_candidate_files(cfg: JobConfig, column: str,
     lookup.candidate_files).  Verifies freshness first.  On cell-kernel
     lakes the probe grain is the PARTITION, so the plan is the matching
     partitions' full current file lists."""
-    files, pids, kernel = _matching_postings(cfg, column, values)
+    files, pids, kernel, parts = _matching_postings(cfg, column, values)
     if kernel == "cell":
-        parts, _ = _current_partitions(cfg)
         return sorted({f for pid in pids for f in parts[pid]})
     return files
 
@@ -357,7 +360,7 @@ def lookup_by_value(cfg: JobConfig, column: str, values: list[str],
     rows filtered — a determiner row's raw value is not the visible
     value, so ``visible_only=False`` is not expressible and raises."""
     want = sorted(set(_stringify_values(values)))
-    files, pids, kernel = _matching_postings(cfg, column, want)
+    files, pids, kernel, _parts = _matching_postings(cfg, column, want)
     if kernel == "cell":
         if not visible_only:
             raise ValueError(

@@ -416,6 +416,14 @@ def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True,
     from migration_pair_ray.state.manifest import LakeMeta
     kernel = LakeMeta(cfg.lake_dir).merge_kernel()
     if kernel == "cell":
+        if not drop_meta:
+            # the cell fold CONSUMES op/lsn (several determiner rows fold
+            # into one visible row) — silently returning a meta-less table
+            # would diverge invisibly at the call site
+            raise ValueError(
+                "drop_meta=False is not expressible on cell-kernel lakes: "
+                "the per-key fold consumes op/lsn; use read_lake() for "
+                "internal determiner rows")
         ds = read_lake(cfg, as_of=as_of,
                        finalize=lambda t: finalize_visible(t, "cell"))
     else:

@@ -377,3 +377,12 @@ def test_cell_jsonl_export_ingest_roundtrip(tmp_path):
     ingest_jsonl_log(dst, str(wire))
     assert verify_replica(src, dst).num_rows == 0
     _assert_tables_equal(_final(dst), _brute(events))
+
+
+def test_cell_final_state_refuses_drop_meta_false(tmp_path):
+    events = _make_events(200, seed=13)
+    cfg = _cfg(tmp_path, "dm")
+    _write_log(Path(cfg.changelog_dir), events, 1)
+    replay(cfg)
+    with pytest.raises(ValueError, match="drop_meta"):
+        final_state(cfg, drop_meta=False)
