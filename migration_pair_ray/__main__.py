@@ -88,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["base_pid"] = args.base_pid
     if args.task == "feed":
         kw.update(consumer=args.consumer, ack=args.ack)
+    if args.task in ("replicate", "bootstrap") and args.consumer:
+        kw["src_consumer"] = args.consumer
     if args.task == "snapshot" and args.incremental:
         kw["incremental"] = True
     if args.task == "expire":

@@ -198,14 +198,18 @@ def task_feed(cfg: JobConfig, consumer: str = "", ack: int = -1,
     return out
 
 
-def task_replicate(cfg: JobConfig, input_path: str = "", **kw) -> dict:
+def task_replicate(cfg: JobConfig, input_path: str = "",
+                   src_consumer: str = "", **kw) -> dict:
     """Follower-lake replication: ``cfg`` is the DESTINATION (its own
-    layout), ``--input`` points at the SOURCE lake's JobConfig JSON."""
+    layout), ``--input`` points at the SOURCE lake's JobConfig JSON.
+    ``--consumer`` registers the replica on the source so retention
+    (``truncate_log``) protects its unconsumed passes."""
     from migration_pair_ray.pipelines.feed import replicate
     if not input_path:
         raise ValueError("task_replicate needs the source JobConfig JSON "
                          "(--input src.json)")
-    return replicate(JobConfig.from_json(input_path), cfg)
+    return replicate(JobConfig.from_json(input_path), cfg,
+                     src_consumer=src_consumer)
 
 
 def task_verify_replica(cfg: JobConfig, input_path: str = "", **kw) -> dict:
@@ -221,15 +225,19 @@ def task_verify_replica(cfg: JobConfig, input_path: str = "", **kw) -> dict:
             "detail": m.to_pylist()[:32]}
 
 
-def task_bootstrap(cfg: JobConfig, input_path: str = "", **kw) -> dict:
+def task_bootstrap(cfg: JobConfig, input_path: str = "",
+                   src_consumer: str = "", **kw) -> dict:
     """Seed a NEW follower lake from the source's current state
     (tombstones preserved): ``cfg`` is the FOLLOWER, ``--input`` the
-    source JobConfig JSON.  Tail afterwards with ``replicate``."""
+    source JobConfig JSON.  Tail afterwards with ``replicate``;
+    ``--consumer`` registers the replica on the source immediately so
+    the bootstrap-to-first-tail window is retention-protected."""
     from migration_pair_ray.pipelines.feed import bootstrap_replica
     if not input_path:
         raise ValueError("task_bootstrap needs the source JobConfig JSON "
                          "(--input src.json)")
-    return bootstrap_replica(JobConfig.from_json(input_path), cfg)
+    return bootstrap_replica(JobConfig.from_json(input_path), cfg,
+                             src_consumer=src_consumer)
 
 
 def task_truncate_log(cfg: JobConfig, through_seq: int = -1,
