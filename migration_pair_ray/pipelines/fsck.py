@@ -32,6 +32,7 @@ problem rows (bounded by the damage, not the lake size).
 
 from __future__ import annotations
 
+import json
 import os
 from pathlib import Path
 
@@ -322,10 +323,23 @@ def lake_stats(cfg: JobConfig) -> dict:
             p = os.path.join(cfg.lake_dir, e["file"])
             if os.path.exists(p):
                 nbytes += os.path.getsize(p)
+    # stream-side observability: consumers (and their lag), the recorded
+    # log-retention horizon, and the declared merge kernel — the numbers
+    # an operator checks before truncate_log / replicate decisions
+    from migration_pair_ray.pipelines.feed import list_consumers
+    from migration_pair_ray.state.manifest import CheckpointStore
+    last_seq = CheckpointStore(cfg.checkpoint_dir).last_seq()
+    consumers = list_consumers(cfg)
+    retention = None
+    ret_path = os.path.join(cfg.lake_dir, "_log_retention.json")
+    if os.path.exists(ret_path):
+        with open(ret_path) as f:
+            retention = int(json.load(f).get("truncated_through_seq", -1))
     return {
         "partitions": parts,
         "num_partitions": meta["num_partitions"],
         "partition_mode": meta["partition_mode"],
+        "merge_kernel": lm.merge_kernel(),
         "splits": len(lm.splits()),
         "files": files,
         "rows_internal": rows,
@@ -337,4 +351,8 @@ def lake_stats(cfg: JobConfig) -> dict:
         "mor_partitions": mor,
         "pending_deltas": deltas,
         "retained_records": retained,
+        "last_pass_seq": last_seq,
+        "consumers": {c: {"acked_seq": s, "lag": last_seq - s}
+                      for c, s in consumers.items()},
+        "log_truncated_through_seq": retention,
     }
