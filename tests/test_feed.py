@@ -569,3 +569,51 @@ def test_register_consumer_protects_before_first_ack(tmp_path):
     ack_feed(cfg, "slow-consumer", seq1)
     s2 = truncate_log(cfg, through_seq=seq2)
     assert s2["truncated_through_seq"] == seq1 and s2["files_deleted"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [101, 202])
+def test_replication_lifecycle_property(tmp_path, seed):
+    """Randomized lifecycle: interleave source passes, follower tails,
+    retention truncations, and a late-joining bootstrapped follower —
+    every follower must audit content-identical at the end, and
+    retention must never delete a pass a registered follower still
+    needs."""
+    import numpy as np
+
+    from migration_pair_ray.pipelines.feed import (bootstrap_replica,
+                                                   replicate, truncate_log,
+                                                   verify_replica)
+    rng = np.random.default_rng(seed)
+    stage = tmp_path / "stage"
+    files = generate_change_log(str(stage), n_events=2400, n_convs=12,
+                                n_files=6, tool_epoch=2,
+                                shuffle_window=400, seed=seed)
+    log = tmp_path / "log"
+    log.mkdir()
+    src = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "src"),
+                    num_partitions=4, hash_state=False)
+    d1 = JobConfig(changelog_dir=str(tmp_path / "d1log"),
+                   lake_dir=str(tmp_path / "d1"), num_partitions=2,
+                   partition_mode="key", hash_state=False)
+    replicate(src, d1, src_consumer="d1")   # registers d1 before any pass
+    d2 = None
+    for i, f in enumerate(files):
+        os.link(f, log / Path(f).name)
+        replay(src)
+        if rng.random() < 0.7:
+            replicate(src, d1, src_consumer="d1")
+        if rng.random() < 0.5:
+            # retention runs at arbitrary points; d1's cursor caps it
+            truncate_log(src)
+        if d2 is None and i == 3:
+            # a follower joins LATE: the prefix may already be truncated
+            d2 = JobConfig(changelog_dir=str(tmp_path / "d2log"),
+                           lake_dir=str(tmp_path / "d2"),
+                           num_partitions=3, hash_state=False)
+            bootstrap_replica(src, d2, src_consumer="d2")
+    # drain both followers and audit
+    replicate(src, d1, src_consumer="d1")
+    replicate(src, d2, src_consumer="d2")
+    assert verify_replica(src, d1).num_rows == 0
+    assert verify_replica(src, d2).num_rows == 0
