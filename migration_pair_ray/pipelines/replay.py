@@ -162,8 +162,9 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
         ds = read_changes(files, schema)
         if qdir is not None:
             from migration_pair_ray.stages.quarantine import make_quarantine_gate
-            ds = ds.map_batches(make_quarantine_gate(str(qdir)),
-                                batch_format="pyarrow")
+            ds = ds.map_batches(
+                make_quarantine_gate(str(qdir), cfg.merge_kernel),
+                batch_format="pyarrow")
         lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits(),
                                    pass_seq=pass_seq)
 

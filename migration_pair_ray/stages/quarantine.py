@@ -37,16 +37,25 @@ REASON_COL = "reason"
 REASON_NULL_KEY = "null_key"
 REASON_BAD_OP = "bad_op"
 VALID_OPS = ("I", "U", "D")
+# patch events (op 'P': null column = keep) have defined merge semantics
+# ONLY under the cell kernel — a row-kernel lake rightly quarantines them
+VALID_OPS_CELL = ("I", "U", "D", "P")
 
 
-def classify(batch: pa.Table) -> pa.Array:
+def _valid_ops(kernel: str) -> tuple[str, ...]:
+    return VALID_OPS_CELL if kernel == "cell" else VALID_OPS
+
+
+def classify(batch: pa.Table, kernel: str = "row") -> pa.Array:
     """Per-row quarantine reason (null = row is good).  First match wins:
     ``null_key`` (conv_id or turn_idx null — unroutable/unmergeable), then
-    ``bad_op`` (op outside {I,U,D} or null — no defined merge semantics)."""
+    ``bad_op`` (op outside the lake kernel's defined set — {I,U,D} for
+    row, +P for cell — or null: no defined merge semantics)."""
     null_key = pc.or_(pc.is_null(batch.column("conv_id")),
                       pc.is_null(batch.column("turn_idx")))
     bad_op = pc.invert(pc.fill_null(
-        pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS)), False))
+        pc.is_in(batch.column("op"),
+                 value_set=pa.array(_valid_ops(kernel))), False))
     reason = pc.if_else(
         null_key, pa.scalar(REASON_NULL_KEY, pa.string()),
         pc.if_else(bad_op, pa.scalar(REASON_BAD_OP, pa.string()),
@@ -54,9 +63,10 @@ def classify(batch: pa.Table) -> pa.Array:
     return reason
 
 
-def quarantine_split(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+def quarantine_split(batch: pa.Table,
+                     kernel: str = "row") -> tuple[pa.Table, pa.Table]:
     """(good rows, bad rows + reason column) — both zero-copy filters."""
-    reason = classify(batch)
+    reason = classify(batch, kernel)
     good = batch.filter(pc.is_null(reason))
     bad_mask = pc.is_valid(reason)
     bad = batch.filter(bad_mask).append_column(
@@ -65,11 +75,11 @@ def quarantine_split(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     return good, bad
 
 
-def make_quarantine_gate(pass_dir: str):
+def make_quarantine_gate(pass_dir: str, kernel: str = "row"):
     """Batch fn for ``map_batches``: passes good rows through, writes bad
     rows to a content-addressed Parquet file under ``pass_dir``."""
     def gate(batch: pa.Table) -> pa.Table:
-        good, bad = quarantine_split(batch)
+        good, bad = quarantine_split(batch, kernel)
         if bad.num_rows:
             sink = pa.BufferOutputStream()
             with pa.ipc.new_stream(sink, bad.schema) as w:
@@ -101,7 +111,7 @@ def quarantined_total(pass_dir: str) -> int:
 
 def requeue(quarantine_dir: str, changelog_dir: str,
             fix=None, reasons: list[str] | None = None,
-            epoch: int = 90000) -> dict:
+            epoch: int = 90000, kernel: str = "row") -> dict:
     """Operational closure of the dead-letter loop: read quarantined rows,
     apply an operator-supplied ``fix`` (batch → batch, e.g. backfill the
     op code), RE-GATE them (rows still malformed stay quarantined — a bad
@@ -134,7 +144,7 @@ def requeue(quarantine_dir: str, changelog_dir: str,
     allq = allq.drop_columns([REASON_COL])
     if fix is not None:
         allq = fix(allq)
-    good, still_bad = quarantine_split(allq)
+    good, still_bad = quarantine_split(allq, kernel)
     if good.num_rows == 0:
         return {"requeued": 0, "still_bad": still_bad.num_rows}
     good = good.sort_by([("lsn", "ascending")])

@@ -314,7 +314,8 @@ def task_requeue(cfg: JobConfig, reasons: str = "", epoch: int = 90000,
         raise ValueError("task_requeue needs cfg.quarantine_dir")
     rs = [r for r in reasons.split(",") if r] or None
     return requeue(cfg.quarantine_dir, cfg.changelog_dir,
-                   fix=kw.pop("fix", None), reasons=rs, epoch=epoch)
+                   fix=kw.pop("fix", None), reasons=rs, epoch=epoch,
+                   kernel=cfg.merge_kernel)
 
 
 TASKS: dict[str, Callable[..., dict]] = {

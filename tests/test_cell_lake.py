@@ -386,3 +386,39 @@ def test_cell_final_state_refuses_drop_meta_false(tmp_path):
     replay(cfg)
     with pytest.raises(ValueError, match="drop_meta"):
         final_state(cfg, drop_meta=False)
+
+
+def test_cell_quarantine_accepts_patch_ops(tmp_path):
+    """The dead-letter gate's valid-op set is kernel-dependent: a
+    quarantine-enabled CELL lake must pass op 'P' through (it has defined
+    merge semantics there) while still quarantining genuinely unknown
+    ops; a ROW lake keeps quarantining 'P'."""
+    from migration_pair_ray.pipelines.replay import replay as _replay
+    events = _make_events(600, seed=14)
+    # append one genuinely bad op
+    bad = pa.table({
+        "conv_id": pa.array(["zz"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["x"], pa.string()),
+        "text": pa.array(["bad"], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+        "op": pa.array(["X"], pa.string()),
+        "lsn": pa.array([10_000], pa.int64()),
+    })
+    stream = pa.concat_tables([events, bad])
+    n_patches = sum(1 for o in events.column("op").to_pylist() if o == "P")
+    assert n_patches > 0
+
+    cell = _cfg(tmp_path, "qc", quarantine_dir=str(tmp_path / "qc_quar"))
+    _write_log(Path(cell.changelog_dir), stream, 1)
+    s = _replay(cell)
+    assert s["quarantined"] == 1          # only the unknown op
+    _assert_tables_equal(_final(cell), _brute(events))  # patches applied
+
+    row = JobConfig(changelog_dir=cell.changelog_dir,
+                    lake_dir=str(tmp_path / "qr_lake"),
+                    num_partitions=4,
+                    quarantine_dir=str(tmp_path / "qr_quar"))
+    s2 = _replay(row)
+    assert s2["quarantined"] == n_patches + 1   # P has no row semantics
