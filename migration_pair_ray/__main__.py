@@ -43,7 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--column", default="",
                    help="index: lake column to build postings for")
     p.add_argument("--consumer", default="",
-                   help="feed: changefeed consumer id")
+                   help="feed/export_feed: changefeed consumer id; "
+                        "replicate/bootstrap: register the replica on the "
+                        "SOURCE under this id so truncate_log's retention "
+                        "horizon protects its unconsumed passes")
     p.add_argument("--ack", type=int, default=-1,
                    help="feed: advance the consumer cursor to this pass seq")
     p.add_argument("--incremental", action="store_true",
@@ -86,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         kw["column"] = args.column
     if args.task == "compact":
         kw["base_pid"] = args.base_pid
-    if args.task == "feed":
+    if args.task in ("feed", "export_feed"):
         kw.update(consumer=args.consumer, ack=args.ack)
     if args.task in ("replicate", "bootstrap") and args.consumer:
         kw["src_consumer"] = args.consumer

@@ -83,16 +83,23 @@ class FeedUnstampedError(RuntimeError):
     feed would silently skip it — refuse instead."""
 
 
+def retention_horizon(cfg: JobConfig) -> int | None:
+    """The durably recorded ``truncate_log`` horizon (highest pass seq
+    whose change files retention may have removed), or None when the log
+    was never truncated.  Single authority for the marker's path/schema
+    (read by the feed errors and ``lake_stats``)."""
+    try:
+        with open(Path(cfg.lake_dir) / "_log_retention.json") as f:
+            return int(json.load(f).get("truncated_through_seq", -1))
+    except FileNotFoundError:
+        return None
+
+
 def _retention_note(cfg: JobConfig, seq: int) -> str:
     """Suffix for FeedRetentionError when the loss is EXPLAINED by a
     recorded ``truncate_log`` horizon (policy, not corruption)."""
-    marker = Path(cfg.lake_dir) / "_log_retention.json"
-    try:
-        with open(marker) as f:
-            t = int(json.load(f).get("truncated_through_seq", -1))
-    except FileNotFoundError:
-        return ""
-    if int(seq) <= t:
+    t = retention_horizon(cfg)
+    if t is not None and int(seq) <= t:
         return (f" (truncate_log removed passes through seq {t} by "
                 f"retention policy; bootstrap from a snapshot instead)")
     return ""
@@ -273,10 +280,8 @@ def truncate_log(cfg: JobConfig, through_seq: int | None = None,
 
     marker = Path(cfg.lake_dir) / "_log_retention.json"
     if not dry_run:
-        prev = -1
-        if marker.exists():
-            with open(marker) as f:
-                prev = int(json.load(f).get("truncated_through_seq", -1))
+        prev = retention_horizon(cfg)
+        prev = -1 if prev is None else prev
         # the record lands BEFORE any unlink (monotone), so a crash
         # between the two leaves an honest marker, never silent loss
         if horizon > prev:
@@ -336,6 +341,12 @@ def bootstrap_replica(src: JobConfig, dst: JobConfig,
         return {"bootstrapped": False, "cursor": cur,
                 "note": "follower already has a replica cursor"}
 
+    if src_consumer:
+        # register BEFORE any work: the export can take minutes at scale,
+        # and a concurrent truncate_log during it must already see this
+        # replica's (unacked) cursor — registering after the export would
+        # leave the whole bootstrap window unprotected
+        register_consumer(src, src_consumer)
     seq = CheckpointStore(src.checkpoint_dir).last_seq()  # BEFORE the read
     os.makedirs(dst.changelog_dir, exist_ok=True)
     tmp = Path(dst.changelog_dir) / f"_boot_tmp_s{seq}"
@@ -352,14 +363,10 @@ def bootstrap_replica(src: JobConfig, dst: JobConfig,
     cursor_path.parent.mkdir(parents=True, exist_ok=True)
     _atomic_write(str(cursor_path),
                   json.dumps({"acked_src_seq": int(seq)}).encode())
-    if src_consumer:
-        # protect the bootstrap-to-first-tail window: register on the
-        # source (and ack what the bootstrap already covers) so a
-        # retention job between bootstrap and the first replicate cannot
-        # delete the passes the tail will need
-        register_consumer(src, src_consumer)
-        if seq >= 0:
-            ack_feed(src, src_consumer, int(seq))
+    if src_consumer and seq >= 0:
+        # ack what the bootstrap already covers (registration happened
+        # before the export, so the whole window was retention-protected)
+        ack_feed(src, src_consumer, int(seq))
     return {"bootstrapped": True, "cursor": int(seq),
             "boot_files": n_files, "rows": s.get("events_in", 0)}
 
@@ -401,6 +408,11 @@ def replicate(src: JobConfig, dst: JobConfig,
             f"config is {dst.merge_kernel!r}; set the follower's "
             f"merge_kernel to match the source (kernel semantics are a "
             f"lake-lifetime property)")
+
+    if src_consumer:
+        # register BEFORE consuming anything: a truncate_log racing the
+        # tail loop must already see this replica's cursor
+        register_consumer(src, src_consumer)
 
     src_ck = CheckpointStore(src.checkpoint_dir)
     cursor_path = Path(dst.lake_dir) / "_replica.json"
@@ -461,15 +473,11 @@ def replicate(src: JobConfig, dst: JobConfig,
         cursor_path.parent.mkdir(parents=True, exist_ok=True)
         _atomic_write(str(cursor_path),
                       json.dumps({"acked_src_seq": cursor}).encode())
-    if src_consumer:
-        # register/advance a SOURCE-side consumer cursor so truncate_log's
-        # retention horizon protects this replica's unconsumed passes —
-        # registration happens even when nothing was replicated yet
-        # (cursor -1): ack_feed alone is monotone-advance-only and would
-        # leave a brand-new replica invisible to retention
-        register_consumer(src, src_consumer)
-        if cursor >= 0:
-            ack_feed(src, src_consumer, cursor)
+    if src_consumer and cursor >= 0:
+        # advance the SOURCE-side cursor so retention can move past the
+        # passes this replica has durably applied (registration happened
+        # up front, before the loop)
+        ack_feed(src, src_consumer, cursor)
     return {"passes_replicated": len(passes), "passes_applied": applied,
             "events_in": events, "cursor": cursor}
 

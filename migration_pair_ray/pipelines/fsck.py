@@ -294,10 +294,31 @@ def lake_stats(cfg: JobConfig) -> dict:
     small-file signal that drives compaction decisions.  Read-only; the
     numbers a 100-TB operator checks before choosing split/merge/compact/
     vacuum actions."""
+    # stream-side observability first (no mkdir side effects — this is a
+    # READ path, possibly against a read-only forensics mount): consumers
+    # (and lag), the recorded log-retention horizon, last committed seq.
+    # Computed before the meta gate: consumers can register BEFORE the
+    # source's first pass, and retention decisions need to see them.
+    from migration_pair_ray.pipelines.feed import (list_consumers,
+                                                   retention_horizon)
+    last_seq = -1
+    ckdir = Path(cfg.checkpoint_dir)
+    if ckdir.is_dir():
+        for p in ckdir.glob("pass-*.json"):
+            with open(p) as f:
+                last_seq = max(last_seq, int(json.load(f).get("seq", -1)))
+    stream = {
+        "last_pass_seq": last_seq,
+        "consumers": {c: {"acked_seq": s, "lag": last_seq - s}
+                      for c, s in list_consumers(cfg).items()},
+        "log_truncated_through_seq": retention_horizon(cfg),
+    }
+
     lm = LakeMeta(cfg.lake_dir)
     meta = lm.read()
     if meta is None:
-        return {"partitions": 0, "note": "no _lake_meta.json (empty lake)"}
+        return {"partitions": 0, "note": "no _lake_meta.json (empty lake)",
+                **stream}
     store = ManifestStore(os.path.join(cfg.lake_dir, "_manifest"))
     parts = files = rows = tombstones = deltas = retained = 0
     nbytes = 0
@@ -323,18 +344,6 @@ def lake_stats(cfg: JobConfig) -> dict:
             p = os.path.join(cfg.lake_dir, e["file"])
             if os.path.exists(p):
                 nbytes += os.path.getsize(p)
-    # stream-side observability: consumers (and their lag), the recorded
-    # log-retention horizon, and the declared merge kernel — the numbers
-    # an operator checks before truncate_log / replicate decisions
-    from migration_pair_ray.pipelines.feed import list_consumers
-    from migration_pair_ray.state.manifest import CheckpointStore
-    last_seq = CheckpointStore(cfg.checkpoint_dir).last_seq()
-    consumers = list_consumers(cfg)
-    retention = None
-    ret_path = os.path.join(cfg.lake_dir, "_log_retention.json")
-    if os.path.exists(ret_path):
-        with open(ret_path) as f:
-            retention = int(json.load(f).get("truncated_through_seq", -1))
     return {
         "partitions": parts,
         "num_partitions": meta["num_partitions"],
@@ -351,8 +360,5 @@ def lake_stats(cfg: JobConfig) -> dict:
         "mor_partitions": mor,
         "pending_deltas": deltas,
         "retained_records": retained,
-        "last_pass_seq": last_seq,
-        "consumers": {c: {"acked_seq": s, "lag": last_seq - s}
-                      for c, s in consumers.items()},
-        "log_truncated_through_seq": retention,
+        **stream,
     }

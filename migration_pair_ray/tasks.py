@@ -313,9 +313,17 @@ def task_requeue(cfg: JobConfig, reasons: str = "", epoch: int = 90000,
     if not cfg.quarantine_dir:
         raise ValueError("task_requeue needs cfg.quarantine_dir")
     rs = [r for r in reasons.split(",") if r] or None
+    # the LAKE's stamped kernel, not the config's: a stale pre-kernel
+    # config (merge_kernel defaulting 'row') must not re-gate fixed 'P'
+    # rows under the wrong op set and leave the dead-letter loop
+    # silently undrainable
+    from migration_pair_ray.state.manifest import LakeMeta
+    meta = LakeMeta(cfg.lake_dir).read()
+    kernel = (meta.get("merge_kernel", "row") if meta is not None
+              else cfg.merge_kernel)
     return requeue(cfg.quarantine_dir, cfg.changelog_dir,
                    fix=kw.pop("fix", None), reasons=rs, epoch=epoch,
-                   kernel=cfg.merge_kernel)
+                   kernel=kernel)
 
 
 TASKS: dict[str, Callable[..., dict]] = {
