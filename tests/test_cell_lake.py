@@ -422,3 +422,25 @@ def test_cell_quarantine_accepts_patch_ops(tmp_path):
                     quarantine_dir=str(tmp_path / "qr_quar"))
     s2 = _replay(row)
     assert s2["quarantined"] == n_patches + 1   # P has no row semantics
+
+
+def test_cell_time_travel(tmp_path):
+    """as_of reads compose with the cell kernel: the finalize fold runs
+    over the RETAINED pass's determiner rows, reconstructing the visible
+    state exactly as it was after pass 1 (== brute fold of the prefix)."""
+    events = _make_events(1600, seed=15)
+    cfg = _cfg(tmp_path, "tt", retain_passes=2, state_chunk_rows=80)
+    Path(cfg.changelog_dir).mkdir(parents=True)
+    half = events.num_rows // 2
+    pq.write_table(events.slice(0, half),
+                   f"{cfg.changelog_dir}/batch-00000.parquet")
+    s1 = replay(cfg)
+    pq.write_table(events.slice(half),
+                   f"{cfg.changelog_dir}/batch-00001.parquet")
+    replay(cfg)
+    # latest == full brute; as_of pass 1 == prefix brute
+    _assert_tables_equal(_final(cfg), _brute(events))
+    asof = pa.Table.from_pylist(
+        final_state(cfg, sort=True, as_of=s1["pass_id"]).take_all()
+    ).select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    _assert_tables_equal(asof, _brute(events.slice(0, half)))
