@@ -67,14 +67,31 @@ def register_consumer(cfg: JobConfig, consumer: str) -> int:
     before its first ack: creates the cursor file at -1 when missing
     (``ack_feed`` is monotone-advance only, so a consumer that has not
     consumed anything yet would otherwise not exist and not be
-    protected).  Returns the current cursor."""
-    cur = consumer_cursor(cfg, consumer)
+    protected).  Returns the current cursor.
+
+    Creation is EXCLUSIVE (write a complete temp file, then ``os.link``
+    it to the cursor name — fails if the name exists): a plain
+    check-then-write would let a registration racing the same consumer's
+    concurrent ack overwrite the durably acked cursor back to -1,
+    regressing durable state.  ``os.link`` of a fully fsync'd temp also
+    cannot leave a half-written cursor the way ``O_CREAT|O_EXCL`` +
+    write would on a crash between the two."""
     path = _cursor_path(cfg, consumer)
-    if not path.exists():
-        path.parent.mkdir(parents=True, exist_ok=True)
-        _atomic_write(str(path), json.dumps(
-            {"consumer": consumer, "acked_seq": -1}).encode())
-    return cur
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = f"{path}.reg.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"consumer": consumer, "acked_seq": -1}))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        from migration_pair_ray.state.manifest import _fsync_dir
+        _fsync_dir(str(path.parent))
+    except FileExistsError:
+        pass  # already registered (or acked) — never regress the cursor
+    finally:
+        os.unlink(tmp)
+    return consumer_cursor(cfg, consumer)
 
 
 class FeedUnstampedError(RuntimeError):
@@ -349,16 +366,33 @@ def bootstrap_replica(src: JobConfig, dst: JobConfig,
         register_consumer(src, src_consumer)
     seq = CheckpointStore(src.checkpoint_dir).last_seq()  # BEFORE the read
     os.makedirs(dst.changelog_dir, exist_ok=True)
-    tmp = Path(dst.changelog_dir) / f"_boot_tmp_s{seq}"
+    # Crash-retry guard: if a previous attempt already REPLAYED this seq's
+    # boot files into dst (crash landed between replay and the cursor
+    # write), re-exporting would os.replace() committed change files —
+    # and Ray's write_parquet block layout is not byte-deterministic, so
+    # a size change trips discover()'s append-only contract and wedges
+    # the follower.  Committed boot files are already durable state; skip
+    # straight to the (idempotent) replay + cursor write.
+    boot_prefix = f"batch-00000-boot-s{seq:06d}-"
+    committed_boot = set()
+    dst_ck = CheckpointStore(dst.checkpoint_dir)
+    for p in sorted(Path(dst_ck.dir).glob("pass-*.json")):
+        with open(p) as f:
+            committed_boot.update(n for n in json.load(f).get("files", [])
+                                  if n.startswith(boot_prefix))
     import shutil as _shutil
-    _shutil.rmtree(tmp, ignore_errors=True)
-    read_lake(src).write_parquet(str(tmp))
-    n_files = 0
-    for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
-        os.replace(f, Path(dst.changelog_dir)
-                   / f"batch-00000-boot-s{seq:06d}-{i:04d}.parquet")
-        n_files += 1
-    _shutil.rmtree(tmp, ignore_errors=True)
+    if committed_boot:
+        n_files = len(committed_boot)
+    else:
+        tmp = Path(dst.changelog_dir) / f"_boot_tmp_s{seq}"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        read_lake(src).write_parquet(str(tmp))
+        n_files = 0
+        for i, f in enumerate(sorted(tmp.glob("*.parquet"))):
+            os.replace(f, Path(dst.changelog_dir)
+                       / f"{boot_prefix}{i:04d}.parquet")
+            n_files += 1
+        _shutil.rmtree(tmp, ignore_errors=True)
     s = replay(dst)
     cursor_path.parent.mkdir(parents=True, exist_ok=True)
     _atomic_write(str(cursor_path),

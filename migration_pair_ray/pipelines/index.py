@@ -68,8 +68,15 @@ def _partition_fingerprint(lake_dir: str, files: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def _current_partitions(cfg: JobConfig) -> tuple[dict[int, list[str]], str]:
-    """(active pid → lake-relative current state files, lake kernel).
+def _current_partitions(cfg: JobConfig) -> tuple[dict[int, dict | None], str]:
+    """(active pid → that partition's manifest AS READ NOW, lake kernel).
+
+    Returns the manifest records themselves (not just file lists): every
+    downstream step — fingerprinting, the build sweep, and the probes —
+    must consume exactly this captured view.  Re-reading the store later
+    (after ``_verify_fresh``) would open a race where a commit landing
+    between the freshness check and the re-read hands back UNVERIFIED
+    newer state, silently mixing vintages in one answer.
 
     Row-kernel lakes index at FILE grain (postings point at state files,
     probes read only matching files) but refuse partitions carrying
@@ -89,7 +96,7 @@ def _current_partitions(cfg: JobConfig) -> tuple[dict[int, list[str]], str]:
     meta = LakeMeta(cfg.lake_dir)
     kernel = meta.merge_kernel()
     store = ManifestStore(cfg.manifest_dir)
-    out: dict[int, list[str]] = {}
+    out: dict[int, dict | None] = {}
     for pid in meta.active_partition_ids(cfg.num_partitions):
         m = store.read(int(pid))
         if kernel == "row" and m and m.get("delta_files"):
@@ -97,7 +104,7 @@ def _current_partitions(cfg: JobConfig) -> tuple[dict[int, list[str]], str]:
                 f"partition {pid} carries {len(m['delta_files'])} "
                 f"merge-on-read delta file(s) — run compact_deltas before "
                 f"building or probing a value index")
-        out[int(pid)] = record_files(m)
+        out[int(pid)] = m
     return out, kernel
 
 
@@ -132,8 +139,8 @@ def _build_value_index_locked(cfg: JobConfig, column: str) -> dict:
             old = json.load(f).get("fingerprints", {})
 
     parts, kernel = _current_partitions(cfg)
-    fps = {pid: _partition_fingerprint(cfg.lake_dir, files)
-           for pid, files in parts.items()}
+    fps = {pid: _partition_fingerprint(cfg.lake_dir, record_files(m))
+           for pid, m in parts.items()}
     dirty = [pid for pid, fp in fps.items() if old.get(str(pid)) != fp]
 
     lake_dir, rows_written = cfg.lake_dir, 0
@@ -141,9 +148,10 @@ def _build_value_index_locked(cfg: JobConfig, column: str) -> dict:
         # partition-grain sweep: fold each dirty partition's determiner
         # rows to its VISIBLE values (read_state_table folds MoR deltas
         # too), one partition per task; postings carry file="" (the probe
-        # re-folds whole partitions, files are not value-addressable)
-        store = ManifestStore(cfg.manifest_dir)
-        items = [{"pid": pid, "manifest": json.dumps(store.read(pid) or {})}
+        # re-folds whole partitions, files are not value-addressable).
+        # Manifests come from the SAME captured view the fingerprints
+        # were computed from — never a second store read.
+        items = [{"pid": pid, "manifest": json.dumps(parts[pid] or {})}
                  for pid in dirty]
 
         def postings_cell(t: pa.Table) -> pa.Table:
@@ -199,7 +207,7 @@ def _build_value_index_locked(cfg: JobConfig, column: str) -> dict:
                     str(idx / f"part-{pid:05d}.parquet"))
     elif dirty:
         items = [{"pid": pid, "file": rel}
-                 for pid in dirty for rel in parts[pid]]
+                 for pid in dirty for rel in record_files(parts[pid])]
 
         def postings(t: pa.Table) -> pa.Table:
             # one row in == one state file; the loop is over FILES, and the
@@ -272,19 +280,21 @@ def _build_value_index_locked(cfg: JobConfig, column: str) -> dict:
 
 
 def _verify_fresh(cfg: JobConfig,
-                  column: str) -> tuple[dict[int, list[str]], str]:
+                  column: str) -> tuple[dict[int, dict | None], str]:
     """Raise IndexStaleError unless every ACTIVE partition's fingerprint
-    matches the committed index meta; returns (pid → current files,
-    lake kernel)."""
+    matches the committed index meta; returns (pid → the manifest the
+    fingerprint was VERIFIED against, lake kernel).  Callers must consume
+    these manifests — not re-read the store — so the answer is built from
+    exactly the verified vintage."""
     meta_path = _index_dir(cfg, column) / "_meta.json"
     if not meta_path.exists():
         raise IndexStaleError(f"no index built for column {column!r}")
     with open(meta_path) as f:
         recorded = json.load(f).get("fingerprints", {})
     parts, kernel = _current_partitions(cfg)
-    for pid, files in parts.items():
-        if recorded.get(str(pid)) != _partition_fingerprint(cfg.lake_dir,
-                                                            files):
+    for pid, m in parts.items():
+        if recorded.get(str(pid)) != _partition_fingerprint(
+                cfg.lake_dir, record_files(m)):
             raise IndexStaleError(
                 f"index for {column!r} is stale at partition {pid} — "
                 f"run build_value_index first")
@@ -304,13 +314,14 @@ def _stringify_values(values) -> list[str]:
 
 def _matching_postings(
         cfg: JobConfig, column: str, values: list,
-) -> tuple[list[str], list[int], str, dict[int, list[str]]]:
+) -> tuple[list[str], list[int], str, dict[int, dict | None]]:
     """(matching state files, matching partition ids, kernel, the
-    freshness-VERIFIED pid→files map) — the raw pruning plan behind the
-    probes.  Row-kernel postings address files; cell-kernel postings
-    address partitions (file='').  Callers needing partition file lists
-    must use the returned map, not re-scan (a concurrent commit between
-    the freshness check and a re-scan could hand back unverified files)."""
+    freshness-VERIFIED pid→manifest map) — the raw pruning plan behind
+    the probes.  Row-kernel postings address files; cell-kernel postings
+    address partitions (file='').  Callers needing partition manifests or
+    file lists must use the returned map, not re-scan (a concurrent
+    commit between the freshness check and a re-scan could hand back
+    unverified files)."""
     parts, kernel = _verify_fresh(cfg, column)
     idx = _index_dir(cfg, column)
     want = pa.array(sorted(set(_stringify_values(values))), pa.string())
@@ -339,7 +350,7 @@ def index_candidate_files(cfg: JobConfig, column: str,
     partitions' full current file lists."""
     files, pids, kernel, parts = _matching_postings(cfg, column, values)
     if kernel == "cell":
-        return sorted({f for pid in pids for f in parts[pid]})
+        return sorted({f for pid in pids for f in record_files(parts[pid])})
     return files
 
 
@@ -360,7 +371,7 @@ def lookup_by_value(cfg: JobConfig, column: str, values: list[str],
     rows filtered — a determiner row's raw value is not the visible
     value, so ``visible_only=False`` is not expressible and raises."""
     want = sorted(set(_stringify_values(values)))
-    files, pids, kernel, _parts = _matching_postings(cfg, column, want)
+    files, pids, kernel, parts = _matching_postings(cfg, column, want)
     if kernel == "cell":
         if not visible_only:
             raise ValueError(
@@ -369,11 +380,12 @@ def lookup_by_value(cfg: JobConfig, column: str, values: list[str],
                 "column's visible value folds from several of them)")
         from migration_pair_ray.functions.cells import cell_finalize
         from migration_pair_ray.stages.applier import read_state_table
-        store = ManifestStore(cfg.manifest_dir)
         tables = []
         for pid in pids:
-            st = read_state_table(cfg.lake_dir, store.read(pid),
-                                  kernel="cell")
+            # fold the manifests captured at verify time — a store
+            # re-read here could see a commit that landed after
+            # _verify_fresh and fold unverified newer state
+            st = read_state_table(cfg.lake_dir, parts[pid], kernel="cell")
             if st is None or column not in st.schema.names:
                 continue
             vis = cell_finalize(st)
