@@ -257,7 +257,39 @@ def main() -> None:
         "events_per_sec": round(events_per_sec, 1),
     }
     ray.shutdown()
-    print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(_fit_line(out))
+
+
+# The harness that consumes this script keeps only the LAST ~2000 chars of
+# stdout; a JSON line longer than that arrives truncated and unparseable
+# (round 3's 100-query line did exactly that).  Keep the printed line under
+# the cap by dropping the CHEAPEST query timings from the inline map —
+# the expensive ones are the ones worth reading — and point at
+# bench_full.json for the complete map.
+MAX_LINE_CHARS = 1900
+
+
+def _fit_line(out: dict) -> str:
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= MAX_LINE_CHARS:
+        return line
+    q = dict(out["queries"])
+    # drop cheapest first; the headline replay entry is never dropped
+    order = sorted((k for k in q if k != "cdc_replay"), key=lambda k: q[k])
+    out = dict(out, full="bench_full.json")
+    while order:
+        order.pop(0)
+        kept = {"cdc_replay", *order}
+        out["queries"] = {k: v for k, v in q.items() if k in kept}
+        out["queries_omitted"] = len(q) - len(out["queries"])
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= MAX_LINE_CHARS:
+            return line
+    return line
 
 
 def scaling() -> None:
