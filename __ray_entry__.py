@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family, text/training ops, embeddings, media, sketches, CSV.
         "cdc_lww_merge": q.cdc_lww_merge,
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
+        "cdc_multi_source": q.cdc_multi_source,
         "cdc_mor_replay": q.cdc_mor_replay,
         "cdc_cell_replay": q.cdc_cell_replay,
         "cdc_patch_merge": q.cdc_patch_merge,
@@ -48,7 +49,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_agg": q.cdc_incremental_agg,
         "cdc_quarantine_stats": q.cdc_quarantine_stats,
         "cdc_state_diff": q.cdc_state_diff,
-        "cdc_wire_forms": q.cdc_wire_forms,
         "join_orders_customer_segment": q.join_orders_customer_segment,
         "join_orders_lineitem_priority": q.join_orders_lineitem_priority,
         "join_orders_customer_left": q.join_orders_customer_left,
@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # ---- end of the recorded-50 prefix (all entries below are
         # equally oracle-backed; pytest + cold rehearsals cover them) ----
+        "cdc_wire_forms": q.cdc_wire_forms,
         "cdc_ttl_expiry": q.cdc_ttl_expiry,
         "cdc_replica_verify": q.cdc_replica_verify,
         "cdc_jsonl_ingest": q.cdc_jsonl_ingest,
@@ -375,6 +376,13 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         "cdc_replica_bootstrap": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # sharded ingest via lsn-parity split + namespaced merge is EXACT:
+        # global_lsn reconstructs the original offset, so the merged lake
+        # equals the plain single-log winners
+        "cdc_multi_source": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

@@ -94,6 +94,26 @@ def register_consumer(cfg: JobConfig, consumer: str) -> int:
     return consumer_cursor(cfg, consumer)
 
 
+class FeedMultiSourceError(RuntimeError):
+    """The pass was a multi-source ingest (pipelines/multi.replay_multi):
+    its recorded files are per-shard raw batches whose lsn values only
+    order correctly under the namespacing the ingest applied.  Serving or
+    linking those raw files into a single changelog would collapse the
+    namespace and corrupt LWW tie-breaks — bootstrap_replica (which
+    exports INTERNAL state, lsn already global) is the supported path."""
+
+
+def _refuse_multi_source(rec: dict, verb: str) -> None:
+    from migration_pair_ray.pipelines.multi import SOURCE_NS_RE
+    multi = [n for n in rec.get("files", []) if SOURCE_NS_RE.match(n)]
+    if multi:
+        raise FeedMultiSourceError(
+            f"pass {rec.get('pass_id')!r} (seq {rec.get('seq')}) is a "
+            f"multi-source ingest ({multi[0]}, ...): cannot {verb} raw "
+            f"shard files — their lsn order only holds under the ingest's "
+            f"namespacing; replicate via bootstrap_replica instead")
+
+
 class FeedUnstampedError(RuntimeError):
     """A committed pass has no seq stamp (written by an older engine
     version): its position in the stream is unknowable, so serving the
@@ -143,6 +163,7 @@ def pending_passes(cfg: JobConfig, consumer: str) -> list[dict]:
                 f"rebuild the lake before serving a feed from it")
         if int(rec["seq"]) <= cursor:
             continue
+        _refuse_multi_source(rec, "serve a feed from")
         files = [(n.split(":", 1)[1], True) if n.startswith("bulk:")
                  else (n, False) for n in rec.get("files", [])]
         out.append({"seq": int(rec["seq"]), "pass_id": rec["pass_id"],
@@ -295,6 +316,27 @@ def truncate_log(cfg: JobConfig, through_seq: int | None = None,
         victims.extend(n for n in rec.get("files", [])
                        if not n.startswith("bulk:"))
 
+    # multi-source names ("src{k}:basename") resolve through the lake's
+    # committed source registry to their shard directory; plain names
+    # resolve to the single changelog dir as before
+    from migration_pair_ray.pipelines.multi import SOURCE_NS_RE, load_sources
+    sources = None
+
+    def _resolve(name: str) -> Path:
+        nonlocal sources
+        if not SOURCE_NS_RE.match(name):
+            return Path(cfg.changelog_dir) / name
+        if sources is None:
+            sources = load_sources(cfg) or []
+        ns, base = name.split(":", 1)
+        k = int(ns[3:])
+        if k >= len(sources):
+            raise FeedRetentionError(
+                f"pass file {name} names source index {k} but the lake's "
+                f"source registry has {len(sources)} entries — cannot "
+                f"resolve it for truncation")
+        return Path(sources[k]["dir"]) / base
+
     marker = Path(cfg.lake_dir) / "_log_retention.json"
     if not dry_run:
         prev = retention_horizon(cfg)
@@ -307,7 +349,7 @@ def truncate_log(cfg: JobConfig, through_seq: int | None = None,
                 {"truncated_through_seq": max(horizon, prev)}).encode())
     deleted = 0
     for name in victims:
-        path = Path(cfg.changelog_dir) / name
+        path = _resolve(name)
         if path.exists():
             if not dry_run:
                 path.unlink()
@@ -472,6 +514,7 @@ def replicate(src: JobConfig, dst: JobConfig,
     os.makedirs(dst.changelog_dir, exist_ok=True)
     applied = events = 0
     for rec in passes:
+        _refuse_multi_source(rec, "link into the follower's changelog")
         for name in rec.get("files", []):
             if name.startswith("bulk:"):
                 # bulk-load input never lived in the source changelog; a

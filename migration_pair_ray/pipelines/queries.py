@@ -3199,6 +3199,96 @@ def _patch_flavor(tool_from: int):
     return flavor
 
 
+def _write_parity_logs(sf_dir: str, dir0: str, dir1: str) -> None:
+    """Split the derived change stream into TWO independent source logs by
+    lsn parity — source k gets the events with ``lsn % 2 == k``, re-keyed
+    to that source's own dense monotone sequence ``lsn // 2`` (each shard
+    of a real sharded upstream numbers its own binlog).  Distributed,
+    deterministic (one Ray group per output file, sorted by lsn inside),
+    crash-safe (stale partials wiped, ``_COMPLETE`` markers last).  Each
+    source's FIRST file carries exactly its pre-evolution events (original
+    ``lsn < tool_from``) and is written without ``tool`` — the same
+    delivered form the single-log fixture produces (its file 0 lacks the
+    column), so the merged lake must equal the single-log winners bit for
+    bit, while the merge still has to widen schemas ACROSS sources."""
+    done0, done1 = Path(dir0) / "_COMPLETE", Path(dir1) / "_COMPLETE"
+    if done0.exists() and done1.exists():
+        return
+    for d in (dir0, dir1):
+        os.makedirs(d, exist_ok=True)
+        for stale in Path(d).glob("batch-*.parquet"):
+            stale.unlink()
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    tool_from = (n + 3) // 4  # ceil(n/4), the oracle's evolution point
+
+    def derive_split(t: pa.Table) -> pa.Table:
+        t = _derive_changes(t)
+        lsn = t.column("lsn")
+        src = pc.cast(pc.bit_wise_and(lsn, 1), pa.int32())
+        # file split on the ORIGINAL offset so each source's file 0 is
+        # exactly the pre-evolution slice of that parity
+        f = pc.cast(pc.greater_equal(lsn, tool_from), pa.int32())
+        i = t.schema.get_field_index("lsn")
+        t = t.set_column(i, "lsn", pc.shift_right(lsn, 1))
+        return (t.append_column("__src", src)
+                 .append_column("__f", f))
+
+    def write_file(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        k = int(g.column("__src")[0].as_py())
+        i = int(g.column("__f")[0].as_py())
+        g = (g.drop_columns(["__src", "__f", "__g"])
+              .sort_by([("lsn", "ascending")]))
+        lo = int(g.column("lsn")[0].as_py())
+        hi = int(g.column("lsn")[-1].as_py())
+        if i == 0:
+            g = g.drop_columns(["tool"])  # pre-evolution delivered form
+        d = dir0 if k == 0 else dir1
+        path = f"{d}/batch-{i:05d}-{lo:012d}-{hi:012d}.parquet"
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(g, tmp)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([g.num_rows], pa.int64())})
+
+    def assign_group(t: pa.Table) -> pa.Table:
+        gid = pc.add(pc.multiply(t.column("__src"), 2), t.column("__f"))
+        return t.append_column("__g", gid)
+
+    written = (rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "props", "ts"])
+        .map_batches(derive_split, batch_format="pyarrow")
+        .map_batches(assign_group, batch_format="pyarrow")
+        .groupby("__g").map_groups(write_file, batch_format="pyarrow")
+        .take_all())
+    assert sum(r["rows"] for r in written) == n
+    done0.touch()
+    done1.touch()
+
+
+def cdc_multi_source(sf_dir: str):
+    """Sharded ingest: the change stream split by lsn parity into two
+    independent source logs (each with its own dense monotone lsn) and
+    merged into ONE lake by ``pipelines/multi.replay_multi``, which
+    namespaces event ``(k, lsn)`` to ``global_lsn = lsn*2 + k``.  The
+    parity split makes the oracle EXACT: reconstruction gives
+    ``(L//2)*2 + L%2 = L``, the original offset — so the merged lake's
+    final state must equal the single-log LWW winners bit for bit, cross-
+    source ties and all.  Each source's first file is pre-evolution (no
+    ``tool`` column, the single-log delivered form), so the merge must
+    widen schemas across files AND sources."""
+    from migration_pair_ray.pipelines.multi import replay_multi
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = f"{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}"
+    root = Path("/tmp/mpr_queries") / tag
+    dir0, dir1 = str(root / "log_msrc0"), str(root / "log_msrc1")
+    _write_parity_logs(sf_dir, dir0, dir1)
+    cfg = JobConfig(lake_dir=str(root / "lake_multi"), num_partitions=16)
+    replay_multi(cfg, [dir0, dir1])
+    return final_state(cfg)
+
+
 def cdc_cell_replay(sf_dir: str):
     """Cell-kernel LAKE on the oracle path: the patch-flavored change
     stream (same flavor as ``cdc_patch_merge``) written as a 4-file change

@@ -182,9 +182,12 @@ class CheckpointStore:
         """``name_prefix`` namespaces the recorded basenames — bulk-load
         passes use "bulk:" so an input file that happens to share a
         basename with a future changelog batch can never make discover()
-        skip that batch as already-consumed.  ``seq`` lets a caller that
-        already computed next_seq() (under the writer lease, so it cannot
-        have moved) skip a second full checkpoint-directory scan."""
+        skip that batch as already-consumed.  A ``change_files`` entry may
+        also be a ``(prefix, path)`` tuple carrying its own prefix
+        (multi-source passes record "src{k}:" per source in ONE atomic
+        pass record).  ``seq`` lets a caller that already computed
+        next_seq() (under the writer lease, so it cannot have moved) skip
+        a second full checkpoint-directory scan."""
         path = str(self.dir / f"pass-{pass_id}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -192,14 +195,17 @@ class CheckpointStore:
                                        else self.next_seq())
         elif seq is None:
             seq = self.next_seq()
+        entries = [(e[0] + Path(e[1]).name, e[1]) if isinstance(e, tuple)
+                   else (name_prefix + Path(e).name, e)
+                   for e in change_files]
         rec = {
             "pass_id": pass_id,
             "seq": seq,
-            "files": sorted(name_prefix + Path(p).name for p in change_files),
+            "files": sorted(n for n, _ in entries),
             # per-file sizes: resume validates that a committed basename
             # never reappears with different content (append-only contract)
-            "file_sizes": {name_prefix + Path(p).name: os.path.getsize(p)
-                           for p in change_files if os.path.exists(p)},
+            "file_sizes": {n: os.path.getsize(p)
+                           for n, p in entries if os.path.exists(p)},
             "stats": stats or {},
         }
         _atomic_write(path, json.dumps(rec, indent=1).encode())
