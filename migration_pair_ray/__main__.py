@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
                         "to this seq (still capped by consumer cursors)")
     p.add_argument("--dry-run", action="store_true",
                    help="truncate_log: report without deleting")
+    p.add_argument("--sources", default="",
+                   help="replay_multi: comma-separated source changelog "
+                        "dirs (order IS the lsn namespace)")
+    p.add_argument("--names", default="",
+                   help="replay_multi: comma-separated source names "
+                        "matching --sources (defaults to src0,src1,...)")
     p.add_argument("--cutoff-us", type=int, default=0,
                    help="expire: tombstone winners with ts before this "
                         "unix-microsecond cutoff")
@@ -99,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["cutoff_us"] = args.cutoff_us
     if args.task == "truncate_log":
         kw.update(through_seq=args.through_seq, dry_run=args.dry_run)
+    if args.task == "replay_multi":
+        kw.update(sources=args.sources, names=args.names)
 
     import ray
     if not ray.is_initialized():

@@ -393,6 +393,11 @@ def _repartition_locked(cfg: JobConfig, new_cfg: JobConfig, t0: float) -> dict:
     dst_ck.mkdir(parents=True, exist_ok=True)
     for p in sorted(src_ck.glob("pass-*.json")):
         shutil.copy2(p, dst_ck / p.name)
+    # the multi-source registry is part of the lake's identity (indices
+    # define the lsn namespace): the re-laid-out lake must carry it so a
+    # later replay_multi resumes under the SAME namespacing
+    if (src_ck / "sources.json").exists():
+        shutil.copy2(src_ck / "sources.json", dst_ck / "sources.json")
     _write_lineage(new_cfg, pass_id, lineage)
     return {
         "pass_id": pass_id,

@@ -145,6 +145,21 @@ def task_merge(cfg: JobConfig, base_pid: int = -1, min_rows: int = 0,
     return {"merges": maybe_merge_undersized(cfg, min_rows)}
 
 
+def task_replay_multi(cfg: JobConfig, sources: str = "", names: str = "",
+                      **kw) -> dict:
+    """Multi-source ingest: replay every uncommitted file of K independent
+    change logs (``--sources dir0,dir1,...``) into ONE lake under the
+    namespaced global lsn order (pipelines/multi).  ``--names`` fixes the
+    source identity order (defaults to src0..srcK-1); the committed
+    registry refuses a changed sequence on re-runs."""
+    from migration_pair_ray.pipelines.multi import replay_multi
+    dirs = [d for d in sources.split(",") if d]
+    if not dirs:
+        raise ValueError("task_replay_multi needs --sources dir0,dir1,...")
+    ns = [n for n in names.split(",") if n] or None
+    return replay_multi(cfg, dirs, source_names=ns)
+
+
 def task_ingest_jsonl(cfg: JobConfig, input_path: str = "", **kw) -> dict:
     """Debezium-style JSONL change-log ingestion: convert ``*.jsonl``
     envelope files into canonical change batches and replay."""
@@ -348,6 +363,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "expire": task_expire,
     "truncate_log": task_truncate_log,
     "ingest_jsonl": task_ingest_jsonl,
+    "replay_multi": task_replay_multi,
     "schema_history": task_schema_history,
     "requeue": task_requeue,
     "tail": task_tail,

@@ -228,3 +228,39 @@ def test_multi_source_schema_evolution_from_one_shard(tmp_path):
     assert "tool" in got.columns
     # winners that came from source 1 keep their tool values
     assert got["tool"].notna().any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multi_source_task_and_repartition_carries_registry(tmp_path):
+    """CLI task dispatch + bulk re-layout: the re-laid-out lake carries
+    the source registry and pass checkpoints, so replay_multi on the NEW
+    lake resumes incrementally under the SAME namespacing."""
+    import dataclasses
+
+    from migration_pair_ray.pipelines.replay import repartition_lake
+    from migration_pair_ray.tasks import run_task
+
+    _, dir0, dir1 = _setup(tmp_path)
+    cfg = JobConfig(lake_dir=str(tmp_path / "lake"), num_partitions=4,
+                    hash_state=False)
+    held = sorted(Path(dir1).glob("batch-*.parquet"))[-1]
+    hidden = held.with_suffix(".hold")
+    held.rename(hidden)
+    res = run_task("replay_multi", cfg, sources=f"{dir0},{dir1}")
+    assert res["events_in"] > 0 and set(res["sources"]) == {"src0", "src1"}
+
+    new_cfg = dataclasses.replace(cfg, lake_dir=str(tmp_path / "lake8"),
+                                  num_partitions=8)
+    repartition_lake(cfg, new_cfg)
+    assert (Path(new_cfg.checkpoint_dir) / "sources.json").exists()
+
+    # the held-back shard file arrives: only IT is applied, and the new
+    # lake equals a from-scratch merge of everything
+    hidden.rename(held)
+    r2 = run_task("replay_multi", new_cfg, sources=f"{dir0},{dir1}")
+    assert r2["files"] == 1 and r2["sources"]["src0"] == 0
+    cfg_all = JobConfig(lake_dir=str(tmp_path / "lake_all"),
+                        num_partitions=8, hash_state=False)
+    replay_multi(cfg_all, [dir0, dir1])
+    assert final_state(new_cfg).to_pandas().reset_index(drop=True).equals(
+        final_state(cfg_all).to_pandas().reset_index(drop=True))
