@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_cell_replay": q.cdc_cell_replay,
         "cdc_patch_merge": q.cdc_patch_merge,
         "cdc_time_travel": q.cdc_time_travel,
+        "cdc_rollback": q.cdc_rollback,
         "cdc_point_lookup": q.cdc_point_lookup,
         "cdc_find_by_tool": q.cdc_find_by_tool,
         "cdc_feed_resume": q.cdc_feed_resume,
@@ -438,6 +439,21 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY conv_id, turn_idx
                     ORDER BY ts DESC, lsn DESC) rn
                   FROM ch, cut WHERE lsn < cut.c)
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # rollback: passes were (files 0-1), (file 2), (file 3) with a
+        # rollback to pass 1 between passes 2 and 3 — file 2's lsn range
+        # is carved out, files 0, 1 and 3 win by LWW
+        "cdc_rollback": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            cut AS (SELECT CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS c
+                    FROM events),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn
+                  FROM ch, cut
+                  WHERE lsn < 2 * cut.c OR lsn >= 3 * cut.c)
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

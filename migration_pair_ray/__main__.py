@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
                         "total rows fell below this")
     p.add_argument("--retain", type=int, default=0,
                    help="vacuum: superseded passes to keep per partition")
+    p.add_argument("--to-pass", default="",
+                   help="rollback: retained pass_id to restore as the "
+                        "lake's current state (metadata-only CoW flip)")
     p.add_argument("--where", default="",
                    help="delete: 'col=value' equality predicate on winners")
     p.add_argument("--tag", default="",
@@ -89,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["deep"] = args.deep
     if args.task == "vacuum":
         kw["retain"] = args.retain
+    if args.task == "rollback":
+        kw["to_pass"] = args.to_pass
     if args.task == "delete":
         kw.update(where=args.where, tag=args.tag)
     if args.task == "index":

@@ -341,6 +341,109 @@ def maybe_merge_undersized(cfg: JobConfig, min_rows: int) -> list[dict]:
     return out
 
 
+def rollback_to(cfg: JobConfig, pass_id: str) -> dict:
+    """Make a retained pass the lake's CURRENT state again — the write
+    half of time travel (``read_lake(as_of=...)`` is the read half).
+
+    Revert-style, not reset-style: nothing is deleted.  Each partition
+    gets a NEW manifest record whose content (state/chunk/delta file
+    entries, counts, hashes) is copied from its record as of the target
+    pass — state files are immutable copy-on-write, so the flip is pure
+    metadata, O(partitions) regardless of data size.  The superseded head
+    is retained under ``cfg.retain_passes`` like any other pass, so the
+    rollback itself can be time-traveled past or rolled back again.
+
+    The change log is NOT un-consumed: passes after the target stay
+    committed in the checkpoint store (their effects are what the
+    rollback removes), so a subsequent ``replay`` applies only genuinely
+    new change files on top of the restored state.
+
+    Fails loudly with TimeTravelError — before touching anything — when
+    any partition cannot prove its state at the target (vacuumed beyond
+    retention, or across a split/merge relayout).  Crash-safe: the
+    rollback pass id is deterministic for a given (target, next seq), so
+    a retry re-commits the same records idempotently; the job-level
+    checkpoint lands last."""
+    with _lease(cfg, "rollback"):
+        return _rollback_locked(cfg, pass_id)
+
+
+def _rollback_locked(cfg: JobConfig, target: str) -> dict:
+    import time
+    from migration_pair_ray.state.manifest import (CheckpointStore,
+                                                   TimeTravelError,
+                                                   manifest_as_of,
+                                                   record_files)
+    t0 = time.perf_counter()
+    ck = CheckpointStore(cfg.checkpoint_dir)
+    pass_seqs = ck.pass_seqs()
+    if target not in pass_seqs:
+        raise TimeTravelError(
+            f"pass {target!r} was never committed to this lake (known: "
+            f"{sorted(pass_seqs)})")
+    target_seq = pass_seqs[target]
+    meta = LakeMeta(cfg.lake_dir)
+    store = ManifestStore(cfg.manifest_dir)
+    seq = ck.next_seq()
+    rb_pass = hashlib.sha256(
+        f"rollback:{target}:{seq}".encode()).hexdigest()[:16]
+
+    # resolve EVERY partition before mutating ANY: a TimeTravelError on
+    # partition k must not leave partitions < k already flipped
+    plan: list[tuple[int, dict, dict | None]] = []
+    base_partitions = (meta.read() or {}).get("num_partitions",
+                                              cfg.num_partitions)
+    for pid in meta.active_partition_ids(cfg.num_partitions):
+        m = store.read(pid)
+        if m is None:
+            continue  # never had state — nothing to restore or clear
+        rec = manifest_as_of(m, target_seq, pass_seqs, pid)
+        if rec is None and pid >= base_partitions:
+            raise TimeTravelError(
+                f"partition {pid} is a split child with no record at or "
+                f"before pass {target!r}; rollback cannot cross a split")
+        plan.append((pid, m, rec))
+
+    flipped = cleared = unchanged = 0
+    for pid, m, rec in plan:
+        if rec is not None and record_files(rec) == record_files(m):
+            unchanged += 1
+            continue
+        new = {k: v for k, v in (rec or {}).items()
+               if k not in ("history", "prev_records")}
+        if rec is None:
+            # the partition's first commit came AFTER the target: its
+            # restored state is empty (an explicit empty record, so the
+            # pre-rollback head is retained and fsck sees a committed
+            # partition, not a missing manifest)
+            new.update(partition=pid, row_count=0, tombstones=0,
+                       data_file=None)   # canonical empty: no state files
+            new.pop("data_files", None)
+            new.pop("delta_files", None)
+        new.update(pass_id=rb_pass,
+                   rollback_of={"target_pass": target,
+                                "target_seq": target_seq,
+                                "restored_pass": (rec or {}).get("pass_id")})
+        if seq >= 0:
+            new["pass_seq"] = seq
+        store.commit(pid, new, retain=cfg.retain_passes)
+        if rec is None:
+            cleared += 1
+        else:
+            flipped += 1
+    # checkpoint lands last: a crash above re-runs with the same seq →
+    # same rb_pass → idempotent re-commits.  The pass carries no change
+    # files (feed/replicate refuse to serve it — a follower linking zero
+    # files would silently diverge; bootstrap_replica re-seeds instead).
+    ck.commit_pass(rb_pass, [], seq=seq,
+                   stats={"rollback_to": target, "target_seq": target_seq,
+                          "flipped": flipped, "cleared": cleared})
+    return {"pass_id": rb_pass, "rollback_to": target,
+            "target_seq": target_seq, "partitions": len(plan),
+            "flipped": flipped, "cleared": cleared, "unchanged": unchanged,
+            "seconds": time.perf_counter() - t0}
+
+
 def vacuum(cfg: JobConfig, retain_passes: int = 0) -> dict:
     with _lease(cfg, "vacuum"):
         return _vacuum_locked(cfg, retain_passes)

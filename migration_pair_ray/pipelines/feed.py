@@ -120,6 +120,29 @@ class FeedUnstampedError(RuntimeError):
     feed would silently skip it — refuse instead."""
 
 
+class FeedRollbackError(RuntimeError):
+    """The pass was a rollback (pipelines/compact.rollback_to): it UNDID
+    previously served changes and carries no change files, so a feed
+    cannot express it as events and a follower that links zero files
+    would keep the rolled-back state and silently diverge.  Re-seed the
+    consumer/follower from the post-rollback lake (bootstrap_replica or
+    a fresh snapshot), then ack past the rollback seq."""
+
+
+def _is_rollback(rec: dict) -> bool:
+    return (rec.get("stats") or {}).get("rollback_to") is not None
+
+
+def _refuse_rollback(rec: dict, verb: str) -> None:
+    raise FeedRollbackError(
+        f"pass {rec.get('pass_id')!r} (seq {rec.get('seq')}) rolled the "
+        f"lake back to pass {rec['stats']['rollback_to']!r}: cannot "
+        f"{verb} — re-seed from the post-rollback lake "
+        f"(bootstrap_replica / snapshot) and ack past seq "
+        f"{rec.get('seq')} (missing_ok=True skips, keeping the "
+        f"rolled-back state downstream)")
+
+
 def retention_horizon(cfg: JobConfig) -> int | None:
     """The durably recorded ``truncate_log`` horizon (highest pass seq
     whose change files retention may have removed), or None when the log
@@ -167,7 +190,8 @@ def pending_passes(cfg: JobConfig, consumer: str) -> list[dict]:
         files = [(n.split(":", 1)[1], True) if n.startswith("bulk:")
                  else (n, False) for n in rec.get("files", [])]
         out.append({"seq": int(rec["seq"]), "pass_id": rec["pass_id"],
-                    "files": files})
+                    "files": files, "rollback": _is_rollback(rec),
+                    "stats": rec.get("stats") or {}})
     out.sort(key=lambda r: r["seq"])
     return out
 
@@ -190,6 +214,12 @@ def read_feed(cfg: JobConfig, consumer: str,
                 else consumer_cursor(cfg, consumer))
     per_pass: list[tuple[int, list[str]]] = []
     for rec in pending:
+        if rec.get("rollback"):
+            # a rollback has no events to serve; serving "nothing" would
+            # leave the consumer holding the rolled-back changes
+            if missing_ok:
+                continue
+            _refuse_rollback(rec, "serve a feed across it")
         paths = []
         for name, bulk in rec["files"]:
             if bulk:
@@ -515,6 +545,10 @@ def replicate(src: JobConfig, dst: JobConfig,
     applied = events = 0
     for rec in passes:
         _refuse_multi_source(rec, "link into the follower's changelog")
+        if _is_rollback(rec) and not missing_ok:
+            # the pass carries no files: "replaying" it would keep the
+            # follower on the rolled-back state while the cursor advances
+            _refuse_rollback(rec, "replicate it as a change stream")
         for name in rec.get("files", []):
             if name.startswith("bulk:"):
                 # bulk-load input never lived in the source changelog; a

@@ -256,6 +256,48 @@ def cdc_time_travel(sf_dir: str):
     return final_state(cfg, sort=True, as_of=first_pass)
 
 
+def cdc_rollback(sf_dir: str):
+    """Rollback — the WRITE half of time travel (``compact.rollback_to``):
+    the derived change log applied as three passes (files 0-1, file 2,
+    file 3), with a rollback to pass 1 in between.  Pass 2's effects are
+    undone by a pure-metadata CoW manifest flip (no state file touched);
+    pass 3 then applies on top of the RESTORED state — the log is never
+    un-consumed, so file 2 stays committed and excluded.  Oracle: LWW
+    winners over the lsn ranges files 0, 1 and 3 own (file 2's range
+    carved out)."""
+    src = _events_lake(sf_dir)   # reuse the derived change files
+    root = Path(src.changelog_dir).parent
+    lake = str(root / "lake_rollback")
+    log_r = str(root / "log_rb")
+    marker = Path(root / "_rollback_done")
+
+    def mk_cfg() -> JobConfig:
+        return JobConfig(changelog_dir=log_r, lake_dir=lake,
+                         num_partitions=16, retain_passes=2)
+
+    if not marker.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(log_r, ignore_errors=True)
+        os.makedirs(log_r)
+        files = sorted(Path(src.changelog_dir).glob("batch-*.parquet"))
+        cfg = mk_cfg()
+        for f in files[:2]:
+            os.link(f, Path(log_r) / f.name)
+        s1 = replay(cfg)
+        assert not s1["up_to_date"]
+        os.link(files[2], Path(log_r) / files[2].name)
+        replay(cfg)
+        from migration_pair_ray.pipelines.compact import rollback_to
+        rollback_to(cfg, s1["pass_id"])
+        for f in files[3:]:
+            os.link(f, Path(log_r) / f.name)
+        replay(cfg)
+        marker.touch()
+    cfg = mk_cfg()
+    replay(cfg)   # no-op (idempotent); keeps the query re-runnable
+    return final_state(cfg, sort=True)
+
+
 def cdc_wire_forms(sf_dir: str):
     """Schema evolution beyond added columns, ON the oracle path: the
     derived change log's FIRST file re-encoded in the reference's wire

@@ -480,5 +480,6 @@ def state_file_paths(lake_dir: str, manifest: dict | None) -> list[str]:
         return []
     files = manifest.get("data_files")
     if files is None:
-        return [str(Path(lake_dir) / manifest["data_file"])]
+        df = manifest.get("data_file")
+        return [str(Path(lake_dir) / df)] if df else []
     return [str(Path(lake_dir) / e["file"]) for e in files]

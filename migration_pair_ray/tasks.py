@@ -318,6 +318,16 @@ def task_vacuum(cfg: JobConfig, retain: int = 0, **kw) -> dict:
     return vacuum(cfg, retain_passes=retain)
 
 
+def task_rollback(cfg: JobConfig, to_pass: str = "", **kw) -> dict:
+    """Make a retained pass the lake's CURRENT state again — the write
+    half of time travel: pure-metadata CoW manifest flips, O(partitions)
+    regardless of data size (pipelines/compact.rollback_to)."""
+    from migration_pair_ray.pipelines.compact import rollback_to
+    if not to_pass:
+        raise ValueError("task_rollback needs to_pass (--to-pass <pass_id>)")
+    return rollback_to(cfg, to_pass)
+
+
 def task_requeue(cfg: JobConfig, reasons: str = "", epoch: int = 90000,
                  **kw) -> dict:
     """Requeue quarantined rows into the change log (identity fix from
@@ -351,6 +361,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "split": task_split,
     "merge": task_merge,
     "vacuum": task_vacuum,
+    "rollback": task_rollback,
     "clone": task_clone,
     "export_feed": task_export_feed,
     "index": task_index,
