@@ -130,17 +130,25 @@ class FeedRollbackError(RuntimeError):
 
 
 def _is_rollback(rec: dict) -> bool:
-    return (rec.get("stats") or {}).get("rollback_to") is not None
+    """True for state-only passes (rollback_to / repair_replica): they
+    mutate lake state without carrying change files, so no feed or
+    replication stream can express them as events."""
+    stats = rec.get("stats") or {}
+    return (stats.get("rollback_to") is not None
+            or stats.get("repair_of") is not None)
 
 
 def _refuse_rollback(rec: dict, verb: str) -> None:
+    stats = rec.get("stats") or {}
+    what = (f"rolled the lake back to pass {stats['rollback_to']!r}"
+            if stats.get("rollback_to") is not None
+            else f"repaired the lake from {stats.get('repair_of')!r}")
     raise FeedRollbackError(
-        f"pass {rec.get('pass_id')!r} (seq {rec.get('seq')}) rolled the "
-        f"lake back to pass {rec['stats']['rollback_to']!r}: cannot "
-        f"{verb} — re-seed from the post-rollback lake "
+        f"pass {rec.get('pass_id')!r} (seq {rec.get('seq')}) {what}: "
+        f"cannot {verb} — re-seed from the current lake state "
         f"(bootstrap_replica / snapshot) and ack past seq "
         f"{rec.get('seq')} (missing_ok=True skips, keeping the "
-        f"rolled-back state downstream)")
+        f"stale state downstream)")
 
 
 def retention_horizon(cfg: JobConfig) -> int | None:
@@ -593,6 +601,27 @@ def replicate(src: JobConfig, dst: JobConfig,
             "events_in": events, "cursor": cursor}
 
 
+def canonical_row_hash64(t: "pa.Table") -> "np.ndarray":
+    """64-bit hash of each row's canonical form — columns in sorted name
+    order, values stringified, nulls sentineled, the column-name list as
+    a schema tag.  THE shared definition of row identity for replica
+    audit (``verify_replica``) and targeted repair
+    (``pipelines/repair.repair_replica``): repair can only locate the
+    rows verify flagged if both hash identically."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from migration_pair_ray.functions.hashing import stable_hash64
+    names = sorted(t.column_names)
+    cols = [pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00n\x00")
+            for c in names]
+    # last element = the schema tag (so diverged column sets mismatch),
+    # final arg = the per-element separator
+    canon = pc.binary_join_element_wise(
+        *cols, pa.scalar("|".join(names)), pa.scalar("\x1f"))
+    return stable_hash64(canon.to_pandas()).astype(np.uint64)
+
+
 def verify_replica(src: JobConfig, dst: JobConfig,
                    n_buckets: int = 256) -> "pa.Table":
     """Layout-independent content-equality audit between two lakes: the
@@ -616,9 +645,7 @@ def verify_replica(src: JobConfig, dst: JobConfig,
     string embeds column names.
     """
     import numpy as np
-    import pyarrow.compute as pc
 
-    from migration_pair_ray.functions.hashing import stable_hash64
     from migration_pair_ray.pipelines.replay import final_state
 
     def digest(t: pa.Table) -> pa.Table:
@@ -627,14 +654,7 @@ def verify_replica(src: JobConfig, dst: JobConfig,
                              "rows": pa.array([], pa.int64()),
                              "hsum": pa.array([], pa.uint64()),
                              "hsq": pa.array([], pa.uint64())})
-        names = sorted(t.column_names)
-        cols = [pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00n\x00")
-                for c in names]
-        # last element = the schema tag (so diverged column sets mismatch),
-        # final arg = the per-element separator
-        canon = pc.binary_join_element_wise(
-            *cols, pa.scalar("|".join(names)), pa.scalar("\x1f"))
-        h = stable_hash64(canon.to_pandas()).astype(np.uint64)
+        h = canonical_row_hash64(t)
         b = (h % np.uint64(n_buckets)).astype(np.int64)
         order = np.argsort(b, kind="stable")
         hb, bb = h[order], b[order]

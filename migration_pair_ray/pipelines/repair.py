@@ -1,0 +1,293 @@
+"""Targeted replica repair — the fix half of the audit ``verify_replica``
+provides (pipelines/feed.py).
+
+``verify_replica`` localizes divergence to key-space buckets (hash of the
+canonicalized visible row mod n_buckets).  ``repair_replica`` makes the
+follower's visible state equal to the source again by transplanting ONLY
+the diverged keys — cost O(diverged rows) + one rewrite per touched
+follower partition, never a full re-bootstrap:
+
+1. audit           → the set of mismatched buckets B (empty ⇒ no-op)
+2. key discovery   → distributed scan of BOTH lakes' visible states,
+                     keeping only rows whose canonical hash lands in B;
+                     the driver sees just the (bounded) diverged key set
+3. source fetch    → the source's INTERNAL rows (tombstone winners /
+                     cell determiner rows, original ts/lsn/op intact)
+                     for those keys — same reasoning as
+                     ``bootstrap_replica``: visible rows alone would let
+                     late pre-tombstone events resurrect on the follower
+4. partition surgery → for each follower partition that routes any
+                     repaired key: drop its rows for those keys, splice
+                     in the source rows, rewrite state (single-file or
+                     chunked per the follower's layout), commit a new
+                     manifest record
+5. commit          → one checkpointed repair pass (no change files — the
+                     feed/replicate surface refuses to serve it, exactly
+                     like a rollback pass), then a re-audit
+
+Key membership is tested by 64-bit hash: a collision can only WIDEN the
+repair (an extra key gets its source state copied — a no-op when the
+sides already agree), never narrow it.
+
+Reference parity note: the reference (Mycenae) has no repair surface —
+divergence between Cassandra source and target was handled by re-running
+the full copy (Tasks/MigrationTask.cs).  O(diverged) repair is what that
+becomes when the target is a 100-TB lake.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from migration_pair_ray.config import JobConfig
+
+MERGE_KEYS = ("conv_id", "turn_idx")
+
+
+def _key_hash64(conv: pa.ChunkedArray | pa.Array,
+                turn: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash of the merge key (vectorized, cross-node
+    stable — same discipline as stages/partition.py)."""
+    from migration_pair_ray.stages.partition import _GOLDEN, hash_strings
+    h = hash_strings(conv)
+    t = (pc.fill_null(pc.cast(turn, pa.int64()), -1)
+         .to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+    return (h ^ (t * _GOLDEN)) * _GOLDEN
+
+
+def _discover_keys(cfg: JobConfig, bad: frozenset[int],
+                   n_buckets: int) -> "ray.data.Dataset":
+    """Distributed scan of one lake's VISIBLE state → the (conv_id,
+    turn_idx) keys whose canonical row hash falls in a mismatched bucket.
+    Emits a tiny keys-only table per block; the full state never reaches
+    the driver."""
+    from migration_pair_ray.pipelines.feed import canonical_row_hash64
+    from migration_pair_ray.pipelines.replay import final_state
+    bad_arr = np.fromiter(bad, dtype=np.uint64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        empty = pa.table({"conv_id": pa.array([], pa.string()),
+                          "turn_idx": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = canonical_row_hash64(t)
+        mask = np.isin(h % np.uint64(n_buckets), bad_arr)
+        if not mask.any():
+            return empty
+        kept = t.filter(pa.array(mask))
+        return pa.table({
+            "conv_id": kept.column("conv_id"),
+            "turn_idx": pc.cast(kept.column("turn_idx"), pa.int64())})
+
+    return final_state(cfg, sort=False).map_batches(
+        pick, batch_format="pyarrow")
+
+
+def _repair_partition(lake_dir: str, manifest_json: str, kernel: str,
+                      key_set: np.ndarray, rows_ref, pid: int,
+                      route_mask: np.ndarray, pass_id: str,
+                      state_chunk_rows: int, hash_state: bool) -> dict:
+    """Rewrite ONE follower partition: drop rows whose key hash is in
+    ``key_set`` (sorted uint64), splice in the source's rows routed here
+    (``route_mask`` over the broadcast repair table), return the new
+    manifest record (uncommitted — the driver owns the commit order)."""
+    from migration_pair_ray.stages.applier import (read_state_table,
+                                                   write_chunk_files,
+                                                   write_state_parquet)
+    from migration_pair_ray.state.manifest import sha256_file
+
+    prev = json.loads(manifest_json) if manifest_json else None
+    existing = read_state_table(lake_dir, prev, kernel=kernel)
+    parts = []
+    if existing is not None and existing.num_rows:
+        h = _key_hash64(existing.column("conv_id"),
+                        existing.column("turn_idx"))
+        keep = ~np.isin(h, key_set)
+        if keep.any():
+            parts.append(existing.filter(pa.array(keep)))
+    add = ray.get(rows_ref) if not isinstance(rows_ref, pa.Table) else rows_ref
+    if route_mask.any():
+        parts.append(add.filter(pa.array(route_mask)))
+    if parts:
+        merged = (parts[0] if len(parts) == 1
+                  else pa.concat_tables(parts, promote_options="permissive"))
+        merged = merged.sort_by([("conv_id", "ascending"),
+                                 ("turn_idx", "ascending"),
+                                 ("ts", "ascending"), ("lsn", "ascending")])
+    else:
+        merged = None
+
+    record: dict = {"partition": pid, "pass_id": pass_id}
+    if merged is None or merged.num_rows == 0:
+        # canonical empty record (same shape rollback_to commits)
+        record.update(row_count=0, tombstones=0, data_file=None)
+        return record
+
+    tombstones = int(pc.sum(pc.cast(pc.equal(merged.column("op"), "D"),
+                                    pa.int64())).as_py() or 0)
+    lsn_lo = int(pc.min(merged.column("lsn")).as_py())
+    lsn_hi = int(pc.max(merged.column("lsn")).as_py())
+    d = Path(lake_dir) / f"part={pid:05d}"
+    d.mkdir(parents=True, exist_ok=True)
+    hash_fn = sha256_file if hash_state else (lambda p: "")
+    key_nulls = any(merged.column(k).null_count > 0 for k in MERGE_KEYS)
+    if state_chunk_rows > 0 and not key_nulls:
+        entries = write_chunk_files(
+            lake_dir, merged, state_chunk_rows,
+            name_fn=lambda s: str(d / f"state-{pass_id}-{s:04d}.parquet"),
+            hash_file=hash_fn, start_seq=0)
+        record.update(data_files=entries,
+                      row_count=sum(e["rows"] for e in entries),
+                      tombstones=sum(e["tombstones"] for e in entries),
+                      lsn_lo=lsn_lo, lsn_hi=lsn_hi)
+    else:
+        path = str(d / f"state-{pass_id}.parquet")
+        write_state_parquet(merged, path)
+        record.update(data_file=str(Path(path).relative_to(lake_dir)),
+                      row_count=merged.num_rows, tombstones=tombstones,
+                      lsn_lo=lsn_lo, lsn_hi=lsn_hi,
+                      content_hash=hash_fn(path))
+    return record
+
+
+def repair_replica(src: JobConfig, dst: JobConfig, n_buckets: int = 256,
+                   verify_after: bool = True) -> dict:
+    """Converge ``dst``'s visible state back onto ``src``'s by repairing
+    ONLY the diverged keys (docstring at module top).  Runs under
+    ``dst``'s writer lease; idempotent (a re-run after the repair audits
+    clean and no-ops); crash-safe (the checkpoint lands last — a crash
+    mid-commit re-runs the repair, whose per-partition writes are
+    name-deterministic for the same pass seq)."""
+    from migration_pair_ray.pipelines.compact import _lease
+    with _lease(dst, "repair"):
+        return _repair_locked(src, dst, n_buckets, verify_after)
+
+
+def _repair_locked(src: JobConfig, dst: JobConfig, n_buckets: int,
+                   verify_after: bool) -> dict:
+    from migration_pair_ray.pipelines.feed import verify_replica
+    from migration_pair_ray.pipelines.replay import read_lake
+    from migration_pair_ray.stages.partition import partition_ids
+    from migration_pair_ray.state.manifest import (CheckpointStore, LakeMeta,
+                                                   ManifestStore)
+    t0 = time.perf_counter()
+    src_meta = LakeMeta(src.lake_dir).read()
+    dst_meta_o = LakeMeta(dst.lake_dir)
+    dst_meta = dst_meta_o.read()
+    if src_meta is None or dst_meta is None:
+        raise ValueError("repair_replica needs both lakes written "
+                         "(missing _lake_meta)")
+    if (src_meta.get("merge_kernel", "row")
+            != dst_meta.get("merge_kernel", "row")):
+        raise ValueError(
+            f"repair kernel mismatch: source lake is "
+            f"{src_meta.get('merge_kernel', 'row')!r}, follower is "
+            f"{dst_meta.get('merge_kernel', 'row')!r} — internal-state "
+            f"transplants are only meaningful under the same kernel")
+    kernel = dst_meta.get("merge_kernel", "row")
+
+    bad_tbl = verify_replica(src, dst, n_buckets=n_buckets)
+    if bad_tbl.num_rows == 0:
+        return {"repaired": False, "bad_buckets": 0, "keys": 0,
+                "partitions": 0, "seconds": time.perf_counter() - t0}
+    bad = frozenset(int(b) for b in bad_tbl.column("bucket").to_pylist())
+
+    # 2. diverged keys, both sides, one streaming union execution
+    keys_ds = (_discover_keys(src, bad, n_buckets)
+               .union(_discover_keys(dst, bad, n_buckets)))
+    # iter_batches(batch_format="pyarrow") yields pa.Table blocks
+    key_batches = list(keys_ds.iter_batches(batch_format="pyarrow"))
+    keys_tbl = (pa.concat_tables(key_batches, promote_options="permissive")
+                if key_batches else None)
+    if keys_tbl is None or keys_tbl.num_rows == 0:
+        # buckets mismatched on aggregate counts but no single row is
+        # locatable — cannot happen with the shared canonical hash; guard
+        # anyway rather than report success
+        raise RuntimeError(
+            f"audit flagged buckets {sorted(bad)} but key discovery found "
+            f"no rows — canonicalization drift between verify and repair")
+    key_set = np.unique(_key_hash64(keys_tbl.column("conv_id"),
+                                    keys_tbl.column("turn_idx")))
+
+    # 3. source internal rows for the diverged keys (bounded by
+    # divergence; cell lakes contribute every determiner row of a key)
+    def pick_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        h = _key_hash64(t.column("conv_id"), t.column("turn_idx"))
+        return t.filter(pa.array(np.isin(h, key_set)))
+
+    repair_rows = pa.concat_tables(
+        list(read_lake(src).map_batches(pick_src, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")),
+        promote_options="permissive")
+
+    # 4. route every spliced row AND every diverged key under the
+    # follower's layout; the union of both routings is the touched set
+    # (a dst-only ghost key has no source row but its partition must
+    # still be rewritten to drop it)
+    n_parts = int(dst_meta["num_partitions"])
+    mode = dst_meta.get("partition_mode", dst.partition_mode)
+    splits = dst_meta_o.splits()
+    row_pids = (partition_ids(repair_rows, n_parts, mode, splits)
+                if repair_rows.num_rows else np.array([], np.int32))
+    key_pids = partition_ids(keys_tbl, n_parts, mode, splits)
+    touched = sorted(set(row_pids.tolist()) | set(key_pids.tolist()))
+
+    ck = CheckpointStore(dst.checkpoint_dir)
+    seq = ck.next_seq()
+    rb_pass = hashlib.sha256(
+        f"repair:{','.join(map(str, sorted(bad)))}:{seq}".encode()
+    ).hexdigest()[:16]
+
+    store = ManifestStore(dst.manifest_dir)
+    rows_ref = ray.put(repair_rows)
+    fn = ray.remote(num_cpus=1)(_repair_partition)
+    futures = []
+    for pid in touched:
+        m = store.read(pid)
+        futures.append(fn.remote(
+            dst.lake_dir, json.dumps(m) if m else "", kernel, key_set,
+            rows_ref, pid, row_pids == pid, rb_pass,
+            dst.state_chunk_rows, dst.hash_state))
+    records = ray.get(futures)
+
+    # 5. commit — manifests first (idempotent: same seq → same pass id →
+    # same file names/bytes on retry), job checkpoint last
+    from migration_pair_ray.state.bloom import gc_partition_files
+    from migration_pair_ray.state.manifest import referenced_files
+    for pid, rec in zip(touched, records):
+        if seq >= 0:
+            rec = dict(rec, pass_seq=seq)
+        rec["repair_of"] = {"bad_buckets": sorted(bad),
+                            "src_lake": src.lake_dir}
+        store.commit(pid, rec, retain=dst.retain_passes)
+        # GC exactly like the applier: keep whatever the committed
+        # manifest (current + retained prev records) still pins
+        gc_partition_files(dst.lake_dir, pid,
+                           referenced_files(store.read(pid)))
+    ck.commit_pass(rb_pass, [], seq=seq,
+                   stats={"repair_of": src.lake_dir,
+                          "bad_buckets": len(bad),
+                          "keys": int(key_set.size),
+                          "partitions": len(touched)})
+
+    out = {"repaired": True, "pass_id": rb_pass,
+           "bad_buckets": len(bad), "keys": int(key_set.size),
+           "rows_spliced": repair_rows.num_rows,
+           "partitions": len(touched),
+           "seconds": time.perf_counter() - t0}
+    if verify_after:
+        out["clean_after"] = bool(
+            verify_replica(src, dst, n_buckets=n_buckets).num_rows == 0)
+    return out

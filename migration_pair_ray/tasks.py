@@ -240,6 +240,18 @@ def task_verify_replica(cfg: JobConfig, input_path: str = "", **kw) -> dict:
             "detail": m.to_pylist()[:32]}
 
 
+def task_repair(cfg: JobConfig, input_path: str = "", **kw) -> dict:
+    """Targeted replica repair: ``cfg`` is the FOLLOWER, ``--input`` the
+    source lake's JobConfig JSON.  Audits (verify_replica), transplants
+    ONLY the diverged keys' source state, re-audits — O(diverged), never
+    a re-bootstrap (pipelines/repair.repair_replica)."""
+    from migration_pair_ray.pipelines.repair import repair_replica
+    if not input_path:
+        raise ValueError("task_repair needs the source JobConfig JSON "
+                         "(--input src.json)")
+    return repair_replica(JobConfig.from_json(input_path), cfg)
+
+
 def task_bootstrap(cfg: JobConfig, input_path: str = "",
                    src_consumer: str = "", **kw) -> dict:
     """Seed a NEW follower lake from the source's current state
@@ -369,6 +381,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "feed": task_feed,
     "replicate": task_replicate,
     "verify_replica": task_verify_replica,
+    "repair": task_repair,
     "bootstrap": task_bootstrap,
     "delete": task_delete,
     "expire": task_expire,
