@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_find_by_tool": q.cdc_find_by_tool,
         "cdc_feed_resume": q.cdc_feed_resume,
         "cdc_replica": q.cdc_replica,
+        "cdc_replica_repair": q.cdc_replica_repair,
         "cdc_replica_bootstrap": q.cdc_replica_bootstrap,
         "cdc_delete_where": q.cdc_delete_where,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
@@ -399,6 +400,12 @@ def oracle_sql() -> dict[str, str]:
         # follower lake under a different layout converges to the same
         # visible winners as the source
         "cdc_replica": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # a diverged follower (rogue ghost keys) repaired back onto the
+        # source equals the plain winners — the ghosts must be gone
+        "cdc_replica_repair": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

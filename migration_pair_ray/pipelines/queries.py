@@ -4201,6 +4201,52 @@ def cdc_replica(sf_dir: str):
     return final_state(dst, sort=True)
 
 
+def cdc_replica_repair(sf_dir: str):
+    """Targeted replica repair (pipelines/repair.repair_replica): a
+    follower lake is diverged by a rogue local write (two ghost keys the
+    source never saw), the audit localizes the damage to key-space
+    buckets, and the repair transplants ONLY the diverged keys' source
+    state — O(diverged), never a re-bootstrap.  The repaired follower
+    must equal the source's visible winners, which is exactly what the
+    SQL oracle checks (the ghost keys must be GONE).  Negative paths
+    (skipped-pass divergence, cell kernel, chunked layout, idempotence)
+    are pytest-verified (tests/test_repair.py)."""
+    import pyarrow.parquet as _pq
+
+    from migration_pair_ray.pipelines.feed import replicate
+    from migration_pair_ray.pipelines.repair import repair_replica
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    dst = JobConfig(changelog_dir=str(root / "log_repairq"),
+                    lake_dir=str(root / "lake_repairq"),
+                    num_partitions=8, partition_mode="key")
+    marker = root / "_repairq_diverged"
+    if not marker.exists():
+        shutil.rmtree(dst.changelog_dir, ignore_errors=True)
+        shutil.rmtree(dst.lake_dir, ignore_errors=True)
+        replicate(src, dst)
+        ghost = pa.table({
+            "conv_id": pa.array(["zz-rogue", "zz-rogue"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"], pa.string()),
+            "text": pa.array(["not in source", "also not"], pa.string()),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([9_999_999_999_000_000] * 2,
+                           pa.timestamp("us")),
+            "op": pa.array(["I", "I"], pa.string()),
+            "lsn": pa.array([10**12, 10**12 + 1], pa.int64()),
+        })
+        _pq.write_table(ghost,
+                        str(Path(dst.changelog_dir) / "batch-99999-rogue"
+                            ".parquet"))
+        replay(dst)
+        marker.touch()
+    s = repair_replica(src, dst)
+    # first run repairs; re-runs audit clean and no-op (idempotent)
+    assert s["repaired"] or s["bad_buckets"] == 0
+    return final_state(dst, sort=True)
+
+
 def cdc_replica_verify(sf_dir: str):
     """Replication audit (feed.verify_replica): layout-independent
     content-equality between the source lake (16 conv-hash partitions)
