@@ -94,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
         kw["retain"] = args.retain
     if args.task == "rollback":
         kw["to_pass"] = args.to_pass
+    if args.task == "maintain":
+        kw.update(max_rows=args.max_rows, min_rows=args.min_rows,
+                  fanout=args.fanout,
+                  retain=args.retain if args.retain > 0 else -1)
     if args.task == "delete":
         kw.update(where=args.where, tag=args.tag)
     if args.task == "index":

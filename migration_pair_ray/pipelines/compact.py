@@ -444,6 +444,42 @@ def _rollback_locked(cfg: JobConfig, target: str) -> dict:
             "seconds": time.perf_counter() - t0}
 
 
+def auto_maintain(cfg: JobConfig, split_max_rows: int = 0,
+                  merge_min_rows: int = 0, fanout: int = 2,
+                  compact: bool = True,
+                  vacuum_retain: int | None = None) -> dict:
+    """One maintenance sweep — the nightly-cron entrypoint composing the
+    lifecycle jobs in dependency order, all under ONE writer lease (each
+    sub-job's lease acquisition is process-reentrant):
+
+    1. ``compact_deltas``  — fold MoR deltas first, so the row counts the
+       split/merge guards read are exact (a delta-carrying manifest's
+       ``row_count`` is the base only)
+    2. ``maybe_split_oversized(split_max_rows)``  — when > 0
+    3. ``maybe_merge_undersized(merge_min_rows)`` — when > 0
+    4. ``vacuum(vacuum_retain)`` — when not None, trim the time-travel
+       window last (splits/merges retire records that vacuum then sweeps)
+
+    Each step is independently crash-safe and idempotent, so a crashed
+    sweep is simply re-run.  Thresholds default OFF: an operator opts
+    into each action explicitly."""
+    import time as _time
+    t0 = _time.perf_counter()
+    with _lease(cfg, "maintain"):
+        out: dict = {}
+        if compact:
+            out["compact"] = _compact_deltas_locked(cfg, None)
+        if split_max_rows > 0:
+            out["splits"] = maybe_split_oversized(cfg, split_max_rows,
+                                                  fanout=fanout)
+        if merge_min_rows > 0:
+            out["merges"] = maybe_merge_undersized(cfg, merge_min_rows)
+        if vacuum_retain is not None:
+            out["vacuum"] = _vacuum_locked(cfg, vacuum_retain)
+        out["seconds"] = _time.perf_counter() - t0
+        return out
+
+
 def vacuum(cfg: JobConfig, retain_passes: int = 0) -> dict:
     with _lease(cfg, "vacuum"):
         return _vacuum_locked(cfg, retain_passes)

@@ -340,6 +340,20 @@ def task_rollback(cfg: JobConfig, to_pass: str = "", **kw) -> dict:
     return rollback_to(cfg, to_pass)
 
 
+def task_maintain(cfg: JobConfig, max_rows: int = 0, min_rows: int = 0,
+                  fanout: int = 2, retain: int = -1, **kw) -> dict:
+    """One maintenance sweep under one writer lease: fold MoR deltas,
+    split partitions above ``--max-rows``, merge split bases below
+    ``--min-rows``, vacuum to ``--retain`` retained passes (a negative
+    retain skips the vacuum).  The nightly-cron composition of the
+    individual ``compact`` / ``split`` / ``merge`` / ``vacuum`` tasks
+    (pipelines/compact.auto_maintain)."""
+    from migration_pair_ray.pipelines.compact import auto_maintain
+    return auto_maintain(cfg, split_max_rows=max_rows,
+                         merge_min_rows=min_rows, fanout=fanout,
+                         vacuum_retain=None if retain < 0 else retain)
+
+
 def task_requeue(cfg: JobConfig, reasons: str = "", epoch: int = 90000,
                  **kw) -> dict:
     """Requeue quarantined rows into the change log (identity fix from
@@ -374,6 +388,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "merge": task_merge,
     "vacuum": task_vacuum,
     "rollback": task_rollback,
+    "maintain": task_maintain,
     "clone": task_clone,
     "export_feed": task_export_feed,
     "index": task_index,

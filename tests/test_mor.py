@@ -239,3 +239,42 @@ def test_mor_property_random_splits(tmp_path):
         got = _fs(cfg)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert validate_lake(cfg, deep=True)["ok"], f"trial {trial}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_maintain_sweep(tmp_path):
+    """auto_maintain composes compact -> split -> merge -> vacuum under
+    one lease: MoR deltas fold first (so split reads exact counts), the
+    oversized partition splits, retention trims, and the visible state
+    is bit-identical throughout."""
+    from migration_pair_ray.pipelines.compact import auto_maintain
+    groups = _staged(tmp_path)
+    cfg = _run_passes(tmp_path, "maint", groups, mor_max_deltas=8,
+                      retain_passes=3)
+    want = _fs(cfg)
+    assert any(n > 0 for n in _delta_counts(cfg).values())
+
+    s0 = auto_maintain(cfg)   # compact-only sweep (thresholds default off)
+    assert s0["compact"]["partitions_compacted"] >= 1
+    assert "splits" not in s0 and "vacuum" not in s0
+
+    store = ManifestStore(cfg.manifest_dir)
+    max_rows = max(store.read(pid)["row_count"] for pid in range(4)) - 1
+    s = auto_maintain(cfg, split_max_rows=max_rows, vacuum_retain=0)
+    assert s["compact"]["partitions_compacted"] == 0
+    assert len(s["splits"]) >= 1
+    assert all(n == 0 for n in _delta_counts(cfg).values())
+    assert LakeMeta(cfg.lake_dir).splits()
+    pd.testing.assert_frame_equal(_fs(cfg), want, check_dtype=False)
+    assert validate_lake(cfg, deep=True)["ok"]
+
+    # nothing left to do: no deltas, nothing above a generous threshold
+    s2 = auto_maintain(cfg, split_max_rows=10**9, vacuum_retain=0)
+    assert s2["compact"]["partitions_compacted"] == 0
+    assert s2["splits"] == []
+
+    # merge-back sweep: children total far below min_rows -> un-split
+    s3 = auto_maintain(cfg, merge_min_rows=10**9, compact=False)
+    assert len(s3["merges"]) >= 1
+    assert not LakeMeta(cfg.lake_dir).splits()
+    pd.testing.assert_frame_equal(_fs(cfg), want, check_dtype=False)
