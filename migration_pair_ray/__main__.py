@@ -108,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         kw.update(consumer=args.consumer, ack=args.ack)
     if args.task in ("replicate", "bootstrap") and args.consumer:
         kw["src_consumer"] = args.consumer
-    if args.task == "snapshot" and args.incremental:
+    if args.task in ("snapshot", "verify_replica") and args.incremental:
         kw["incremental"] = True
     if args.task == "expire":
         kw["cutoff_us"] = args.cutoff_us

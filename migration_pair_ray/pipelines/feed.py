@@ -31,6 +31,7 @@ no driver materialization, no extra copies of the log.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from pathlib import Path
@@ -622,8 +623,115 @@ def canonical_row_hash64(t: "pa.Table") -> "np.ndarray":
     return stable_hash64(canon.to_pandas()).astype(np.uint64)
 
 
+def _digest_partition_visible(lake_dir: str, manifest_json: str,
+                              kernel: str, schema_buf: bytes,
+                              n_buckets: int) -> dict:
+    """One partition's VISIBLE rows → per-bucket (rows, hsum, hsq)
+    partials, normalized to the lake-wide unified schema so the digest is
+    independent of which partition a row lives in.  Returns a small dict
+    {bucket: [rows, hsum, hsq]} — the cacheable unit of the incremental
+    audit.  Memory contract: one partition's state in one task (the same
+    granularity the Applier merges at)."""
+    import numpy as np
+
+    from migration_pair_ray.functions.lww import finalize_visible
+    from migration_pair_ray.functions.normalize import make_normalizer
+    from migration_pair_ray.stages.applier import read_state_table
+    m = json.loads(manifest_json)
+    t = read_state_table(lake_dir, m, kernel=kernel)
+    if t is None or t.num_rows == 0:
+        return {}
+    schema = pa.ipc.read_schema(pa.BufferReader(schema_buf))
+    vis = finalize_visible(make_normalizer(schema)(t), kernel)
+    if vis.num_rows == 0:
+        return {}
+    h = canonical_row_hash64(vis)
+    b = (h % np.uint64(n_buckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    hb, bb = h[order], b[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(bb)) + 1))
+    ends = np.concatenate((starts[1:], [len(bb)]))
+    sums = np.add.reduceat(hb, starts)          # uint64, wrapping
+    sqs = np.add.reduceat(hb * hb, starts)
+    return {int(bb[s]): [int(e - s), int(sums[i]), int(sqs[i])]
+            for i, (s, e) in enumerate(zip(starts, ends))}
+
+
+def _lake_bucket_partials(cfg: JobConfig, n_buckets: int) -> dict:
+    """Per-bucket (rows, hsum, hsq) totals for one lake's visible state,
+    computed INCREMENTALLY: each partition's partials are cached in
+    ``<lake>/_audit_cache.json`` keyed by its manifest fingerprint (file
+    list + sizes — exact, state files are immutable CoW) and the lake's
+    unified-schema fingerprint; only partitions whose state moved since
+    the last audit are re-digested (distributed).  A quiescent 100-TB
+    lake audits in O(changed partitions), not O(lake)."""
+    import numpy as np
+
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    from migration_pair_ray.pipelines.index import _partition_fingerprint
+    from migration_pair_ray.schemas import unify_change_schemas
+    from migration_pair_ray.state.manifest import (LakeMeta, ManifestStore,
+                                                   record_files)
+    store = ManifestStore(cfg.manifest_dir)
+    meta = LakeMeta(cfg.lake_dir)
+    kernel = meta.merge_kernel()
+    manifests = {pid: m for pid in meta.active_partition_ids(
+        cfg.num_partitions) if (m := store.read(pid)) is not None}
+    if not manifests:
+        return {}
+    all_files = sorted({f for m in manifests.values()
+                        for f in record_files(m)})
+    schema = unify_change_schemas(
+        [_pq.read_schema(str(Path(cfg.lake_dir) / f)) for f in all_files])
+    schema_buf = schema.serialize().to_pybytes()
+    schema_fp = hashlib.sha256(schema_buf).hexdigest()[:16]
+
+    cache_path = Path(cfg.lake_dir) / "_audit_cache.json"
+    try:
+        with open(cache_path) as f:
+            cache = json.load(f)
+        if (cache.get("schema_fp") != schema_fp
+                or cache.get("n_buckets") != n_buckets):
+            cache = {}
+    except (FileNotFoundError, json.JSONDecodeError):
+        cache = {}
+    cached = cache.get("partitions", {})
+
+    fps = {pid: _partition_fingerprint(cfg.lake_dir, record_files(m))
+           for pid, m in manifests.items()}
+    changed = [pid for pid in manifests
+               if cached.get(str(pid), {}).get("fingerprint") != fps[pid]]
+    if changed:
+        fn = _ray.remote(num_cpus=1)(_digest_partition_visible)
+        fresh = _ray.get([fn.remote(cfg.lake_dir,
+                                    json.dumps(manifests[pid]), kernel,
+                                    schema_buf, n_buckets)
+                          for pid in changed])
+        for pid, partials in zip(changed, fresh):
+            cached[str(pid)] = {"fingerprint": fps[pid],
+                                "buckets": partials}
+    # drop retired partitions (splits/merges) so their rows don't linger
+    cached = {p: v for p, v in cached.items() if int(p) in manifests}
+    _atomic_write(str(cache_path), json.dumps(
+        {"schema_fp": schema_fp, "n_buckets": n_buckets,
+         "partitions": cached}).encode())
+
+    out: dict[int, tuple[int, int, int]] = {}
+    for entry in cached.values():
+        for bkt, (n, s, q) in entry["buckets"].items():
+            bkt = int(bkt)
+            n0, s0, q0 = out.get(bkt, (0, 0, 0))
+            out[bkt] = (n0 + n, (s0 + s) & 0xFFFFFFFFFFFFFFFF,
+                        (q0 + q) & 0xFFFFFFFFFFFFFFFF)
+    return out
+
+
 def verify_replica(src: JobConfig, dst: JobConfig,
-                   n_buckets: int = 256) -> "pa.Table":
+                   n_buckets: int = 256,
+                   incremental: bool = False) -> "pa.Table":
     """Layout-independent content-equality audit between two lakes: the
     completion check ``replicate`` owes its operators (a follower that
     replayed every pass SHOULD be bit-equal, but a retention skip with
@@ -643,8 +751,20 @@ def verify_replica(src: JobConfig, dst: JobConfig,
     Schema divergence (different visible column sets) is reported as a
     mismatch in every bucket both sides populate — the canonical row
     string embeds column names.
+
+    ``incremental=True`` computes each side's partials per PARTITION and
+    caches them in ``<lake>/_audit_cache.json`` keyed by the partition's
+    manifest fingerprint: re-audits after a replication batch re-digest
+    only the partitions that batch touched — O(changed), not O(lake).
+    Requires both lake dirs writable (the cache write); results are
+    identical to the streaming path (equality-tested).
     """
     import numpy as np
+
+    if incremental:
+        a = _lake_bucket_partials(src, n_buckets)
+        b = _lake_bucket_partials(dst, n_buckets)
+        return _bucket_mismatches(a, b)
 
     from migration_pair_ray.pipelines.replay import final_state
 
@@ -687,10 +807,16 @@ def verify_replica(src: JobConfig, dst: JobConfig,
         out[bkt] = (n + int(r["rows"]),
                     (s + int(r["hsum"])) & 0xFFFFFFFFFFFFFFFF,
                     (q + int(r["hsq"])) & 0xFFFFFFFFFFFFFFFF)
+    return _bucket_mismatches(a, b)
+
+
+def _bucket_mismatches(a: dict, b: dict) -> "pa.Table":
+    """Compare two sides' per-bucket (rows, hsum, hsq) totals → the
+    mismatch table verify_replica returns (empty = identical)."""
     bad = []
     for bkt in sorted(set(a) | set(b)):
         sa, sb = a.get(bkt, (0, 0, 0)), b.get(bkt, (0, 0, 0))
-        if sa != sb:
+        if tuple(sa) != tuple(sb):
             bad.append({"bucket": bkt,
                         "src_rows": sa[0], "dst_rows": sb[0],
                         "src_sum": sa[1], "dst_sum": sb[1]})

@@ -235,7 +235,8 @@ def task_verify_replica(cfg: JobConfig, input_path: str = "", **kw) -> dict:
     if not input_path:
         raise ValueError("task_verify_replica needs the source JobConfig "
                          "JSON (--input src.json)")
-    m = verify_replica(JobConfig.from_json(input_path), cfg)
+    m = verify_replica(JobConfig.from_json(input_path), cfg,
+                       incremental=bool(kw.get("incremental")))
     return {"ok": m.num_rows == 0, "mismatched_buckets": m.num_rows,
             "detail": m.to_pylist()[:32]}
 

@@ -617,3 +617,61 @@ def test_replication_lifecycle_property(tmp_path, seed):
     replicate(src, d2, src_consumer="d2")
     assert verify_replica(src, d1).num_rows == 0
     assert verify_replica(src, d2).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_replica_incremental_matches_streaming(tmp_path):
+    """The cached per-partition audit returns exactly what the streaming
+    audit returns — clean, diverged, and after catching up — and the
+    cache makes a quiescent re-audit O(changed partitions) (fingerprints
+    unchanged on disk)."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from migration_pair_ray.pipelines.feed import replicate, verify_replica
+    src, files, _ = _two_pass_lake(tmp_path)
+    dst = JobConfig(changelog_dir=str(tmp_path / "dlog"),
+                    lake_dir=str(tmp_path / "dlake"),
+                    num_partitions=3, partition_mode="key",
+                    state_chunk_rows=64)
+    replicate(src, dst)
+
+    assert verify_replica(src, dst, incremental=True).num_rows == 0
+    assert verify_replica(src, dst).num_rows == 0
+    cache = _json.loads((Path(dst.lake_dir) / "_audit_cache.json")
+                        .read_text())
+    fps_before = {p: v["fingerprint"]
+                  for p, v in cache["partitions"].items()}
+
+    # quiescent re-audit: same verdict, fingerprints unchanged
+    assert verify_replica(src, dst, incremental=True).num_rows == 0
+    cache2 = _json.loads((Path(dst.lake_dir) / "_audit_cache.json")
+                         .read_text())
+    assert {p: v["fingerprint"]
+            for p, v in cache2["partitions"].items()} == fps_before
+
+    # diverge the follower: incremental and streaming agree on the damage
+    import pyarrow as _pa
+    ghost = _pa.table({
+        "conv_id": _pa.array(["zz-div"], _pa.string()),
+        "turn_idx": _pa.array([1], _pa.int32()),
+        "role": _pa.array(["x"], _pa.string()),
+        "text": _pa.array(["diverged"], _pa.string()),
+        "tool": _pa.array([None], _pa.string()),
+        "ts": _pa.array([9_999_999_999_000_000], _pa.timestamp("us")),
+        "op": _pa.array(["I"], _pa.string()),
+        "lsn": _pa.array([10**9], _pa.int64()),
+    })
+    _pq.write_table(ghost, str(Path(dst.changelog_dir)
+                               / "batch-99999.parquet"))
+    from migration_pair_ray.pipelines.replay import replay as _replay
+    _replay(dst)
+    m_inc = verify_replica(src, dst, incremental=True).to_pylist()
+    m_str = verify_replica(src, dst).to_pylist()
+    assert m_inc == m_str and len(m_inc) == 1
+
+    # repair consumes the same audit; afterwards both paths audit clean
+    from migration_pair_ray.pipelines.repair import repair_replica
+    assert repair_replica(src, dst)["clean_after"]
+    assert verify_replica(src, dst, incremental=True).num_rows == 0
