@@ -487,7 +487,7 @@ def conv_transcripts(sf_dir: str):
     zero per-conversation dispatch."""
     from migration_pair_ray.stages.analytic import grouped_string_agg
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'role', 'text'])
 
     def mkline(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(t.column("role")),
@@ -605,7 +605,7 @@ def conv_repeated_turns(sf_dir: str):
                                                    _default_coarse)
     n_coarse = _default_coarse(None)
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'text'])
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("text")))
@@ -2582,7 +2582,7 @@ def conv_context_windows(sf_dir: str, k: int = 8):
     from migration_pair_ray.stages.analytic import (grouped_string_agg,
                                                     grouped_top_n)
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'role', 'text'])
 
     def mkline(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(t.column("role")),
@@ -2613,7 +2613,7 @@ def conv_tool_stats(sf_dir: str):
     distinct-tool count without a second exchange)."""
     from migration_pair_ray.stages.analytic import _with_bucket
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id', 'tool', 'text', 'ts'])
 
     def stats_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -2743,7 +2743,7 @@ def conv_split_assign(sf_dir: str):
     from migration_pair_ray.functions.sketch import md5_hash64
     from ray.data.aggregate import Sum
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id'])
 
     def partial(t: pa.Table) -> pa.Table:
         return (pa.table({"conv_id": t.column("conv_id"),
@@ -2942,7 +2942,7 @@ def conv_turn_gaps(sf_dir: str):
     buckets)."""
     from migration_pair_ray.stages.analytic import grouped_lag
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'ts'])
     lagged = grouped_lag(st, "conv_id", ["turn_idx"], "ts",
                          lag_col="prev_ts", n_coarse=64)
 
@@ -3784,7 +3784,7 @@ def conv_role_violations(sf_dir: str):
     from ray.data.aggregate import Sum
     from migration_pair_ray.stages.analytic import grouped_lead
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'role'])
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("role")))
@@ -3882,7 +3882,7 @@ def conv_template_turns(sf_dir: str, min_convs: int = 2):
                                                    _default_coarse)
     n_coarse = _default_coarse(None)
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'text'])
 
     hot_arr = _hot_text_hashes(st, min_convs=min_convs, n_coarse=n_coarse)
     hot_ref = ray.put(hot_arr)
@@ -4094,7 +4094,7 @@ def conv_role_transitions(sf_dir: str):
     from ray.data.aggregate import Sum
     from migration_pair_ray.stages.analytic import grouped_lead
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False)
+    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'role'])
 
     led = grouped_lead(
         st.map_batches(lambda t: t.select(["conv_id", "turn_idx", "role"]),

@@ -210,7 +210,8 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
 
 
 def read_lake(cfg: JobConfig, as_of: str | None = None,
-              finalize=None) -> "ray.data.Dataset":
+              finalize=None,
+              columns: list[str] | None = None) -> "ray.data.Dataset":
     """Streaming Dataset over the lake's committed internal state
     (tombstone rows included; only manifest-pinned files are read).
 
@@ -278,11 +279,16 @@ def read_lake(cfg: JobConfig, as_of: str | None = None,
             mor_manifests.append(m)
         else:
             paths.extend(state_file_paths(cfg.lake_dir, m))
+    def project(t: pa.Table) -> pa.Table:
+        if columns is None:
+            return t
+        return t.select([c for c in columns if c in t.schema.names])
+
     if not paths and not mor_manifests:
         from migration_pair_ray.schemas import CHANGE_SCHEMA
         empty = CHANGE_SCHEMA.empty_table()
-        return ray.data.from_arrow(finalize(empty) if finalize is not None
-                                   else empty)
+        empty = finalize(empty) if finalize is not None else empty
+        return ray.data.from_arrow(project(empty))
     # Partitions evolve independently (a pass may touch only some), so state
     # files can disagree on schema; conform every batch to the deterministic
     # unified schema (footer reads only). This also drops the hive-inferred
@@ -292,20 +298,53 @@ def read_lake(cfg: JobConfig, as_of: str | None = None,
     import pyarrow.parquet as pq
     from migration_pair_ray.functions.normalize import make_normalizer
     from migration_pair_ray.schemas import unify_change_schemas
-    all_paths = paths + [str(Path(cfg.lake_dir) / f)
-                         for m in mor_manifests for f in record_files(m)]
-    schema = unify_change_schemas([pq.read_schema(p) for p in all_paths])
+    mor_paths = [str(Path(cfg.lake_dir) / f)
+                 for m in mor_manifests for f in record_files(m)]
+    footers = [pq.read_schema(p) for p in paths]
+    schema = unify_change_schemas(
+        footers + [pq.read_schema(p) for p in mor_paths])
+    if columns is not None:
+        unknown = [c for c in columns if c not in schema.names]
+        if unknown:
+            raise ValueError(f"read_lake columns {unknown} not in the "
+                             f"lake schema {schema.names}")
+        # deterministic order = the caller's column order (the same order
+        # ``project`` applies on the MoR/finalize path)
+        pruned = pa.schema([schema.field(c) for c in columns])
+    else:
+        pruned = schema
     kernel = meta.merge_kernel()
     parts = []
     if paths:
-        parts.append(ray.data.read_parquet(paths, file_extensions=None)
-                     .map_batches(make_normalizer(schema),
-                                  batch_format="pyarrow"))
+        if columns is None:
+            parts.append(ray.data.read_parquet(paths, file_extensions=None)
+                         .map_batches(make_normalizer(schema),
+                                      batch_format="pyarrow"))
+        else:
+            # prune at the read — but a file can predate an added column,
+            # so group files by which needed columns their footer carries
+            # and read each group with its own projection (the normalizer
+            # backfills typed nulls to the pruned unified schema).  A file
+            # carrying none of them still contributes rows: read one
+            # always-present rider column for the row count.
+            groups: dict[tuple, list[str]] = {}
+            for p, s in zip(paths, footers):
+                key = tuple(c for c in pruned.names if c in s.names)
+                groups.setdefault(key, []).append(p)
+            norm = make_normalizer(pruned)
+            for key, grp in groups.items():
+                cols = list(key) or ["lsn"]
+                parts.append(
+                    ray.data.read_parquet(grp, file_extensions=None,
+                                          columns=cols)
+                    .map_batches(norm, batch_format="pyarrow"))
     if mor_manifests:
         from migration_pair_ray.stages.applier import read_state_table
         lake_dir = cfg.lake_dir
 
         def merge_partition(t: pa.Table) -> pa.Table:
+            # MoR fold / cell finalize need the full rows (keys, ts, lsn,
+            # op, every cell) — prune only AFTER the per-partition fold
             norm = make_normalizer(schema)
             out = [read_state_table(lake_dir, _json.loads(mj), kernel=kernel)
                    for mj in t.column("manifest").to_pylist()]
@@ -316,7 +355,7 @@ def read_lake(cfg: JobConfig, as_of: str | None = None,
                 base = (out[0] if len(out) == 1
                         else pa.concat_tables(out,
                                               promote_options="permissive"))
-            return finalize(base) if finalize is not None else base
+            return project(finalize(base) if finalize is not None else base)
 
         mor_ds = ray.data.from_items(
             [{"manifest": _json.dumps(m)} for m in mor_manifests]
@@ -408,11 +447,21 @@ def _repartition_locked(cfg: JobConfig, new_cfg: JobConfig, t0: float) -> dict:
 
 
 def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True,
-                as_of: str | None = None) -> "ray.data.Dataset":
+                as_of: str | None = None,
+                columns: list[str] | None = None) -> "ray.data.Dataset":
     """User-visible final table: tombstones filtered, stable
     ``(conv_id, turn_idx)`` ordering when ``sort`` (the acceptance-comparison
     ordering from BASELINE.json).  ``as_of`` = committed pass_id for a
     time-travel read (see read_lake).
+
+    ``columns`` prunes the read: a consumer that needs two columns must
+    not pull the text payload off storage.  Row-kernel lakes prune at the
+    Parquet read itself (the visibility ``op`` column rides internally and
+    is dropped); cell-kernel and merge-on-read partitions fold full rows
+    per partition and prune the fold's output (the fold needs every
+    determiner cell).  ``sort=True`` requires the merge keys among
+    ``columns``; op/lsn cannot be requested this way (use
+    ``drop_meta=False`` or ``read_lake``).
 
     Row-kernel lakes finalize per block (each key is ONE state row, so any
     slice is finalizable).  Cell-kernel lakes finalize per PARTITION (a
@@ -421,6 +470,14 @@ def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True,
     the same granularity the Applier merges at, so it holds at scale."""
     from migration_pair_ray.state.manifest import LakeMeta
     kernel = LakeMeta(cfg.lake_dir).merge_kernel()
+    if columns is not None:
+        if {"op", "lsn"} & set(columns):
+            raise ValueError("final_state(columns=...) cannot request "
+                             "op/lsn (visibility consumes them); use "
+                             "drop_meta=False or read_lake()")
+        if sort and not {"conv_id", "turn_idx"} <= set(columns):
+            raise ValueError("final_state(sort=True) needs conv_id and "
+                             "turn_idx in columns")
     if kernel == "cell":
         if not drop_meta:
             # the cell fold CONSUMES op/lsn (several determiner rows fold
@@ -430,8 +487,17 @@ def final_state(cfg: JobConfig, sort: bool = True, drop_meta: bool = True,
                 "drop_meta=False is not expressible on cell-kernel lakes: "
                 "the per-key fold consumes op/lsn; use read_lake() for "
                 "internal determiner rows")
-        ds = read_lake(cfg, as_of=as_of,
+        ds = read_lake(cfg, as_of=as_of, columns=columns,
                        finalize=lambda t: finalize_visible(t, "cell"))
+    elif columns is not None:
+        # ride the op column for the tombstone filter, then project it out
+        internal = list(columns) + ["op"]
+
+        def vis(b: pa.Table) -> pa.Table:
+            return visible_state(b, drop_meta=True).select(list(columns))
+
+        ds = read_lake(cfg, as_of=as_of, columns=internal).map_batches(
+            vis, batch_format="pyarrow")
     else:
         ds = read_lake(cfg, as_of=as_of).map_batches(
             lambda b: visible_state(b, drop_meta=drop_meta),
