@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replica_repair": q.cdc_replica_repair,
         "cdc_replica_bootstrap": q.cdc_replica_bootstrap,
         "cdc_delete_where": q.cdc_delete_where,
+        "cdc_txn_boundary": q.cdc_txn_boundary,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
         "cdc_changefeed": q.cdc_changefeed,
         "cdc_incremental_agg": q.cdc_incremental_agg,
@@ -481,6 +482,21 @@ def oracle_sql() -> dict[str, str]:
         "cdc_delete_where": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D' AND role <> 'purchase'
+            ORDER BY conv_id, turn_idx""",
+        # transactional consistency: only autocommit events (lsn%5==4)
+        # and events of COMMITTED txns (t = lsn//7, committed iff
+        # t%10 != 3) are ever applied; aborted txns stay held back
+        "cdc_txn_boundary": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            tx AS (SELECT *, CASE WHEN lsn % 5 = 4 THEN NULL
+                                  ELSE CAST(lsn // 7 AS BIGINT) END AS t
+                   FROM ch),
+            ev AS (SELECT * FROM tx WHERE t IS NULL OR (t % 10) <> 3),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM ev)
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         # event-time retention: winners at or after the 2024-01-15 cutoff
         "cdc_ttl_expiry": lww_winners + """

@@ -101,6 +101,13 @@ class JobConfig:
     # stamped into _lake_meta.json on first write and gated on every later
     # pass (like num_partitions/partition_mode).
     merge_kernel: str = "row"
+    # Transactional consistency: when True, change events may carry a
+    # ``txn_id`` column and ``op == "C"`` commit-marker rows; events of a
+    # transaction are HELD BACK (durable pending store under
+    # <lake>/_txns/) until their commit marker has been consumed, so an
+    # uncommitted or aborted transaction is never partially visible
+    # (pipelines/txn.py — Debezium transaction-metadata semantics).
+    txn_boundary: bool = False
     # Dead-letter sink: "" = gate off (a malformed row poisons the merge,
     # reference behavior); a directory path routes unroutable/unmergeable
     # rows (null key, unknown op) to content-addressed Parquet files under

@@ -337,6 +337,68 @@ def cdc_wire_forms(sf_dir: str):
     return final_state(cfg, sort=True)
 
 
+def _txn_flavor(t: pa.Table) -> pa.Table:
+    """Txn overlay on the derived change log, mirrored in the
+    cdc_txn_boundary oracle: lsn % 5 == 4 rows are autocommit (txn null),
+    every other event belongs to txn ``t<lsn // 7>``."""
+    lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+    tid = np.char.add("t", (lsn // 7).astype("U12"))
+    txn = np.where(lsn % 5 == 4, None, tid)
+    return t.append_column("txn_id", pa.array(txn.tolist(), pa.string()))
+
+
+def cdc_txn_boundary(sf_dir: str):
+    """Transactional consistency ON the oracle path: the derived change
+    log with a txn overlay is replayed with ``txn_boundary=True`` in TWO
+    phases — files 0-1 first (every transactional event is HELD: no
+    commit markers have arrived), then files 2-3 plus the marker batch
+    (commit markers for txns with ``t % 10 != 3``; the rest stay aborted
+    in the pending store forever).  Final state must equal LWW winners
+    over autocommit + committed-txn events only."""
+    src = _events_lake(sf_dir)
+    root = Path(src.changelog_dir).parent
+    lake = str(root / "lake_txn")
+    log_full = str(root / "log_txn_full")
+    log = str(root / "log_txn")
+    done = Path(root / "_txn_done")
+
+    def mk_cfg() -> JobConfig:
+        return JobConfig(changelog_dir=log, lake_dir=lake,
+                         num_partitions=16, txn_boundary=True)
+
+    if not done.exists():
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(log_full, ignore_errors=True)
+        shutil.rmtree(log, ignore_errors=True)
+        _write_derived_log(sf_dir, log_full, flavor=_txn_flavor)
+        os.makedirs(log)
+        files = sorted(Path(log_full).glob("batch-*.parquet"))
+        for f in files[:2]:
+            os.link(f, Path(log) / f.name)
+        cfg = mk_cfg()
+        s1 = replay(cfg)
+        assert s1["txn_held"] > 0 and s1["txn_markers"] == 0
+        # phase 2: the rest of the log + the commit markers arrive
+        for f in files[2:]:
+            os.link(f, Path(log) / f.name)
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        ids = np.arange((n - 1) // 7 + 1, dtype=np.int64)
+        ids = ids[ids % 10 != 3]          # t % 10 == 3 never commits
+        mk = pa.table({
+            "op": pa.array(["C"] * len(ids), pa.string()),
+            "lsn": pa.array(n + ids, pa.int64()),
+            "txn_id": pa.array(np.char.add("t", ids.astype("U12")).tolist(),
+                               pa.string()),
+        })
+        pq.write_table(mk, f"{log}/batch-00009-markers.parquet")
+        s2 = replay(mk_cfg())
+        assert s2["txn_markers"] == len(ids) and s2["txn_held"] > 0
+        done.touch()
+    cfg = mk_cfg()
+    replay(cfg)   # no-op (idempotent); keeps the query re-runnable
+    return final_state(cfg, sort=True)
+
+
 def cdc_delete_where(sf_dir: str):
     """Targeted delete (GDPR/right-to-be-forgotten) ON the oracle path:
     a dedicated lake replays the derived change log, then

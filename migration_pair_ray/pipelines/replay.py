@@ -143,7 +143,18 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel)
 
     pass_id = compute_pass_id(files)
+    # wire schema = this pass's NEW files only (the schema-evolution audit
+    # trail must reflect the upstream wire, not pending carry-over)
     schema = unified_schema(files)
+    txn_state, read_files, read_schema = None, files, schema
+    if cfg.txn_boundary:
+        # transactional gate: input = new files + the last committed
+        # pass's pending store; events of uncommitted txns are held back
+        from migration_pair_ray.pipelines import txn as txnmod
+        txn_state = txnmod.prepare_pass(cfg, pass_id, files)
+        if txn_state["pending_prev"]:
+            read_files = files + txn_state["pending_prev"]
+            read_schema = unified_schema(read_files)
     qdir = None
     if cfg.quarantine_dir:
         # this pass is uncommitted (discover() returned its files), so any
@@ -159,7 +170,15 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     # lands after all partitions commit) — the ordering time travel needs
     pass_seq = CheckpointStore(cfg.checkpoint_dir).next_seq()
     with _push_shuffle():
-        ds = read_changes(files, schema)
+        ds = read_changes(read_files, read_schema)
+        if txn_state is not None:
+            # before quarantine: commit markers carry null keys by design
+            # and must never be classified as malformed rows
+            from migration_pair_ray.pipelines import txn as txnmod
+            ds = ds.map_batches(
+                txnmod.make_txn_gate(txn_state["pending_dir"],
+                                     txn_state["ids_ref"]),
+                batch_format="pyarrow")
         if qdir is not None:
             from migration_pair_ray.stages.quarantine import make_quarantine_gate
             ds = ds.map_batches(
@@ -173,6 +192,11 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     # raw event count from footers (free); lineage rows_in is post-partial-reduce
     events_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     _write_lineage(cfg, pass_id, lineage)
+    if txn_state is not None:
+        # registry delta lands BEFORE the checkpoint: a crash in between
+        # re-runs the pass and rewrites the identical registry bytes
+        from migration_pair_ray.pipelines import txn as txnmod
+        txnmod.commit_markers(cfg, pass_id, txn_state["new_markers"])
     CheckpointStore(cfg.checkpoint_dir).commit_pass(
         pass_id, files, seq=pass_seq,
         stats={"events_in": events_in, "partitions": lineage.num_rows,
@@ -185,6 +209,12 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     if qdir is not None:
         from migration_pair_ray.stages.quarantine import quarantined_total
         quarantined = quarantined_total(str(qdir))
+    txn_held = txn_markers = 0
+    if txn_state is not None:
+        from migration_pair_ray.pipelines import txn as txnmod
+        txnmod.gc_superseded(cfg, pass_id)
+        txn_held = txnmod.pending_total(cfg, pass_id)
+        txn_markers = len(txn_state["new_markers"])
     splits_done = 0
     if cfg.auto_split_max_rows > 0:
         # post-pass size-guard: incrementally split any partition whose
@@ -197,6 +227,8 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
         "pass_id": pass_id,
         "splits": splits_done,
         "quarantined": quarantined,
+        "txn_held": txn_held,
+        "txn_markers": txn_markers,
         "files": len(files),
         "events_in": events_in,
         "partitions": lineage.num_rows,
