@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_turn_versions": q.cdc_turn_versions,
         "cdc_state_asof": q.cdc_state_asof,
         "cdc_clone_branch": q.cdc_clone_branch,
+        "cdc_branch_merge": q.cdc_branch_merge,
         "cdc_jsonl_roundtrip": q.cdc_jsonl_roundtrip,
         "cdc_snapshot_diff": q.cdc_snapshot_diff,
         "cdc_stale_updates": q.cdc_stale_updates,
@@ -495,6 +496,33 @@ def oracle_sql() -> dict[str, str]:
             w AS (SELECT *, row_number() OVER (
                     PARTITION BY conv_id, turn_idx
                     ORDER BY ts DESC, lsn DESC) rn FROM ev)
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # branch merge: two diverged clones each fold the other's change
+        # history back in — both converge (asserted in the query) to LWW
+        # winners over original ∪ branch-A ∪ branch-B
+        "cdc_branch_merge": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            bra AS (SELECT 'c7' AS conv_id, CAST(t.i AS INTEGER) AS turn_idx,
+                           'branch' AS role, 'merged-a' AS text,
+                           CAST(NULL AS VARCHAR) AS tool,
+                           TIMESTAMP '2025-01-01 00:00:00' AS ts,
+                           'U' AS op,
+                           (SELECT COUNT(*) FROM events) + 100 + t.i AS lsn
+                    FROM range(8) t(i)),
+            brb AS (SELECT 'c9' AS conv_id, CAST(t.i AS INTEGER) AS turn_idx,
+                           'branch' AS role, 'merged-b' AS text,
+                           CAST(NULL AS VARCHAR) AS tool,
+                           TIMESTAMP '2025-01-01 00:00:00' AS ts,
+                           'U' AS op,
+                           (SELECT COUNT(*) FROM events) + 200 + t.i AS lsn
+                    FROM range(8) t(i)),
+            a AS (SELECT * FROM ch UNION ALL SELECT * FROM bra
+                  UNION ALL SELECT * FROM brb),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM a)
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

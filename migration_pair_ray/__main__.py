@@ -114,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["cutoff_us"] = args.cutoff_us
     if args.task == "truncate_log":
         kw.update(through_seq=args.through_seq, dry_run=args.dry_run)
+    if args.task == "merge_branch":
+        kw["dry_run"] = args.dry_run
     if args.task == "replay_multi":
         kw.update(sources=args.sources, names=args.names)
 

@@ -3521,6 +3521,60 @@ def cdc_clone_branch(sf_dir: str):
     return final_state(bcfg)
 
 
+def cdc_branch_merge(sf_dir: str):
+    """Branch merge (pipelines/branch): clone the events lake TWICE, let
+    the branches diverge with different change batches (branch A upserts
+    conv 'c7', branch B upserts conv 'c9'), then ``merge_branch`` each
+    into the other.  The LWW semilattice makes the merge direction-free:
+    both branches converge to LWW winners over original ∪ A ∪ B — the
+    oracle — and the query asserts A == B before returning A."""
+    from dataclasses import replace as dc_replace
+
+    from migration_pair_ray.pipelines.branch import merge_branch
+    from migration_pair_ray.pipelines.clone import clone_lake
+    cfg = _events_lake(sf_dir)
+    root = Path(cfg.lake_dir).parent
+    marker = root / "_branch_merge_done"
+    cfgs = {}
+    for side, conv, text, off in (("a", "c7", "merged-a", 100),
+                                  ("b", "c9", "merged-b", 200)):
+        log_d, lake_d = root / f"bm-log-{side}", root / f"bm-lake-{side}"
+        cfgs[side] = dc_replace(cfg, changelog_dir=str(log_d),
+                                lake_dir=str(lake_d))
+    if not marker.exists():
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        for side, conv, text, off in (("a", "c7", "merged-a", 100),
+                                      ("b", "c9", "merged-b", 200)):
+            bcfg = cfgs[side]
+            shutil.rmtree(bcfg.lake_dir, ignore_errors=True)
+            shutil.rmtree(bcfg.changelog_dir, ignore_errors=True)
+            Path(bcfg.changelog_dir).mkdir(parents=True)
+            batch = pa.table({
+                "conv_id": pa.array([conv] * 8, pa.string()),
+                "turn_idx": pa.array(range(8), pa.int32()),
+                "role": pa.array(["branch"] * 8, pa.string()),
+                "text": pa.array([text] * 8, pa.string()),
+                "tool": pa.array([None] * 8, pa.string()),
+                "ts": pa.array([_BRANCH_TS_US] * 8, pa.timestamp("us")),
+                "op": pa.array(["U"] * 8, pa.string()),
+                "lsn": pa.array([n + off + i for i in range(8)], pa.int64()),
+            })
+            tmp = Path(bcfg.changelog_dir) / f"batch-91{off}.parquet.tmp"
+            pq.write_table(batch, tmp)
+            os.replace(tmp, Path(bcfg.changelog_dir) / f"batch-91{off}.parquet")
+            clone_lake(cfg.lake_dir, bcfg.lake_dir)
+            replay(bcfg)
+        merge_branch(cfgs["a"], cfgs["b"])
+        merge_branch(cfgs["b"], cfgs["a"])
+        marker.touch()
+    a = pa.Table.from_pandas(
+        final_state(cfgs["a"], sort=True).to_pandas(), preserve_index=False)
+    b = pa.Table.from_pandas(
+        final_state(cfgs["b"], sort=True).to_pandas(), preserve_index=False)
+    assert a.equals(b), "branch merge did not converge"
+    return a
+
+
 def cdc_turn_versions(sf_dir: str):
     """SCD2 version history from the change stream: every change to a
     (conv_id, turn_idx) key becomes a versioned row with a validity

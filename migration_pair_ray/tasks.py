@@ -378,6 +378,20 @@ def task_requeue(cfg: JobConfig, reasons: str = "", epoch: int = 90000,
                    kernel=kernel)
 
 
+def task_merge_branch(cfg: JobConfig, input_path: str = "",
+                      dry_run: bool = False, **kw) -> dict:
+    """Fold a diverged clone back: ``cfg`` is the DESTINATION branch,
+    ``--input`` the source branch's JobConfig JSON.  Links the change
+    files src consumed that dst hasn't and replays them — direction-free
+    convergence by the LWW semilattice (pipelines/branch.merge_branch)."""
+    from migration_pair_ray.pipelines.branch import merge_branch
+    if not input_path:
+        raise ValueError("task_merge_branch needs the source branch's "
+                         "JobConfig JSON (--input src.json)")
+    return merge_branch(cfg, JobConfig.from_json(input_path),
+                        dry_run=dry_run)
+
+
 TASKS: dict[str, Callable[..., dict]] = {
     "replay": task_replay,
     "snapshot": task_snapshot,
@@ -391,6 +405,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "rollback": task_rollback,
     "maintain": task_maintain,
     "clone": task_clone,
+    "merge_branch": task_merge_branch,
     "export_feed": task_export_feed,
     "index": task_index,
     "compact": task_compact,
