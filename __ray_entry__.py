@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_state_asof": q.cdc_state_asof,
         "cdc_clone_branch": q.cdc_clone_branch,
         "cdc_branch_merge": q.cdc_branch_merge,
+        "cdc_view_maintain": q.cdc_view_maintain,
         "cdc_jsonl_roundtrip": q.cdc_jsonl_roundtrip,
         "cdc_snapshot_diff": q.cdc_snapshot_diff,
         "cdc_stale_updates": q.cdc_stale_updates,
@@ -523,6 +524,23 @@ def oracle_sql() -> dict[str, str]:
             w AS (SELECT *, row_number() OVER (
                     PARTITION BY conv_id, turn_idx
                     ORDER BY ts DESC, lsn DESC) rn FROM a)
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # maintained view: delta-rewrite (keep=click ⇒ reshaped event,
+        # else tombstone at the same ts/lsn) preserves LWW order, so view
+        # winners == transform(source winners)
+        "cdc_view_maintain": f"""
+            WITH ch AS ({DERIVED_CHANGES_SQL}),
+            tr AS (SELECT conv_id, turn_idx, role, upper(text) AS text,
+                          tool, ts,
+                          CASE WHEN op = 'D' THEN 'D'
+                               WHEN role = 'click' THEN op
+                               ELSE 'D' END AS op, lsn
+                   FROM ch),
+            w AS (SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY ts DESC, lsn DESC) rn FROM tr)
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

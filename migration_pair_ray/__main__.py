@@ -116,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
         kw.update(through_seq=args.through_seq, dry_run=args.dry_run)
     if args.task == "merge_branch":
         kw["dry_run"] = args.dry_run
+    if args.task == "view":
+        kw.update(where=args.where, consumer=args.consumer)
     if args.task == "replay_multi":
         kw.update(sources=args.sources, names=args.names)
 

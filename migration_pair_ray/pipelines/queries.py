@@ -3575,6 +3575,31 @@ def cdc_branch_merge(sf_dir: str):
     return a
 
 
+def cdc_view_maintain(sf_dir: str):
+    """Maintained materialized view (pipelines/view): a click-only,
+    text-uppercased view lake pumped from the two-pass source lake's
+    changefeed — each committed source pass is delta-rewritten (keep ⇒
+    reshaped event, predicate-false ⇒ tombstone with the same ts/lsn) and
+    applied through the normal replay, exactly-once via a registered
+    feed consumer.  Because the view applies the same (ts, lsn) LWW
+    order, view winners == transform(source winners) — the oracle."""
+    from migration_pair_ray.pipelines.view import (maintain_view,
+                                                   make_filter_project)
+    cdc_two_phase_replay(sf_dir)          # builds the two-pass source lake
+    src0 = _events_lake(sf_dir)
+    root = Path(src0.changelog_dir).parent
+    src = JobConfig(changelog_dir=str(root / "log_a"),
+                    lake_dir=str(root / "lake_twophase"), num_partitions=16)
+    view = JobConfig(changelog_dir=str(root / "view_log"),
+                     lake_dir=str(root / "view_lake"), num_partitions=16)
+    transform = make_filter_project(
+        where=lambda t: pc.equal(pc.fill_null(t.column("role"), ""),
+                                 "click"),
+        derive=lambda t: {"text": pc.utf8_upper(t.column("text"))})
+    maintain_view(src, view, transform)   # idempotent: 0 pending on reuse
+    return final_state(view, sort=True)
+
+
 def cdc_turn_versions(sf_dir: str):
     """SCD2 version history from the change stream: every change to a
     (conv_id, turn_idx) key becomes a versioned row with a validity

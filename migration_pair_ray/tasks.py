@@ -378,6 +378,38 @@ def task_requeue(cfg: JobConfig, reasons: str = "", epoch: int = 90000,
                    kernel=kernel)
 
 
+def task_view(cfg: JobConfig, input_path: str = "", where: str = "",
+              consumer: str = "", **kw) -> dict:
+    """Maintain a materialized view lake: ``cfg`` is the VIEW, ``--input``
+    the source lake's JobConfig JSON, ``--where col=value`` the visibility
+    predicate (rows leaving it are tombstoned in the view — the
+    delta-rewrite rule; programmatic callers pass ``transform=`` for
+    arbitrary reshapes).  Exactly-once via a registered source-feed
+    consumer (pipelines/view.maintain_view)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from migration_pair_ray.pipelines.view import (maintain_view,
+                                                   make_filter_project)
+    if not input_path:
+        raise ValueError("task_view needs the source JobConfig JSON "
+                         "(--input src.json)")
+    transform = kw.pop("transform", None)
+    if transform is None:
+        col, _, val = where.partition("=")
+        if not col or not _:
+            raise ValueError("task_view needs where='col=value' or "
+                             "transform=")
+
+        def pred(t: pa.Table, col=col, val=val) -> pa.Array:
+            return pc.fill_null(
+                pc.equal(pc.cast(t.column(col), pa.string()), val), False)
+        transform = make_filter_project(where=pred)
+    return maintain_view(JobConfig.from_json(input_path), cfg, transform,
+                         consumer=consumer or None,
+                         missing_ok=bool(kw.pop("missing_ok", False)))
+
+
 def task_merge_branch(cfg: JobConfig, input_path: str = "",
                       dry_run: bool = False, **kw) -> dict:
     """Fold a diverged clone back: ``cfg`` is the DESTINATION branch,
@@ -406,6 +438,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "maintain": task_maintain,
     "clone": task_clone,
     "merge_branch": task_merge_branch,
+    "view": task_view,
     "export_feed": task_export_feed,
     "index": task_index,
     "compact": task_compact,
