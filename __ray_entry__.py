@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_merge": q.cdc_lww_merge,
         "cdc_two_phase_replay": q.cdc_two_phase_replay,
         "cdc_multi_source": q.cdc_multi_source,
+        "cdc_hot_layout": q.cdc_hot_layout,
         "cdc_mor_replay": q.cdc_mor_replay,
         "cdc_cell_replay": q.cdc_cell_replay,
         "cdc_patch_merge": q.cdc_patch_merge,
@@ -392,6 +393,13 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         "cdc_two_phase_replay": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # layout never changes semantics: the hot-mode lake (whale convs
+        # salted per-key, everything else conv-disjoint) equals the plain
+        # winners bit for bit
+        "cdc_hot_layout": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

@@ -29,8 +29,16 @@ class JobConfig:
     batch_size: int = DEFAULT_BATCH_SIZE
     # Partitioning mode: "conv" = hash(conv_id) (conv-disjoint partitions,
     # cheap per-partition ordering) | "key" = hash(conv_id, turn_idx)
-    # (salted: defeats hot-conversation skew; snapshot then needs a sort).
+    # (salted: defeats hot-conversation skew; snapshot then needs a sort)
+    # | "hot" = conv placement except for the recorded ``hot_convs`` whale
+    # set, whose keys are salted like "key" (stages/partition.py).
     partition_mode: str = "conv"
+    # The whale set for partition_mode="hot": conversations hot enough to
+    # bottleneck one partition (pick with stages/partition.detect_hot_keys).
+    # A lake-lifetime LAYOUT property — stamped into _lake_meta on first
+    # write and gated on every later pass; changing it means
+    # repartition_lake to a new lake.  Bounded by design (whales are few).
+    hot_convs: list[str] | None = None
     # Actor pool size for the merge/apply stage; None = let Ray scale tasks.
     apply_concurrency: int | tuple[int, int] | None = None
     # Schema compliance policy: "strict" (reference EndToEnd.cs:51-85
@@ -118,8 +126,20 @@ class JobConfig:
     def __post_init__(self) -> None:
         if self.batch_size <= 0:  # reference behavior: <=0 falls back to default
             self.batch_size = DEFAULT_BATCH_SIZE
-        if self.partition_mode not in ("conv", "key"):
-            raise ValueError(f"partition_mode must be 'conv'|'key', got {self.partition_mode!r}")
+        if self.partition_mode not in ("conv", "key", "hot"):
+            raise ValueError(f"partition_mode must be 'conv'|'key'|'hot', "
+                             f"got {self.partition_mode!r}")
+        if self.partition_mode == "hot" and not self.hot_convs:
+            raise ValueError(
+                "partition_mode='hot' needs a non-empty hot_convs whale "
+                "set (detect_hot_keys picks it); with no whales use 'conv'")
+        if self.hot_convs and self.partition_mode != "hot":
+            raise ValueError("hot_convs only applies to partition_mode='hot'")
+        if self.hot_convs and len(self.hot_convs) > 65536:
+            raise ValueError(
+                f"hot_convs has {len(self.hot_convs)} entries — the whale "
+                f"set is meant to be small (it broadcasts to every routing "
+                f"site); salt everything with partition_mode='key' instead")
         if self.num_partitions <= 0:
             raise ValueError("num_partitions must be positive")
         if self.merge_kernel not in ("row", "cell"):

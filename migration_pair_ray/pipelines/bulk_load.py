@@ -100,7 +100,8 @@ def bulk_load(cfg: JobConfig, input_path: str, fmt: str = "csv",
 def _bulk_load(cfg: JobConfig, input_path: str, fmt: str, pass_tag: str) -> dict:
     from migration_pair_ray.state.manifest import LakeMeta
     meta = LakeMeta(cfg.lake_dir)
-    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel)
+    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel,
+                cfg.hot_convs)
     if fmt == "csv":
         ds = ray.data.read_csv(input_path, **_csv_read_args(cfg, input_path))
     elif fmt == "parquet":
@@ -141,6 +142,7 @@ def _bulk_load(cfg: JobConfig, input_path: str, fmt: str, pass_tag: str) -> dict
     ckpt = CheckpointStore(cfg.checkpoint_dir)
     pass_seq = ckpt.next_seq()
     lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits(),
+                               hot_convs=meta.hot_convs(),
                                pass_seq=pass_seq)
     import pyarrow.compute as pc
     rows_in = int(pc.sum(lineage.column("rows_in")).as_py() or 0)

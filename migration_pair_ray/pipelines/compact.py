@@ -172,7 +172,8 @@ def _split_partition_locked(cfg: JobConfig, base_pid: int,
         state = (tables[0] if len(tables) == 1
                  else pa.concat_tables(tables, promote_options="permissive"))
         rows_total = state.num_rows
-        route = partition_ids(state, p, mode, new_splits)
+        route = partition_ids(state, p, mode, new_splits,
+                              meta.hot_convs())
         # every source row must route to this base's new children — the
         # base component of the hash is unchanged by construction
         if not np.isin(route, np.asarray(child_ids)).all():

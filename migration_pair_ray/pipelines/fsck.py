@@ -64,7 +64,8 @@ def _entries(manifest: dict) -> list[dict]:
 
 def _check_partition(lake_dir: str, pid: int, deep: bool,
                      num_partitions: int, mode: str,
-                     splits: dict, kernel: str = "row") -> list[dict]:
+                     splits: dict, kernel: str = "row",
+                     hot_convs: tuple = ()) -> list[dict]:
     """All problems found in one partition (empty list = healthy)."""
     problems: list[dict] = []
 
@@ -123,7 +124,7 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
             prev_hi = hi
         if deep:
             _deep_check(lake_dir, pid, e, path, bad,
-                        num_partitions, mode, splits, kernel)
+                        num_partitions, mode, splits, kernel, hot_convs)
 
     # merge-on-read delta files: same per-file checks (existence, footer
     # rows, hash/tombstones/uniqueness/routing when deep) but OUTSIDE the
@@ -143,7 +144,7 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
                 f"{e['file']}: footer {meta_rows} != manifest {e['rows']}")
         if deep:
             _deep_check(lake_dir, pid, e, path, bad,
-                        num_partitions, mode, splits, kernel)
+                        num_partitions, mode, splits, kernel, hot_convs)
 
     if manifest.get("row_count", rows_sum) != rows_sum:
         bad("manifest_rows_mismatch",
@@ -160,7 +161,7 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
 
 def _deep_check(lake_dir: str, pid: int, entry: dict, path: str, bad,
                 num_partitions: int, mode: str, splits: dict,
-                kernel: str = "row") -> None:
+                kernel: str = "row", hot_convs: tuple = ()) -> None:
     import numpy as np
     import pyarrow.compute as pc
     from migration_pair_ray.stages.partition import partition_ids
@@ -200,7 +201,7 @@ def _deep_check(lake_dir: str, pid: int, entry: dict, path: str, bad,
             (sc[1:] == sc[:-1]) & (stn[1:] == stn[:-1])
             & (scn[1:] == scn[:-1]) & (stn_n[1:] == stn_n[:-1])):
         bad("duplicate_keys", entry["file"])
-    routed = partition_ids(t, num_partitions, mode, splits)
+    routed = partition_ids(t, num_partitions, mode, splits, hot_convs)
     if not np.all(routed == pid):
         wrong = int(np.sum(routed != pid))
         bad("misrouted_keys",
@@ -234,6 +235,7 @@ def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
     mode = meta["partition_mode"]
     kernel = lm.merge_kernel()
     splits = lm.splits()
+    hot_convs = lm.hot_convs()
     pids = lm.active_partition_ids()
     lake_dir = cfg.lake_dir
 
@@ -242,7 +244,7 @@ def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
         for pid in t.column("pid").to_pylist():
             rows.extend(_check_partition(lake_dir, int(pid), deep,
                                          num_partitions, mode, splits,
-                                         kernel))
+                                         kernel, hot_convs))
         if not rows:
             return pa.table({"partition": pa.array([], pa.int32()),
                              "kind": pa.array([], pa.string()),

@@ -34,17 +34,24 @@ from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
 
 def _route(conv_ids: list[str], turn_idx: list[int] | None,
            num_partitions: int, mode: str,
-           splits: dict[int, tuple[int, int]] | None) -> np.ndarray | None:
+           splits: dict[int, tuple[int, int]] | None,
+           hot_convs: tuple = ()) -> np.ndarray | None:
     """Partition id per key, or None when routing is impossible (mode
     "key" without turn_idx — the conversation's turns are salted across
-    all partitions by design)."""
+    all partitions by design; mode "hot" likewise fans out only when a
+    requested conversation is in the whale set)."""
     from migration_pair_ray.stages.partition import partition_ids
-    if mode == "key" and turn_idx is None:
+    if turn_idx is None and (
+            mode == "key"
+            or (mode == "hot" and set(conv_ids) & set(hot_convs))):
         return None
     cols = {"conv_id": pa.array(conv_ids, pa.string())}
-    if mode == "key":
-        cols["turn_idx"] = pa.array(turn_idx, pa.int32())
-    return partition_ids(pa.table(cols), num_partitions, mode, splits)
+    if mode in ("key", "hot"):
+        cols["turn_idx"] = pa.array(
+            turn_idx if turn_idx is not None else [-1] * len(conv_ids),
+            pa.int32())
+    return partition_ids(pa.table(cols), num_partitions, mode, splits,
+                         hot_convs)
 
 
 def candidate_files(cfg: JobConfig, conv_ids: list[str],
@@ -59,7 +66,8 @@ def candidate_files(cfg: JobConfig, conv_ids: list[str],
     if cur is None:
         return []
     p, mode = int(cur["num_partitions"]), cur["partition_mode"]
-    route = _route(conv_ids, turn_idx, p, mode, meta.splits())
+    route = _route(conv_ids, turn_idx, p, mode, meta.splits(),
+                   tuple(cur.get("hot_convs") or ()))
     if route is None:
         pids = meta.active_partition_ids(cfg.num_partitions)
     else:

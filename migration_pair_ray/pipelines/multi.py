@@ -191,13 +191,14 @@ def _replay_multi_locked(cfg: JobConfig, source_dirs: list[str],
         meta = LakeMeta(cfg.lake_dir)
         if meta.read() is not None:
             meta.ensure(cfg.num_partitions, cfg.partition_mode,
-                        cfg.merge_kernel)
+                        cfg.merge_kernel, cfg.hot_convs)
         return {"pass_id": None, "files": 0, "events_in": 0, "partitions": 0,
                 "sources": {n: 0 for n in names},
                 "seconds": 0.0, "events_per_sec": 0.0, "up_to_date": True}
 
     meta = LakeMeta(cfg.lake_dir)
-    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel)
+    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel,
+                cfg.hot_convs)
 
     pairs = [(_namespace(k), f)
              for k, files in enumerate(per_source) for f in files]
@@ -229,6 +230,7 @@ def _replay_multi_locked(cfg: JobConfig, source_dirs: list[str],
                 make_quarantine_gate(str(qdir), cfg.merge_kernel),
                 batch_format="pyarrow")
         lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits(),
+                                   hot_convs=meta.hot_convs(),
                                    pass_seq=pass_seq)
 
     src_events = {

@@ -4471,6 +4471,38 @@ def cdc_jsonl_roundtrip(sf_dir: str):
     return final_state(dst, sort=True)
 
 
+def cdc_hot_layout(sf_dir: str):
+    """Hot-conversation salting on the oracle path: the derived change log
+    replayed into a ``partition_mode="hot"`` lake — conv-disjoint placement
+    for everything except a recorded whale set, whose keys salt across all
+    partitions like mode "key" (stages/partition.py; the north-star's
+    "explicit salting of hot conversations to defeat skew").  The whale set
+    is picked DETERMINISTICALLY from the stream itself: the top-2
+    conversations by event count (distributed histogram partials → one tiny
+    groupby → sort desc + limit, ties broken by conv_id), then stamped into
+    ``_lake_meta`` as a lake-lifetime layout property.  Layout must never
+    change semantics: final state equals the plain LWW winners (same SQL
+    oracle as ``cdc_lww_merge``); the whale-spread / cold-disjoint placement
+    invariants themselves are asserted in tests/test_hot_mode.py."""
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.stages.partition import key_histogram
+    src = _events_lake(sf_dir)   # reuse the derived change files
+    root = Path(src.changelog_dir).parent
+    log = rd.read_parquet(
+        sorted(str(p) for p in Path(src.changelog_dir).glob("batch-*.parquet")),
+        columns=["conv_id"], file_extensions=None)
+    hot = (log.map_batches(key_histogram, batch_format="pyarrow")
+           .groupby("conv_id").aggregate(Sum("cnt", alias_name="cnt"))
+           .sort(["cnt", "conv_id"], descending=[True, False])
+           .limit(2).take_all())
+    cfg = JobConfig(changelog_dir=src.changelog_dir,
+                    lake_dir=str(root / "lake_hot"), num_partitions=16,
+                    partition_mode="hot",
+                    hot_convs=[r["conv_id"] for r in hot])
+    replay(cfg)   # no-op when already up to date
+    return final_state(cfg, sort=True)
+
+
 def cdc_snapshot_incremental(sf_dir: str):
     """Incremental snapshot export roundtrip: per-partition visible-state
     files written by pipelines/snapshot.snapshot_incremental (fingerprint-

@@ -239,9 +239,10 @@ def _repair_locked(src: JobConfig, dst: JobConfig, n_buckets: int,
     n_parts = int(dst_meta["num_partitions"])
     mode = dst_meta.get("partition_mode", dst.partition_mode)
     splits = dst_meta_o.splits()
-    row_pids = (partition_ids(repair_rows, n_parts, mode, splits)
+    hot = dst_meta_o.hot_convs()
+    row_pids = (partition_ids(repair_rows, n_parts, mode, splits, hot)
                 if repair_rows.num_rows else np.array([], np.int32))
-    key_pids = partition_ids(keys_tbl, n_parts, mode, splits)
+    key_pids = partition_ids(keys_tbl, n_parts, mode, splits, hot)
     touched = sorted(set(row_pids.tolist()) | set(key_pids.tolist()))
 
     ck = CheckpointStore(dst.checkpoint_dir)

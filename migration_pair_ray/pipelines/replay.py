@@ -36,7 +36,8 @@ from migration_pair_ray.state.manifest import CheckpointStore, compute_pass_id
 def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
                      applier_cls: type = Applier,
                      splits: dict[int, tuple[int, int]] | None = None,
-                     pass_seq: int = -1) -> pa.Table:
+                     pass_seq: int = -1,
+                     hot_convs: tuple[str, ...] = ()) -> pa.Table:
     """Run the partition→merge→commit tail of the pipeline on a normalized
     change Dataset; returns the lineage table (one row per partition).
 
@@ -59,7 +60,8 @@ def apply_changes_ds(ds: "ray.data.Dataset", cfg: JobConfig, pass_id: str,
                         batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: add_partition_column(b, cfg.num_partitions,
-                                       cfg.partition_mode, splits),
+                                       cfg.partition_mode, splits,
+                                       hot_convs),
         batch_format="pyarrow",
     )
     conc = cfg.apply_concurrency or (1, min(cfg.num_partitions, 16))
@@ -121,7 +123,7 @@ def replay(cfg: JobConfig) -> dict:
         meta = LakeMeta(cfg.lake_dir)
         if meta.read() is not None:
             meta.ensure(cfg.num_partitions, cfg.partition_mode,
-                        cfg.merge_kernel)
+                        cfg.merge_kernel, cfg.hot_convs)
         return {"pass_id": None, "files": 0, "events_in": 0, "partitions": 0,
                 "seconds": 0.0, "events_per_sec": 0.0, "up_to_date": True}
 
@@ -140,7 +142,8 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     # count/mode would route keys away from their existing state
     from migration_pair_ray.state.manifest import LakeMeta
     meta = LakeMeta(cfg.lake_dir)
-    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel)
+    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel,
+                cfg.hot_convs)
 
     pass_id = compute_pass_id(files)
     # wire schema = this pass's NEW files only (the schema-evolution audit
@@ -185,7 +188,8 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
                 make_quarantine_gate(str(qdir), cfg.merge_kernel),
                 batch_format="pyarrow")
         lineage = apply_changes_ds(ds, cfg, pass_id, splits=meta.splits(),
-                                   pass_seq=pass_seq)
+                                   pass_seq=pass_seq,
+                                   hot_convs=meta.hot_convs())
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -443,7 +447,8 @@ def _repartition_locked(cfg: JobConfig, new_cfg: JobConfig, t0: float) -> dict:
     from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
     LakeMeta(new_cfg.lake_dir).ensure(new_cfg.num_partitions,
                                       new_cfg.partition_mode,
-                                      new_cfg.merge_kernel)
+                                      new_cfg.merge_kernel,
+                                      new_cfg.hot_convs)
 
     # pass identity derives from the SOURCE lake's committed content
     import hashlib
@@ -456,7 +461,8 @@ def _repartition_locked(cfg: JobConfig, new_cfg: JobConfig, t0: float) -> dict:
     pass_id = h.hexdigest()[:16]
 
     with _push_shuffle():
-        lineage = apply_changes_ds(read_lake(cfg), new_cfg, pass_id)
+        lineage = apply_changes_ds(read_lake(cfg), new_cfg, pass_id,
+                                   hot_convs=tuple(new_cfg.hot_convs or ()))
 
     # carry pass checkpoints over so discover() on the new lake skips the
     # change files the old lake already consumed

@@ -11,6 +11,14 @@ the LWW merge is local.
 * mode "key": ``part = H(conv_id, turn_idx) % P`` — the salted layout: a hot
   conversation's turns spread over all partitions (skew defeated) while each
   merge key still lives in exactly one partition (LWW stays local).
+* mode "hot": conv placement for everything EXCEPT a recorded whale set
+  (``hot_convs``, stamped into ``_lake_meta`` at lake creation), whose keys
+  are salted like mode "key" — the north-star layout: 99.99% of the lake
+  keeps conv-disjoint partitions (cheap per-conv reads/ordering) while the
+  few conversations that would bottleneck one partition spread across all
+  of them.  The hot set is a lake-lifetime LAYOUT property (changing it
+  moves keys between partitions): grow it via ``repartition_lake`` to a
+  new lake, pick it with ``detect_hot_keys``.
 
 ``H`` is pandas' SipHash-based ``hash_array`` (fixed key → deterministic
 across processes and nodes — Python's builtin ``hash`` is salted per process
@@ -37,16 +45,27 @@ def hash_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def partition_ids(batch: pa.Table, num_partitions: int, mode: str = "conv",
-                  splits: dict[int, tuple[int, int]] | None = None) -> np.ndarray:
+                  splits: dict[int, tuple[int, int]] | None = None,
+                  hot_convs=None) -> np.ndarray:
+    import pyarrow.compute as pc
     h = hash_strings(batch.column("conv_id"))
-    if mode == "key":
+    if mode in ("key", "hot"):
         # null turn_idx → sentinel BEFORE the numpy cast (a null would go
         # through float NaN, whose uint64 conversion is architecture-
         # dependent — every node must hash a key identically)
-        import pyarrow.compute as pc
         turn_arr = pc.fill_null(pc.cast(batch.column("turn_idx"), pa.int64()), -1)
         turn = turn_arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        h = (h ^ (turn * _GOLDEN)) * _GOLDEN
+        mixed = (h ^ (turn * _GOLDEN)) * _GOLDEN
+        if mode == "key":
+            h = mixed
+        elif hot_convs:
+            # salt ONLY the recorded whales; everything else stays
+            # conv-disjoint.  One vectorized membership test per block.
+            hot_mask = pc.fill_null(pc.is_in(
+                batch.column("conv_id"),
+                value_set=pa.array(sorted(hot_convs), pa.string())),
+                False).to_numpy(zero_copy_only=False)
+            h = np.where(hot_mask, mixed, h)
     base = (h % np.uint64(num_partitions)).astype(np.int32)
     if not splits:
         return base
@@ -75,11 +94,13 @@ def partition_ids(batch: pa.Table, num_partitions: int, mode: str = "conv",
 
 
 def add_partition_column(batch: pa.Table, num_partitions: int, mode: str = "conv",
-                         splits: dict[int, tuple[int, int]] | None = None) -> pa.Table:
+                         splits: dict[int, tuple[int, int]] | None = None,
+                         hot_convs=None) -> pa.Table:
     if batch.num_rows == 0:
         return batch.append_column(PART_COL, pa.array([], type=pa.int32()))
     return batch.append_column(
-        PART_COL, pa.array(partition_ids(batch, num_partitions, mode, splits)))
+        PART_COL, pa.array(partition_ids(batch, num_partitions, mode, splits,
+                                         hot_convs)))
 
 
 def key_histogram(batch: pa.Table) -> pa.Table:

@@ -342,12 +342,19 @@ class LakeMeta:
             return None
 
     def ensure(self, num_partitions: int, partition_mode: str,
-               merge_kernel: str = "row") -> None:
-        """First writer records the layout; later writers must match it."""
+               merge_kernel: str = "row",
+               hot_convs: list[str] | None = None) -> None:
+        """First writer records the layout; later writers must match it.
+        ``hot_convs`` (mode "hot" only) is part of the layout: the whale
+        set decides key placement, so it is stamped sorted at creation and
+        gated exactly like the partition count."""
         cur = self.read()
+        hot = sorted(hot_convs) if hot_convs else None
         want = {"num_partitions": num_partitions,
                 "partition_mode": partition_mode,
                 "merge_kernel": merge_kernel}
+        if hot is not None:
+            want["hot_convs"] = hot
         if cur is None:
             self.path.parent.mkdir(parents=True, exist_ok=True)
             _atomic_write(str(self.path), json.dumps(want, indent=1).encode())
@@ -355,17 +362,24 @@ class LakeMeta:
         if (cur.get("num_partitions") != num_partitions
                 or cur.get("partition_mode") != partition_mode
                 # pre-kernel lakes are row-kernel by construction
-                or cur.get("merge_kernel", "row") != merge_kernel):
+                or cur.get("merge_kernel", "row") != merge_kernel
+                or (cur.get("hot_convs") or None) != hot):
             raise LakeLayoutError(
                 f"lake at {self.path.parent} was created with "
                 f"num_partitions={cur.get('num_partitions')} "
                 f"partition_mode={cur.get('partition_mode')!r} "
-                f"merge_kernel={cur.get('merge_kernel', 'row')!r}; this job "
-                f"is configured with num_partitions={num_partitions} "
+                f"merge_kernel={cur.get('merge_kernel', 'row')!r} "
+                f"hot_convs={len(cur.get('hot_convs') or [])} entries; this "
+                f"job is configured with num_partitions={num_partitions} "
                 f"partition_mode={partition_mode!r} "
-                f"merge_kernel={merge_kernel!r}. Changing the layout of "
-                f"an existing lake requires an explicit repartition/compact "
-                f"job, not a config change.")
+                f"merge_kernel={merge_kernel!r} "
+                f"hot_convs={len(hot or [])} entries. Changing the layout "
+                f"of an existing lake requires an explicit "
+                f"repartition/compact job, not a config change.")
+
+    def hot_convs(self) -> tuple[str, ...]:
+        """The stamped whale set (mode "hot"); empty for other modes."""
+        return tuple((self.read() or {}).get("hot_convs") or ())
 
     def merge_kernel(self) -> str:
         """The lake's merge kernel ("row" | "cell") — a lake-lifetime

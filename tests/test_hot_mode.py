@@ -1,0 +1,117 @@
+"""partition_mode='hot': conv-disjoint placement with key-level salting
+for a recorded whale set only (the north-star skew answer)."""
+
+import glob
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from migration_pair_ray.changegen import generate_change_log
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.pipelines.replay import final_state, replay
+from migration_pair_ray.stages.partition import detect_hot_keys
+
+ORACLE = """
+WITH ch AS (SELECT * FROM read_parquet('{log}/*.parquet', union_by_name=true)),
+w AS (SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn FROM ch)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM w WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
+def _hot_set(log: str) -> list[str]:
+    ds = rd.read_parquet(sorted(glob.glob(f"{log}/*.parquet")),
+                         columns=["conv_id"], file_extensions=None)
+    hot = detect_hot_keys(ds, hot_frac=0.1)
+    return sorted(hot.column("conv_id").to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_mode_matches_oracle_and_spreads_whales(tmp_lake):
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1500, n_convs=15, n_files=3,
+                        tool_epoch=1, hot_frac=0.4, shuffle_window=200,
+                        seed=51)
+    hot = _hot_set(log)
+    assert hot, "fixture must contain a whale"
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=8,
+                    partition_mode="hot", hot_convs=hot)
+    replay(cfg)
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    want = duckdb.sql(ORACLE.format(log=log)).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # placement: the whale's keys spread over >1 partition, a cold conv's
+    # keys stay in exactly one
+    by_conv: dict[str, set] = {}
+    for p in Path(lake).glob("part=*/state-*.parquet"):
+        pid = p.parent.name
+        for c in set(pq.read_table(str(p), columns=["conv_id"])
+                     .column("conv_id").to_pylist()):
+            by_conv.setdefault(c, set()).add(pid)
+    assert len(by_conv[hot[0]]) > 1, "whale conv was not salted"
+    cold = [c for c in by_conv if c not in hot]
+    assert cold and all(len(by_conv[c]) == 1 for c in cold), \
+        "cold convs must stay conv-disjoint"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_set_is_layout_gated(tmp_lake):
+    from migration_pair_ray.state.manifest import LakeLayoutError
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=400, n_convs=8, n_files=2, seed=52)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    partition_mode="hot", hot_convs=["c0001"])
+    replay(cfg)
+    bad = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    partition_mode="hot", hot_convs=["c0002"])
+    with pytest.raises(LakeLayoutError):
+        replay(bad)
+    # unchanged set is accepted (no-op replay)
+    assert replay(cfg)["up_to_date"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_lake_fsck_and_lookup(tmp_lake):
+    from migration_pair_ray.pipelines.fsck import validate_lake
+    from migration_pair_ray.pipelines.lookup import candidate_files, lookup_keys
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1200, n_convs=10, n_files=2,
+                        hot_frac=0.4, seed=53)
+    hot = _hot_set(log)
+    assert hot
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=8,
+                    partition_mode="hot", hot_convs=hot)
+    replay(cfg)
+    rep = validate_lake(cfg, deep=True)
+    assert rep["ok"], rep["problems"]
+
+    vis = final_state(cfg).to_pandas()
+    whale_rows = vis[vis["conv_id"] == hot[0]]
+    cold_conv = sorted(set(vis["conv_id"]) - set(hot))[0]
+    cold_rows = vis[vis["conv_id"] == cold_conv]
+    keys = [(hot[0], int(whale_rows.iloc[0]["turn_idx"])),
+            (cold_conv, int(cold_rows.iloc[0]["turn_idx"]))]
+    got = lookup_keys(cfg, [k[0] for k in keys], [k[1] for k in keys])
+    assert got.num_rows == 2
+    # conv-level lookup of a COLD conv prunes to that conv's partition
+    plan = candidate_files(cfg, [cold_conv])
+    all_files = [str(p.relative_to(lake))
+                 for p in Path(lake).glob("part=*/state-*.parquet")]
+    assert 0 < len(plan) < len(all_files)
+
+
+def test_hot_config_validation():
+    with pytest.raises(ValueError, match="non-empty hot_convs"):
+        JobConfig(changelog_dir="x", lake_dir="y", partition_mode="hot")
+    with pytest.raises(ValueError, match="only applies"):
+        JobConfig(changelog_dir="x", lake_dir="y", partition_mode="conv",
+                  hot_convs=["a"])
