@@ -109,6 +109,61 @@ def test_hot_lake_fsck_and_lookup(tmp_lake):
     assert 0 < len(plan) < len(all_files)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_skew_migration_conv_to_hot(tmp_lake, tmp_path):
+    """The operational skew answer end-to-end: a 'conv' lake develops a
+    whale conversation → detect_hot_keys picks it from the stream →
+    repartition_lake rebuilds into a 'hot' layout lake → final state
+    identical, the whale now spreads, and change-log consumption RESUMES
+    against the hot lake (carried checkpoints; new files route under the
+    hot rule)."""
+    import dataclasses
+    import os
+    from migration_pair_ray.pipelines.replay import repartition_lake
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1400, n_convs=12, n_files=2,
+                        tool_epoch=1, hot_frac=0.45, seed=54)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=8,
+                    partition_mode="conv")
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    hot = _hot_set(log)
+    assert hot, "fixture must contain a whale"
+    hot_cfg = dataclasses.replace(cfg, lake_dir=str(tmp_path / "lake_hot"),
+                                  partition_mode="hot", hot_convs=hot)
+    repartition_lake(cfg, hot_cfg)
+    got = final_state(hot_cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # whale keys spread across partitions in the NEW lake
+    whale_parts = set()
+    for p in Path(hot_cfg.lake_dir).glob("part=*/state-*.parquet"):
+        t = pq.read_table(str(p), columns=["conv_id"])
+        if hot[0] in set(t.column("conv_id").to_pylist()):
+            whale_parts.add(p.parent.name)
+    assert len(whale_parts) > 1, "whale conv was not salted after migration"
+
+    # new change files arrive AFTER the migration → only they apply, and
+    # they route under the hot rule (combined state == full-log oracle)
+    extra = str(tmp_path / "extra")
+    generate_change_log(extra, n_events=400, n_convs=12, n_files=1,
+                        tool_epoch=0, hot_frac=0.45, seed=55)
+    for i, p in enumerate(sorted(glob.glob(f"{extra}/*.parquet"))):
+        os.rename(p, os.path.join(log, f"batch-{50 + i:05d}-"
+                                  + os.path.basename(p).split("-", 2)[2]))
+    s2 = replay(hot_cfg)
+    assert s2["files"] == 1 and not s2["up_to_date"]
+    got2 = final_state(hot_cfg).to_pandas().reset_index(drop=True)
+    want2 = duckdb.sql(ORACLE.format(log=log)).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+    from migration_pair_ray.pipelines.fsck import validate_lake
+    rep = validate_lake(hot_cfg, deep=True)
+    assert rep["ok"], rep["problems"]
+
+
 def test_hot_config_validation():
     with pytest.raises(ValueError, match="non-empty hot_convs"):
         JobConfig(changelog_dir="x", lake_dir="y", partition_mode="hot")
