@@ -169,7 +169,8 @@ def warm_cache(paths_dir: str) -> None:
                 pass
 
 
-def run_replay(num_cpus: int) -> dict:
+def run_replay(num_cpus: int, mode: str = "key",
+               hot_convs: list[str] | None = None) -> dict:
     """One replay pass into a fresh lake.  Knobs held CONSTANT across CPU
     counts (same partitions, same layout) so the scaling comparison is the
     same job at two parallelism levels; the apply pool takes half the CPUs
@@ -188,12 +189,69 @@ def run_replay(num_cpus: int) -> dict:
         # instead of measuring the exchange.
         cfg = JobConfig(changelog_dir=BENCH_LOG, lake_dir=lake,
                         num_partitions=int(os.environ.get("GRAFT_BENCH_PARTS", "128")),
-                        partition_mode="key",
+                        partition_mode=mode, hot_convs=hot_convs,
                         apply_concurrency=max(2, num_cpus // 2),
                         hash_state=False)
         return replay(cfg)
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+
+
+def ensure_skew_log() -> str:
+    """The KEY-count-skew fixture for --skew: conv-0 holds ~30% of events
+    spread over 2M distinct turns, so its visible state (~2M keys) lands in
+    ONE partition under mode 'conv' (~26x the average partition's keys).
+    Event-count skew alone is NOT enough to measure layout effects — the
+    per-batch LWW combiner collapses a whale's events to its distinct keys
+    before the exchange (measured: a 10%-event whale over 1.6k keys ties
+    all three modes within noise)."""
+    from migration_pair_ray.changegen import generate_change_log
+    log = f"/tmp/mpr_bench/skewlog-{BENCH_EVENTS}"
+    marker = os.path.join(log, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(log, ignore_errors=True)
+        os.makedirs(log, exist_ok=True)
+        generate_change_log(
+            log, n_events=BENCH_EVENTS, n_convs=50_000,
+            turns_per_conv=400, n_files=64, tool_epoch=8, hot_frac=0.3,
+            hot_turns=2_000_000, delete_frac=0.05, update_frac=0.35,
+            dup_frac=0.03, shuffle_window=500_000, burst_max=6, seed=1234)
+        open(marker, "w").close()
+    return log
+
+
+def skew() -> None:
+    """--skew: replay the SAME whale-skewed log (conv-0: ~30% of events
+    over 2M distinct turns) under the three layouts at the same CPU count
+    — the north-star's "explicit salting of hot conversations" quantified.
+    'conv' routes the whale's ~2M-key state to ONE partition (the
+    straggler case), 'hot' salts only the recorded whale, 'key' salts
+    every key.  Prints one JSON line; record in BASELINE.md."""
+    global BENCH_LOG
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    BENCH_LOG = ensure_skew_log()   # run_replay reads BENCH_LOG
+    warm_cache(BENCH_LOG)
+    run_replay(num_cpus)   # one untimed warm-up (page cache, worker spin-up)
+    out: dict = {"metric": "skew_replay_seconds", "unit": "sec",
+                 "num_cpus": num_cpus, "modes": {}}
+    events = None
+    for mode, hot in (("conv", None), ("hot", ["conv-0"]), ("key", None)):
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s = run_replay(num_cpus, mode=mode, hot_convs=hot)
+            runs.append(round(time.perf_counter() - t0, 3))
+            events = s["events_in"]
+        out["modes"][mode] = {"best": min(runs), "runs": runs,
+                              "events_per_sec": round(events / min(runs), 1)}
+    out["bench_events"] = events
+    ray.shutdown()
+    print(json.dumps(out, separators=(",", ":")))
 
 
 def consume(res) -> int:
@@ -337,6 +395,8 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--skew" in sys.argv:
+        skew()
     elif os.environ.get("GRAFT_BENCH_ONLY_REPLAY", "").lower() in ("1", "true", "yes"):
         # child mode for --scaling: replay only, one JSON line
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -45,6 +45,7 @@ def generate_change_log(
     shuffle_window: int = 0,
     burst_max: int = 1,
     seed: int = 42,
+    hot_turns: int | None = None,
 ) -> list[str]:
     """Write ``n_files`` Parquet change-batch files under ``out_dir``;
     returns the file paths in epoch order.
@@ -69,8 +70,16 @@ def generate_change_log(
     hot_mask_b = rng.random(m) < hot_frac
     conv_b[hot_mask_b] = 0
     turn_b = rng.integers(0, turns_per_conv, size=m, dtype=np.int32)
-    # the hot conversation gets a larger turn space so it holds many keys
-    hot_turns = max(turns_per_conv * 4, 1)
+    # the hot conversation gets a larger turn space so it holds many keys.
+    # hot_turns (default 4x the normal space) controls KEY-count skew —
+    # distinct keys is what actually skews a partition: event-count skew
+    # alone is absorbed by the per-batch LWW combiner before the exchange
+    # (measured: a 10%-event whale over 1.6k keys costs ~nothing in mode
+    # "conv"; a multi-million-KEY whale is the straggler case that
+    # partition_mode="hot"/"key" exists for — bench.py --skew).
+    if hot_turns is None:
+        hot_turns = max(turns_per_conv * 4, 1)
+    hot_turns = max(int(hot_turns), 1)
     turn_b[hot_mask_b] = rng.integers(0, hot_turns, size=int(hot_mask_b.sum()), dtype=np.int32)
     if burst_max <= 1:
         conv, turn = conv_b, turn_b
