@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_csv_roundtrip": q.events_csv_roundtrip,
         # ---- end of the recorded-50 prefix (all entries below are
         # equally oracle-backed; pytest + cold rehearsals cover them) ----
+        "cdc_hotspots": q.cdc_hotspots,
         "cdc_wire_forms": q.cdc_wire_forms,
         "cdc_ttl_expiry": q.cdc_ttl_expiry,
         "cdc_replica_verify": q.cdc_replica_verify,
@@ -396,6 +397,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
+        # whale probe: top-5 convs by visible key count, total order
+        # (n_rows desc, conv_id asc) makes the LIMIT boundary exact
+        "cdc_hotspots": lww_winners + """
+            SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM w WHERE rn = 1 AND op <> 'D'
+            GROUP BY conv_id
+            ORDER BY n_rows DESC, conv_id LIMIT 5""",
         # layout never changes semantics: the hot-mode lake (whale convs
         # salted per-key, everything else conv-disjoint) equals the plain
         # winners bit for bit

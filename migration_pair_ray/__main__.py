@@ -72,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cutoff-us", type=int, default=0,
                    help="expire: tombstone winners with ts before this "
                         "unix-microsecond cutoff")
+    p.add_argument("--top-k", type=int, default=5,
+                   help="hotspots: how many whale conversations to report")
     p.add_argument("--num-cpus", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -118,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["dry_run"] = args.dry_run
     if args.task == "view":
         kw.update(where=args.where, consumer=args.consumer)
+    if args.task == "hotspots":
+        kw["top_k"] = args.top_k
     if args.task == "replay_multi":
         kw.update(sources=args.sources, names=args.names)
 

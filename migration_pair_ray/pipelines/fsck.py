@@ -364,3 +364,30 @@ def lake_stats(cfg: JobConfig) -> dict:
         "retained_records": retained,
         **stream,
     }
+
+
+def lake_hotspots(cfg: JobConfig, k: int = 5):
+    """Top-``k`` conversations by VISIBLE key count — the operational probe
+    behind choosing a ``partition_mode="hot"`` whale set (or a split): the
+    conversations whose state would bottleneck one partition under
+    conv-disjoint placement.
+
+    Distributed end to end: the read is pruned to ``conv_id`` only
+    (``final_state(columns=...)`` — the text payload never leaves storage),
+    per-block histogram partials collapse each block to its distinct convs
+    (``stages/partition.key_histogram``), one tiny groupby sums them, and
+    the sort+limit runs on (#distinct convs) rows, never the raw state.
+    Total deterministic order: (n_rows DESC, conv_id ASC).
+
+    Returns a Dataset with columns ``(conv_id, n_rows)``.  Key-COUNT skew
+    is the signal that matters: event-count skew alone is absorbed by the
+    per-batch LWW combiner before the exchange (bench.py --skew).
+    """
+    from ray.data.aggregate import Sum
+    from migration_pair_ray.pipelines.replay import final_state
+    from migration_pair_ray.stages.partition import key_histogram
+    ds = final_state(cfg, sort=False, columns=["conv_id"])
+    return (ds.map_batches(key_histogram, batch_format="pyarrow")
+            .groupby("conv_id").aggregate(Sum("cnt", alias_name="n_rows"))
+            .sort(["n_rows", "conv_id"], descending=[True, False])
+            .limit(int(k)))

@@ -4503,6 +4503,18 @@ def cdc_hot_layout(sf_dir: str):
     return final_state(cfg, sort=True)
 
 
+def cdc_hotspots(sf_dir: str):
+    """Whale probe over the events lake: top-5 conversations by VISIBLE
+    key count (``pipelines/fsck.lake_hotspots``) — the operational input
+    to choosing a ``partition_mode="hot"`` whale set or a split target.
+    conv_id-pruned distributed read, per-block histogram partials, tiny
+    groupby, deterministic (n_rows DESC, conv_id ASC) order.  Oracle: the
+    same top-5 over the LWW winners in SQL."""
+    from migration_pair_ray.pipelines.fsck import lake_hotspots
+    cfg = _events_lake(sf_dir)
+    return lake_hotspots(cfg, k=5)
+
+
 def cdc_snapshot_incremental(sf_dir: str):
     """Incremental snapshot export roundtrip: per-partition visible-state
     files written by pipelines/snapshot.snapshot_incremental (fingerprint-

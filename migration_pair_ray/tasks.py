@@ -73,6 +73,17 @@ def task_stats(cfg: JobConfig, **kw) -> dict:
     return lake_stats(cfg)
 
 
+def task_hotspots(cfg: JobConfig, top_k: int = 5, **kw) -> dict:
+    """Top-k conversations by visible key count (pipelines/fsck.
+    lake_hotspots) — the probe behind choosing a partition_mode='hot'
+    whale set or a split target.  Distributed, conv_id-pruned read."""
+    from migration_pair_ray.pipelines.fsck import lake_hotspots
+    rows = lake_hotspots(cfg, k=top_k).take_all()
+    return {"top_k": int(top_k),
+            "hotspots": [{"conv_id": r["conv_id"],
+                          "n_rows": int(r["n_rows"])} for r in rows]}
+
+
 def task_fsck(cfg: JobConfig, deep: bool = False, **kw) -> dict:
     """Read-only lake audit: manifests vs on-disk files (pipelines/fsck).
     ``deep`` re-reads state files (hash, tombstones, key uniqueness,
@@ -457,6 +468,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "tail": task_tail,
     "fsck": task_fsck,
     "stats": task_stats,
+    "hotspots": task_hotspots,
 }
 
 

@@ -164,6 +164,44 @@ def test_skew_migration_conv_to_hot(tmp_lake, tmp_path):
     assert rep["ok"], rep["problems"]
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_lake_hotspots_probe_and_cli(tmp_lake, tmp_path):
+    """lake_hotspots ranks conversations by VISIBLE key count (the signal
+    that actually skews a partition), deterministic tie-break by conv_id;
+    top-1 is the whale; CLI `hotspots --top-k` round-trips it."""
+    import json
+    import subprocess
+    import sys
+    from migration_pair_ray.pipelines.fsck import lake_hotspots
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1200, n_convs=10, n_files=2,
+                        hot_frac=0.5, hot_turns=300, seed=56)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=8)
+    from migration_pair_ray.pipelines.replay import replay as _replay
+    _replay(cfg)
+
+    vis = final_state(cfg).to_pandas()
+    want = (vis.groupby("conv_id").size().reset_index(name="n_rows")
+            .sort_values(["n_rows", "conv_id"], ascending=[False, True])
+            .head(4).reset_index(drop=True))
+    got = lake_hotspots(cfg, k=4).to_pandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.iloc[0]["conv_id"] == "conv-0", "whale must rank first"
+
+    cfg_path = tmp_path / "job.json"
+    cfg.to_json(cfg_path)
+    out = subprocess.run(
+        [sys.executable, "-m", "migration_pair_ray", "hotspots",
+         "--config", str(cfg_path), "--top-k", "2", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["top_k"] == 2 and len(summary["hotspots"]) == 2
+    assert summary["hotspots"][0] == {"conv_id": "conv-0",
+                                      "n_rows": int(want.iloc[0]["n_rows"])}
+
+
 def test_hot_config_validation():
     with pytest.raises(ValueError, match="non-empty hot_convs"):
         JobConfig(changelog_dir="x", lake_dir="y", partition_mode="hot")
