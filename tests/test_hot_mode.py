@@ -202,6 +202,79 @@ def test_lake_hotspots_probe_and_cli(tmp_lake, tmp_path):
                                       "n_rows": int(want.iloc[0]["n_rows"])}
 
 
+def test_hot_routing_invariants():
+    """Mode 'hot' is exactly mode 'conv' for cold convs and exactly mode
+    'key' for whales — per-row, on the same batch."""
+    import pyarrow as pa
+    from migration_pair_ray.stages.partition import partition_ids
+    rng = np.random.default_rng(7)
+    convs = [f"conv-{i}" for i in rng.integers(0, 40, size=5000)]
+    turns = rng.integers(0, 500, size=5000).astype(np.int32)
+    batch = pa.table({"conv_id": pa.array(convs, pa.string()),
+                      "turn_idx": pa.array(turns, pa.int32())})
+    whales = ("conv-3", "conv-17")
+    p_conv = partition_ids(batch, 16, "conv")
+    p_key = partition_ids(batch, 16, "key")
+    p_hot = partition_ids(batch, 16, "hot", hot_convs=whales)
+    is_whale = np.isin(np.asarray(convs), np.asarray(whales))
+    assert (p_hot[~is_whale] == p_conv[~is_whale]).all()
+    assert (p_hot[is_whale] == p_key[is_whale]).all()
+    # and the whale actually spreads while cold convs stay put
+    assert len(set(p_hot[is_whale].tolist())) > 1
+    for c in set(convs) - set(whales):
+        m = np.asarray(convs) == c
+        assert len(set(p_hot[m].tolist())) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_composes_with_split_chunked_mor(tmp_lake):
+    """Layout-feature composition matrix on one lake: hot whale salting ×
+    chunked state files × merge-on-read deltas × incremental partition
+    split — final state stays oracle-green and deep fsck passes."""
+    import os
+    from migration_pair_ray.pipelines.compact import (compact_deltas,
+                                                      split_partition)
+    from migration_pair_ray.pipelines.fsck import validate_lake
+
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=1600, n_convs=12, n_files=4,
+                                tool_epoch=2, hot_frac=0.45, hot_turns=400,
+                                shuffle_window=200, seed=58)
+    # stage the last two files so the second pass lands as MoR deltas
+    held = [Path(f) for f in files[2:]]
+    staged = [p.with_suffix(".hold") for p in held]
+    for p, s in zip(held, staged):
+        os.rename(p, s)
+
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    partition_mode="hot", hot_convs=["conv-0"],
+                    state_chunk_rows=64, mor_max_deltas=4)
+    replay(cfg)
+    # split the whale-heavy partition (the whale salts over all 4, so any
+    # partition is a valid target; pick the largest)
+    from migration_pair_ray.state.manifest import ManifestStore
+    store = ManifestStore(os.path.join(lake, "_manifest"))
+    sizes = {pid: (store.read(pid) or {}).get("row_count", 0)
+             for pid in range(4)}
+    big = max(sizes, key=lambda p: sizes[p])
+    split_partition(cfg, big, fanout=2)
+
+    for p, s in zip(held, staged):
+        os.rename(s, p)
+    s2 = replay(cfg)
+    assert s2["files"] == 2
+
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    want = duckdb.sql(ORACLE.format(log=log)).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    compact_deltas(cfg)
+    got2 = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+    rep = validate_lake(cfg, deep=True)
+    assert rep["ok"], rep["problems"]
+
+
 def test_hot_config_validation():
     with pytest.raises(ValueError, match="non-empty hot_convs"):
         JobConfig(changelog_dir="x", lake_dir="y", partition_mode="hot")
