@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_feed_resume": q.cdc_feed_resume,
         "cdc_replica": q.cdc_replica,
         "cdc_replica_repair": q.cdc_replica_repair,
+        "cdc_refill": q.cdc_refill,
         "cdc_replica_bootstrap": q.cdc_replica_bootstrap,
         "cdc_delete_where": q.cdc_delete_where,
         "cdc_txn_boundary": q.cdc_txn_boundary,
@@ -394,6 +395,12 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         "cdc_two_phase_replay": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY conv_id, turn_idx""",
+        # disaster recovery: a dropped partition rebuilt from the retained
+        # change log equals the plain winners
+        "cdc_refill": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",

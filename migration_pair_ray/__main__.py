@@ -26,7 +26,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default="", help="snapshot output dir")
     p.add_argument("--fmt", default="", help="snapshot/bulk_load format")
     p.add_argument("--base-pid", type=int, default=-1,
-                   help="split: base partition to split")
+                   help="split: base partition to split; refill: the "
+                        "partition to rebuild from the change log")
     p.add_argument("--fanout", type=int, default=2,
                    help="split: number of children")
     p.add_argument("--max-rows", type=int, default=0,
@@ -104,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         kw.update(where=args.where, tag=args.tag)
     if args.task == "index":
         kw["column"] = args.column
-    if args.task == "compact":
+    if args.task in ("compact", "refill"):
         kw["base_pid"] = args.base_pid
     if args.task in ("feed", "export_feed"):
         kw.update(consumer=args.consumer, ack=args.ack)

@@ -4515,6 +4515,36 @@ def cdc_hotspots(sf_dir: str):
     return lake_hotspots(cfg, k=5)
 
 
+def cdc_refill(sf_dir: str):
+    """Partition disaster recovery on the oracle path: the derived change
+    log replayed into a dedicated lake, then one non-empty partition's
+    manifest + state files are DROPPED and rebuilt from the retained log
+    (``pipelines/repair.refill_partition`` — O(log read) + one partition's
+    merge, sound because the LWW kernels are join-semilattices).  The
+    recovered lake must equal the plain winners.  The drop+refill runs on
+    every call (idempotent, deterministic pass id) so the recovery path is
+    exercised, not cached."""
+    from migration_pair_ray.pipelines.repair import refill_partition
+    src = _events_lake(sf_dir)   # reuse the derived change files
+    root = Path(src.changelog_dir).parent
+    log2, lake2 = str(root / "log_refill"), str(root / "lake_refill")
+    if not Path(log2).exists():
+        os.makedirs(log2)
+        for f in sorted(Path(src.changelog_dir).glob("batch-*.parquet")):
+            os.link(f, Path(log2) / f.name)
+    cfg = JobConfig(changelog_dir=log2, lake_dir=lake2, num_partitions=16)
+    replay(cfg)   # no-op when already up to date
+    # deterministic victim: the largest partition
+    from migration_pair_ray.state.manifest import ManifestStore
+    store = ManifestStore(cfg.manifest_dir)
+    pid = max(range(16), key=lambda p: ((store.read(p) or {}).get("row_count", 0), -p))
+    for sf in Path(lake2, f"part={pid:05d}").glob("state-*.parquet"):
+        sf.unlink()
+    store.delete(pid)
+    refill_partition(cfg, pid)
+    return final_state(cfg, sort=True)
+
+
 def cdc_snapshot_incremental(sf_dir: str):
     """Incremental snapshot export roundtrip: per-partition visible-state
     files written by pipelines/snapshot.snapshot_incremental (fingerprint-

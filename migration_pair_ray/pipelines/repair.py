@@ -292,3 +292,213 @@ def _repair_locked(src: JobConfig, dst: JobConfig, n_buckets: int,
         out["clean_after"] = bool(
             verify_replica(src, dst, n_buckets=n_buckets).num_rows == 0)
     return out
+
+
+# --------------------------------------------------------------------------
+# Partition refill: disaster recovery from the retained change log
+
+
+class RefillError(RuntimeError):
+    """The partition cannot be reconstructed from this lake's change log
+    (the error says why and what to do instead)."""
+
+
+def _effective_passes(cfg: JobConfig) -> list[dict]:
+    """Committed passes whose effects constitute the lake's CURRENT state,
+    in seq order.  Folds rollbacks (a rollback pass removes every earlier
+    pass above its target seq); refuses histories a log replay cannot
+    express: unstamped passes, replica repairs (state spliced from another
+    lake), multi-source ingests (lsn order holds only under the ingest's
+    namespacing), and bulk loads (their bytes live outside the log)."""
+    from migration_pair_ray.pipelines.feed import (FeedUnstampedError,
+                                                   _refuse_multi_source)
+    from migration_pair_ray.state.manifest import CheckpointStore
+    ck = CheckpointStore(cfg.checkpoint_dir)
+    recs = []
+    for p in sorted(Path(ck.dir).glob("pass-*.json")):
+        with open(p) as f:
+            rec = json.load(f)
+        if "seq" not in rec:
+            raise FeedUnstampedError(
+                f"pass {rec.get('pass_id')!r} has no seq stamp (older "
+                f"engine version) — its position in the apply order is "
+                f"unknowable; refill cannot reconstruct state")
+        recs.append(rec)
+    recs.sort(key=lambda r: int(r["seq"]))
+    eff: list[dict] = []
+    for rec in recs:
+        stats = rec.get("stats") or {}
+        if stats.get("rollback_to") is not None:
+            t = int(stats["target_seq"])
+            eff = [r for r in eff if int(r["seq"]) <= t]
+            continue
+        if stats.get("repair_of") is not None:
+            raise RefillError(
+                f"pass {rec['pass_id']!r} is a replica repair from "
+                f"{stats['repair_of']!r}: its spliced state is not in this "
+                f"lake's change log — re-run repair_replica against that "
+                f"replica instead of refill")
+        _refuse_multi_source(rec, "refill a partition from")
+        for name in rec.get("files", []):
+            if name.startswith("bulk:"):
+                raise RefillError(
+                    f"pass {rec['pass_id']!r} is a bulk load "
+                    f"({name!r}): its bytes were never in the change log — "
+                    f"re-run the bulk load or bootstrap from a replica")
+        eff.append(rec)
+    return eff
+
+
+class _RefillApplier:
+    """Applier wrapper stamping ``lineage_break`` into the manifest commit
+    ATOMICALLY (the refilled partition's retained history is gone — time
+    travel to earlier passes must raise, not silently answer 'empty';
+    same rule as split/merge children, state/manifest.py)."""
+
+    def __init__(self, *args):
+        from migration_pair_ray.stages.applier import Applier
+        self._inner = Applier(*args)
+        inner_commit = self._inner._commit
+
+        def commit(pid: int, record: dict, referenced: set) -> None:
+            inner_commit(pid, dict(record, lineage_break=True), referenced)
+        self._inner._commit = commit
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        return self._inner(group)
+
+
+def refill_partition(cfg: JobConfig, pid: int) -> dict:
+    """Rebuild ONE partition's state from the retained change log — the
+    recovery path for a lost/corrupted state file when no replica exists
+    (``repair_replica`` is the cheaper fix when one does).
+
+    O(log read) + O(one partition merge+write): every committed pass's
+    change files are re-read (column-pruned only by Parquet row groups —
+    the log IS the recovery source), filtered to the rows that route to
+    ``pid`` under the lake's stamped layout (mode/splits/hot set), and
+    merged in ONE pass — sound because both merge kernels are join-
+    semilattices (the same property bootstrap_replica's overlap re-apply
+    relies on), and per-log lsns are unique so cross-pass order is
+    immaterial.  The quarantine gate is re-applied when configured (rows
+    the original replay diverted must not resurrect).  Refuses lakes whose
+    state is not a pure function of the log: txn-gated (held-back events
+    interleave with a registry), repaired-from-replica, multi-source,
+    bulk-loaded (see _effective_passes).
+
+    The fresh manifest carries ``lineage_break`` (retained history for
+    this partition is unrecoverable — it was corrupt) and is stamped with
+    the LAST COMMITTED pass seq, so ``as_of='latest'`` resolves on a
+    quiescent lake while older as-of reads raise.  Crash-safe: the
+    manifest is deleted first (fsck flags the partition; a re-run
+    completes the rebuild with the same deterministic pass id/bytes)."""
+    from migration_pair_ray.pipelines.compact import _lease
+    with _lease(cfg, "refill"):
+        return _refill_locked(cfg, pid)
+
+
+def _refill_locked(cfg: JobConfig, pid: int) -> dict:
+    import pyarrow.compute as _pc  # noqa: F401  (kernels via pa.compute)
+    from migration_pair_ray.pipelines.replay import (_push_shuffle,
+                                                     apply_changes_ds)
+    from migration_pair_ray.sources.changelog import (read_changes,
+                                                      unified_schema)
+    from migration_pair_ray.stages.partition import partition_ids
+    from migration_pair_ray.state.bloom import gc_partition_files
+    from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
+
+    t0 = time.perf_counter()
+    if cfg.txn_boundary:
+        raise RefillError(
+            "refill on a txn-gated lake is not supported: held-back "
+            "events interleave with the commit-marker registry; restore "
+            "from a replica (bootstrap_replica) instead")
+    meta = LakeMeta(cfg.lake_dir)
+    cur = meta.read()
+    if cur is None:
+        raise RefillError(f"no lake at {cfg.lake_dir}")
+    meta.ensure(cfg.num_partitions, cfg.partition_mode, cfg.merge_kernel,
+                cfg.hot_convs)   # config must match the stamped layout
+    active = set(meta.active_partition_ids(cfg.num_partitions))
+    if pid not in active:
+        raise RefillError(f"partition {pid} is not active in this layout "
+                          f"(active: {sorted(active)})")
+
+    eff = _effective_passes(cfg)
+    paths: list[str] = []
+    for rec in eff:
+        for name in rec.get("files", []):
+            p = Path(cfg.changelog_dir) / name
+            if not p.exists():
+                raise RefillError(
+                    f"change file {name!r} of committed pass "
+                    f"{rec['pass_id']!r} has left the log (truncated?): "
+                    f"refill needs the full effective history — restore "
+                    f"from a replica instead")
+            paths.append(str(p))
+    last_seq = max((int(r["seq"]) for r in eff), default=-1)
+
+    h = hashlib.sha256(f"refill:{pid}:".encode())
+    for p in paths:
+        h.update(os.path.basename(p).encode() + b"\0")
+    pass_id = h.hexdigest()[:16]
+
+    # drop the (possibly corrupt) manifest so the merge starts from empty;
+    # its files are GC'd AFTER the new commit (they may be the only copy
+    # until the rebuild lands — and unreferenced bytes are harmless)
+    store = ManifestStore(cfg.manifest_dir)
+    store.delete(pid)
+
+    n_parts = int(cur["num_partitions"])
+    mode = cur["partition_mode"]
+    splits = meta.splits()
+    hot = meta.hot_convs()
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = partition_ids(b, n_parts, mode, splits, hot)
+        return b.filter(pa.array(ids == pid))
+
+    rows_applied = 0
+    if paths:
+        with _push_shuffle():
+            ds = read_changes(paths, unified_schema(paths))
+            if cfg.quarantine_dir:
+                # same gate as replay: rows the original passes diverted
+                # to the dead-letter sink must not resurrect in the merge
+                import shutil as _sh
+                from migration_pair_ray.stages.quarantine import \
+                    make_quarantine_gate
+                qdir = Path(cfg.quarantine_dir) / f"pass-{pass_id}"
+                _sh.rmtree(qdir, ignore_errors=True)
+                qdir.mkdir(parents=True, exist_ok=True)
+                ds = ds.map_batches(
+                    make_quarantine_gate(str(qdir), cfg.merge_kernel),
+                    batch_format="pyarrow")
+            ds = ds.map_batches(keep, batch_format="pyarrow")
+            lineage = apply_changes_ds(ds, cfg, pass_id,
+                                       applier_cls=_RefillApplier,
+                                       splits=splits, hot_convs=hot,
+                                       pass_seq=last_seq)
+            if lineage.num_rows:
+                rows_applied = int(pa.compute.sum(
+                    lineage.column("rows_in")).as_py() or 0)
+
+    rec = store.read(pid)
+    if rec is None:
+        # no surviving rows route here — commit an explicit empty record
+        # (fsck sees a committed partition, not a missing manifest)
+        empty = {"partition": pid, "pass_id": pass_id, "row_count": 0,
+                 "tombstones": 0, "data_file": None, "lineage_break": True}
+        if last_seq >= 0:
+            empty["pass_seq"] = last_seq
+        store.commit(pid, empty)
+        gc_partition_files(cfg.lake_dir, pid, set())
+        rec = store.read(pid)
+
+    return {"partition": pid, "pass_id": pass_id,
+            "passes_replayed": len(eff), "files_read": len(paths),
+            "rows_in_partition": rows_applied,
+            "rows_state": int(rec.get("row_count", 0)),
+            "seconds": time.perf_counter() - t0}

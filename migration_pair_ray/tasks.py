@@ -84,6 +84,16 @@ def task_hotspots(cfg: JobConfig, top_k: int = 5, **kw) -> dict:
                           "n_rows": int(r["n_rows"])} for r in rows]}
 
 
+def task_refill(cfg: JobConfig, base_pid: int = -1, **kw) -> dict:
+    """Rebuild one partition's state from the retained change log
+    (pipelines/repair.refill_partition) — disaster recovery for a lost or
+    corrupted state file when no replica exists."""
+    if base_pid < 0:
+        raise ValueError("refill needs --base-pid (the partition to rebuild)")
+    from migration_pair_ray.pipelines.repair import refill_partition
+    return refill_partition(cfg, base_pid)
+
+
 def task_fsck(cfg: JobConfig, deep: bool = False, **kw) -> dict:
     """Read-only lake audit: manifests vs on-disk files (pipelines/fsck).
     ``deep`` re-reads state files (hash, tombstones, key uniqueness,
@@ -469,6 +479,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "fsck": task_fsck,
     "stats": task_stats,
     "hotspots": task_hotspots,
+    "refill": task_refill,
 }
 
 

@@ -1,0 +1,219 @@
+"""Partition refill: rebuild one partition's state from the retained
+change log (pipelines/repair.refill_partition) — the no-replica disaster
+recovery path."""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from migration_pair_ray.changegen import generate_change_log
+from migration_pair_ray.config import JobConfig
+from migration_pair_ray.pipelines.fsck import validate_lake
+from migration_pair_ray.pipelines.repair import RefillError, refill_partition
+from migration_pair_ray.pipelines.replay import final_state, replay
+
+ORACLE = """
+WITH ch AS (SELECT * FROM read_parquet({files}, union_by_name=true)),
+w AS (SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) rn FROM ch)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM w WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
+
+def _oracle(files) -> pd.DataFrame:
+    lst = "[" + ",".join(f"'{f}'" for f in files) + "]"
+    return duckdb.sql(ORACLE.format(files=lst)).df().reset_index(drop=True)
+
+
+def _nonempty_pid(lake: str) -> int:
+    for m in sorted(Path(lake, "_manifest").glob("part-*.json")):
+        rec = json.loads(m.read_text())
+        if rec.get("row_count", 0) > 0:
+            return int(rec["partition"])
+    raise AssertionError("no non-empty partition")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_recovers_lost_state_file(tmp_lake):
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=1200, n_convs=10, n_files=3,
+                                tool_epoch=1, shuffle_window=150, seed=60)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=6)
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    pid = _nonempty_pid(lake)
+    victim = sorted(Path(lake, f"part={pid:05d}").glob("state-*.parquet"))[0]
+    os.remove(victim)                                   # lost state file
+    rep = validate_lake(cfg, deep=True)
+    assert not rep["ok"]
+
+    s = refill_partition(cfg, pid)
+    assert s["partition"] == pid and s["rows_state"] > 0
+    rep2 = validate_lake(cfg, deep=True)
+    assert rep2["ok"], rep2["problems"]
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    pd.testing.assert_frame_equal(got, _oracle(files), check_dtype=False)
+
+    # idempotent: a second refill re-commits the same pass id / state
+    s2 = refill_partition(cfg, pid)
+    assert s2["pass_id"] == s["pass_id"]
+    got2 = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_corrupted_chunked_hot_lake(tmp_lake):
+    """Composition: chunked state x hot whale salting; corruption (a
+    truncated chunk) detected by deep fsck, repaired by refill."""
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1500, n_convs=12, n_files=3,
+                        hot_frac=0.4, hot_turns=400, tool_epoch=1, seed=61)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=6,
+                    partition_mode="hot", hot_convs=["conv-0"],
+                    state_chunk_rows=64, hash_state=True)
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    pid = _nonempty_pid(lake)
+    victim = sorted(Path(lake, f"part={pid:05d}").glob("state-*.parquet"))[0]
+    t = pq.read_table(str(victim))
+    pq.write_table(t.slice(0, max(t.num_rows - 1, 0)), str(victim))
+    assert not validate_lake(cfg, deep=True)["ok"]
+
+    refill_partition(cfg, pid)
+    rep = validate_lake(cfg, deep=True)
+    assert rep["ok"], rep["problems"]
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_folds_rollback_history(tmp_lake, tmp_path):
+    """After a rollback, the effective history excludes the rolled-back
+    pass — refill must reproduce the ROLLED-BACK state, not the union."""
+    from migration_pair_ray.pipelines.compact import rollback_to
+
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=900, n_convs=8, n_files=3,
+                                tool_epoch=1, seed=62)
+    # stage: pass 1 = files 0-1, pass 2 = file 2
+    held = Path(files[2])
+    held_tmp = held.with_suffix(".hold")
+    os.rename(held, held_tmp)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    retain_passes=2)
+    p1 = replay(cfg)["pass_id"]
+    os.rename(held_tmp, held)
+    replay(cfg)
+    rollback_to(cfg, p1)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(want, _oracle(files[:2]), check_dtype=False)
+
+    pid = _nonempty_pid(lake)
+    os.remove(Path(lake, "_manifest", f"part-{pid:05d}.json"))
+    refill_partition(cfg, pid)
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_time_travel_contract(tmp_lake):
+    """The refilled partition carries lineage_break: as_of an earlier pass
+    raises (its retained history is gone), 'latest' still resolves."""
+    from migration_pair_ray.pipelines.replay import read_lake
+    from migration_pair_ray.state.manifest import TimeTravelError
+
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=800, n_convs=8, n_files=2,
+                                tool_epoch=1, seed=63)
+    held = Path(files[1]); held_tmp = held.with_suffix(".hold")
+    os.rename(held, held_tmp)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    retain_passes=2)
+    p1 = replay(cfg)["pass_id"]
+    os.rename(held_tmp, held)
+    replay(cfg)
+    # time travel works before the refill
+    read_lake(cfg, as_of=p1).count()
+
+    pid = _nonempty_pid(lake)
+    refill_partition(cfg, pid)
+    with pytest.raises(TimeTravelError):
+        read_lake(cfg, as_of=p1).count()
+    assert read_lake(cfg, as_of="latest").count() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_refusals(tmp_lake, tmp_path):
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=400, n_convs=6, n_files=2, seed=64)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4)
+    replay(cfg)
+
+    with pytest.raises(RefillError, match="not active"):
+        refill_partition(cfg, 99)
+
+    # txn-gated lakes refuse up front
+    txn_cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                        txn_boundary=True)
+    with pytest.raises(RefillError, match="txn"):
+        refill_partition(txn_cfg, 0)
+
+    # a bulk-load pass's bytes are outside the log
+    import pyarrow.csv as pacsv
+    from migration_pair_ray.pipelines.bulk_load import bulk_load
+    src = final_state(cfg).to_pandas().head(5)
+    csv_path = tmp_path / "seed.csv"
+    src.to_csv(csv_path, index=False)
+    bulk_load(cfg, str(csv_path), fmt="csv")
+    with pytest.raises(RefillError, match="bulk"):
+        refill_partition(cfg, 0)
+
+    # a truncated log (missing committed change file) refuses
+    log2 = tmp_path / "log2"; lake2 = tmp_path / "lake2"
+    generate_change_log(str(log2), n_events=300, n_convs=6, n_files=2, seed=65)
+    cfg2 = JobConfig(changelog_dir=str(log2), lake_dir=str(lake2),
+                     num_partitions=4)
+    replay(cfg2)
+    victim = sorted(glob.glob(f"{log2}/batch-*.parquet"))[0]
+    os.remove(victim)
+    with pytest.raises(RefillError, match="left the log"):
+        refill_partition(cfg2, _nonempty_pid(str(lake2)))
+
+
+def test_refill_task_cli(tmp_path):
+    """CLI e2e in a subprocess (owns its Ray session)."""
+    log = tmp_path / "log"
+    generate_change_log(str(log), n_events=300, n_convs=5, n_files=2, seed=66)
+    cfg = JobConfig(changelog_dir=str(log), lake_dir=str(tmp_path / "lake"),
+                    num_partitions=4)
+    cfg_path = tmp_path / "job.json"
+    cfg.to_json(cfg_path)
+    out = subprocess.run(
+        [sys.executable, "-m", "migration_pair_ray", "replay",
+         "--config", str(cfg_path), "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    pid = _nonempty_pid(cfg.lake_dir)
+    os.remove(sorted(Path(cfg.lake_dir, f"part={pid:05d}")
+                     .glob("state-*.parquet"))[0])
+    out = subprocess.run(
+        [sys.executable, "-m", "migration_pair_ray", "refill",
+         "--config", str(cfg_path), "--base-pid", str(pid),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["partition"] == pid and summary["rows_state"] > 0
