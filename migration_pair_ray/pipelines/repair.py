@@ -502,3 +502,31 @@ def _refill_locked(cfg: JobConfig, pid: int) -> dict:
             "rows_in_partition": rows_applied,
             "rows_state": int(rec.get("row_count", 0)),
             "seconds": time.perf_counter() - t0}
+
+
+def refill_damaged(cfg: JobConfig) -> dict:
+    """Self-healing sweep: deep-fsck the lake, refill every ACTIVE
+    partition with a detected problem, re-audit.  Partition-scoped damage
+    (lost/truncated/corrupt state files, duplicate or misrouted keys,
+    manifest-count drift, missing retained files) is all fixed by a
+    rebuild; non-partition problems (if any) are returned untouched in
+    ``unfixed``.  One lease spans audit → refills → re-audit
+    (refill_partition's acquisition is process-reentrant)."""
+    from migration_pair_ray.pipelines.compact import _lease
+    from migration_pair_ray.pipelines.fsck import validate_lake
+    with _lease(cfg, "refill"):
+        t0 = time.perf_counter()
+        rep = validate_lake(cfg, deep=True)
+        if rep["ok"]:
+            return {"ok": True, "refilled": [], "unfixed": [],
+                    "seconds": time.perf_counter() - t0}
+        from migration_pair_ray.state.manifest import LakeMeta
+        active = set(LakeMeta(cfg.lake_dir)
+                     .active_partition_ids(cfg.num_partitions))
+        pids = sorted({int(p["partition"]) for p in rep["problems"]
+                       if int(p["partition"]) in active})
+        results = [refill_partition(cfg, pid) for pid in pids]
+        after = validate_lake(cfg, deep=True)
+        return {"ok": after["ok"], "refilled": results,
+                "unfixed": after["problems"],
+                "seconds": time.perf_counter() - t0}

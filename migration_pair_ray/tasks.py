@@ -85,12 +85,15 @@ def task_hotspots(cfg: JobConfig, top_k: int = 5, **kw) -> dict:
 
 
 def task_refill(cfg: JobConfig, base_pid: int = -1, **kw) -> dict:
-    """Rebuild one partition's state from the retained change log
-    (pipelines/repair.refill_partition) — disaster recovery for a lost or
-    corrupted state file when no replica exists."""
+    """Rebuild partition state from the retained change log — disaster
+    recovery for lost/corrupted state files when no replica exists.
+    With --base-pid: rebuild that one partition (refill_partition);
+    without: deep-fsck and refill every damaged partition
+    (refill_damaged)."""
+    from migration_pair_ray.pipelines.repair import (refill_damaged,
+                                                     refill_partition)
     if base_pid < 0:
-        raise ValueError("refill needs --base-pid (the partition to rebuild)")
-    from migration_pair_ray.pipelines.repair import refill_partition
+        return refill_damaged(cfg)
     return refill_partition(cfg, base_pid)
 
 

@@ -193,6 +193,45 @@ def test_refill_refusals(tmp_lake, tmp_path):
         refill_partition(cfg2, _nonempty_pid(str(lake2)))
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_refill_damaged_sweep(tmp_lake):
+    """Self-healing: two partitions damaged two different ways; the sweep
+    finds and refills exactly those, re-audit green, state equals control."""
+    from migration_pair_ray.pipelines.repair import refill_damaged
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1200, n_convs=10, n_files=3,
+                        tool_epoch=1, seed=67)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=6,
+                    hash_state=True)
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    # an already-clean lake sweeps to a no-op
+    s0 = refill_damaged(cfg)
+    assert s0["ok"] and s0["refilled"] == []
+
+    pids = []
+    for m in sorted(Path(lake, "_manifest").glob("part-*.json")):
+        rec = json.loads(m.read_text())
+        if rec.get("row_count", 0) > 0:
+            pids.append(int(rec["partition"]))
+        if len(pids) == 2:
+            break
+    assert len(pids) == 2
+    f0 = sorted(Path(lake, f"part={pids[0]:05d}").glob("state-*.parquet"))[0]
+    os.remove(f0)                                       # lost file
+    f1 = sorted(Path(lake, f"part={pids[1]:05d}").glob("state-*.parquet"))[0]
+    t = pq.read_table(str(f1))
+    pq.write_table(t.slice(0, t.num_rows - 1), str(f1))  # truncated file
+
+    s = refill_damaged(cfg)
+    assert s["ok"], s["unfixed"]
+    assert sorted(r["partition"] for r in s["refilled"]) == sorted(pids)
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_refill_task_cli(tmp_path):
     """CLI e2e in a subprocess (owns its Ray session)."""
     log = tmp_path / "log"
