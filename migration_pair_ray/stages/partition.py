@@ -117,9 +117,16 @@ def key_histogram(batch: pa.Table) -> pa.Table:
 def detect_hot_keys(ds, hot_frac: float = 0.05) -> "pa.Table":
     """Global conv histogram (via per-batch partials — the raw events never
     shuffle) → conversations holding more than ``hot_frac`` of all events.
-    The skew probe behind the choice of ``partition_mode="key"``: if this
-    returns rows, mode "conv" would bottleneck one partition on one
-    conversation and the salted layout should be used.
+    The skew probe behind the choice of ``partition_mode="key"``/"hot": if
+    this returns rows, mode "conv" may bottleneck one partition on one
+    conversation and a salted layout should be considered.
+
+    Counts EVENTS per conv (the stream-side signal).  Note the measured
+    nuance (bench.py --skew): event-count skew alone is absorbed by the
+    per-batch LWW combiner; what actually skews a partition is distinct-KEY
+    count — on an existing lake prefer ``pipelines/fsck.lake_hotspots``,
+    which ranks by visible keys.  An event-hot conv is still the right
+    candidate set to CHECK (key-hot implies event-hot in an upsert stream).
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
