@@ -84,6 +84,32 @@ def task_hotspots(cfg: JobConfig, top_k: int = 5, **kw) -> dict:
                           "n_rows": int(r["n_rows"])} for r in rows]}
 
 
+def task_history(cfg: JobConfig, **kw) -> dict:
+    """Committed-pass history in seq order — the ops ledger: one row per
+    pass with its kind (replay / bulk / rollback / repair), file count and
+    recorded stats.  Read-only, checkpoint-dir only (no data reads)."""
+    import json as _json
+    from pathlib import Path
+    from migration_pair_ray.state.manifest import CheckpointStore
+    ck = CheckpointStore(cfg.checkpoint_dir)
+    rows = []
+    for p in sorted(Path(ck.dir).glob("pass-*.json")):
+        with open(p) as f:
+            rec = _json.load(f)
+        stats = rec.get("stats") or {}
+        files = rec.get("files", [])
+        kind = ("rollback" if stats.get("rollback_to") is not None
+                else "repair" if stats.get("repair_of") is not None
+                else "bulk" if any(n.startswith("bulk:") for n in files)
+                else "replay")
+        rows.append({"seq": rec.get("seq", -1), "pass_id": rec["pass_id"],
+                     "kind": kind, "files": len(files),
+                     "events_in": stats.get("events_in"),
+                     "partitions": stats.get("partitions")})
+    rows.sort(key=lambda r: r["seq"])
+    return {"passes": rows, "count": len(rows)}
+
+
 def task_refill(cfg: JobConfig, base_pid: int = -1, **kw) -> dict:
     """Rebuild partition state from the retained change log — disaster
     recovery for lost/corrupted state files when no replica exists.
@@ -483,6 +509,7 @@ TASKS: dict[str, Callable[..., dict]] = {
     "stats": task_stats,
     "hotspots": task_hotspots,
     "refill": task_refill,
+    "history": task_history,
 }
 
 

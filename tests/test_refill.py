@@ -232,6 +232,55 @@ def test_refill_damaged_sweep(tmp_lake):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_refill_crash_window_resumes(tmp_lake):
+    """Crash between the manifest drop and the rebuild: fsck flags the
+    partition (orphan files, no manifest); a re-run of refill completes
+    the recovery."""
+    from migration_pair_ray.state.manifest import ManifestStore
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=600, n_convs=8, n_files=2, seed=68)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4)
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    pid = _nonempty_pid(lake)
+    # simulate refill crashing right after its first mutation
+    ManifestStore(cfg.manifest_dir).delete(pid)
+    assert not validate_lake(cfg, deep=True)["ok"]
+
+    refill_partition(cfg, pid)
+    assert validate_lake(cfg, deep=True)["ok"]
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_history_task_ledger(tmp_lake):
+    """The ops ledger: pass kinds classified in seq order."""
+    from migration_pair_ray.pipelines.compact import rollback_to
+    from migration_pair_ray.tasks import run_task
+
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=600, n_convs=8, n_files=2,
+                                seed=69)
+    held = Path(files[1]); held_tmp = held.with_suffix(".hold")
+    os.rename(held, held_tmp)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    retain_passes=2)
+    p1 = replay(cfg)["pass_id"]
+    os.rename(held_tmp, held)
+    replay(cfg)
+    rollback_to(cfg, p1)
+    h = run_task("history", cfg)
+    assert h["count"] == 3
+    assert [r["kind"] for r in h["passes"]] == ["replay", "replay",
+                                                "rollback"]
+    assert [r["seq"] for r in h["passes"]] == [0, 1, 2]
+    assert h["passes"][0]["events_in"] > 0
+
+
 def test_refill_task_cli(tmp_path):
     """CLI e2e in a subprocess (owns its Ray session)."""
     log = tmp_path / "log"
