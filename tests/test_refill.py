@@ -281,6 +281,45 @@ def test_history_task_ledger(tmp_lake):
     assert h["passes"][0]["events_in"] > 0
 
 
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [70, 71])
+def test_refill_property_random_history(tmp_lake, seed):
+    """Randomized lifecycle: random pass splits, maybe a rollback, then
+    refill EVERY partition — the rebuilt lake must equal the pre-refill
+    control bit for bit (same visible frame)."""
+    import numpy as np
+    from migration_pair_ray.pipelines.compact import rollback_to
+
+    rng = np.random.default_rng(seed)
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=900, n_convs=9, n_files=4,
+                                tool_epoch=1, shuffle_window=100, seed=seed)
+    # stage files into 1..4 random passes
+    for f in files:
+        os.rename(f, f + ".hold")
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=5,
+                    retain_passes=3)
+    cuts = sorted(set(rng.integers(1, len(files), size=2).tolist()))
+    bounds = [0] + cuts + [len(files)]
+    pass_ids = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        for f in files[lo:hi]:
+            os.rename(f + ".hold", f)
+        pass_ids.append(replay(cfg)["pass_id"])
+    if len(pass_ids) > 1 and rng.random() < 0.5:
+        rollback_to(cfg, pass_ids[int(rng.integers(0, len(pass_ids) - 1))])
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    for pid in range(5):
+        refill_partition(cfg, pid)
+    rep = validate_lake(cfg, deep=True)
+    assert rep["ok"], rep["problems"]
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_refill_task_cli(tmp_path):
     """CLI e2e in a subprocess (owns its Ray session)."""
     log = tmp_path / "log"
