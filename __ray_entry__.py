@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": q.cdc_time_travel,
         "cdc_rollback": q.cdc_rollback,
         "cdc_point_lookup": q.cdc_point_lookup,
+        "cdc_conv_fetch": q.cdc_conv_fetch,
         "cdc_find_by_tool": q.cdc_find_by_tool,
         "cdc_feed_resume": q.cdc_feed_resume,
         "cdc_replica": q.cdc_replica,
@@ -600,6 +601,12 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY conv_id, turn_idx""",
         # point lookup: LWW winners restricted to the three served keys
+        # distributed pruned fetch == the same winners restriction
+        "cdc_conv_fetch": lww_winners + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM w WHERE rn = 1 AND op <> 'D'
+              AND conv_id IN ('c1', 'c7', 'c23', 'c30')
+            ORDER BY conv_id, turn_idx""",
         "cdc_point_lookup": lww_winners + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM w WHERE rn = 1 AND op <> 'D'

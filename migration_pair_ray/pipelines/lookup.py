@@ -61,10 +61,23 @@ def candidate_files(cfg: JobConfig, conv_ids: list[str],
     routing first, then chunk key-range pruning: a chunk whose
     ``[key_lo, key_hi]`` tuple range cannot contain any requested conv_id
     is skipped."""
+    return [f for files in
+            candidate_files_by_pid(cfg, conv_ids, turn_idx).values()
+            for f in files]
+
+
+def candidate_files_by_pid(cfg: JobConfig, conv_ids: list[str],
+                           turn_idx: list[int] | None = None
+                           ) -> dict[int, list[str]]:
+    """``candidate_files`` grouped by partition — the per-partition plan
+    ``fetch_conversations`` fans out over (one task per pid).  Within a
+    pid the list holds EVERY file whose range/bloom covers a requested
+    conv (base, chunks AND MoR deltas), so a per-pid kernel fold sees each
+    key's complete row set — the ``finalize_visible`` precondition."""
     meta = LakeMeta(cfg.lake_dir)
     cur = meta.read()
     if cur is None:
-        return []
+        return {}
     p, mode = int(cur["num_partitions"]), cur["partition_mode"]
     route = _route(conv_ids, turn_idx, p, mode, meta.splits(),
                    tuple(cur.get("hot_convs") or ()))
@@ -88,29 +101,32 @@ def candidate_files(cfg: JobConfig, conv_ids: list[str],
         return (blm.may_contain_pairs(pairs) if pairs is not None
                 else blm.may_contain_conv(want))
 
-    out: list[str] = []
+    out: dict[int, list[str]] = {}
     for pid in pids:
         m = store.read(pid)
         if not m:
             continue
+        files: list[str] = []
         entries = m.get("data_files")
         if entries is None:
             if m.get("data_file") and bloom_hits(m["data_file"]):
-                out.append(m["data_file"])
+                files.append(m["data_file"])
         else:
             for e in entries:
                 lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
                 # chunk covers conv c iff lo <= c <= hi (tuple range
                 # projected onto the conv component)
                 if any(lo <= c <= hi for c in want) and bloom_hits(e["file"]):
-                    out.append(e["file"])
+                    files.append(e["file"])
         # merge-on-read deltas carry key ranges too; a delta whose range
         # covers a requested conv may hold a NEWER version of the key, so
         # it must join the plan (lookup_keys reduces winners after read)
         for e in m.get("delta_files", []):
             lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
             if any(lo <= c <= hi for c in want) and bloom_hits(e["file"]):
-                out.append(e["file"])
+                files.append(e["file"])
+        if files:
+            out[pid] = files
     return out
 
 
@@ -162,3 +178,66 @@ def lookup_keys(cfg: JobConfig, conv_ids: list[str],
     if visible_only:
         out = finalize_visible(out, kernel)
     return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _fetch_pid_table(lake_dir: str, rels: list[str], want: list[str],
+                     kernel: str, visible_only: bool) -> pa.Table:
+    """One partition's rows for the requested conversations: pruned file
+    reads (Parquet row-group stats skip non-matching groups), one kernel
+    reduce (base + MoR deltas fold to true winners), optional visibility
+    finalize.  Valid per-partition: a key lives in exactly one partition
+    and the plan fetched every covering file, so the fold sees each key's
+    complete row set."""
+    tables = []
+    for rel in rels:
+        t = pq.read_table(str(Path(lake_dir) / rel),
+                          filters=[("conv_id", "in", want)])
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        from migration_pair_ray.schemas import CHANGE_SCHEMA
+        return CHANGE_SCHEMA.empty_table()
+    out = pa.concat_tables(tables, promote_options="permissive")
+    out = reduce_events(out, kernel)
+    if visible_only:
+        out = finalize_visible(out, kernel)
+    # canonical column order: schema-evolution can leave per-partition
+    # reads with different field orders (a pre-`tool` base promotes the
+    # column at a different position) — every task must emit the same
+    # schema or the Dataset union is malformed
+    from migration_pair_ray.schemas import CHANGE_SCHEMA
+    order = ([c for c in CHANGE_SCHEMA.names if c in out.column_names]
+             + [c for c in out.column_names if c not in CHANGE_SCHEMA.names])
+    return out.select(order)
+
+
+def fetch_conversations(cfg: JobConfig, conv_ids: list[str],
+                        visible_only: bool = True) -> "object":
+    """Bulk conversation fetch: the DISTRIBUTED sibling of ``lookup_keys``
+    — returns a ``ray.data.Dataset`` of the requested conversations'
+    visible rows, reading only the partitions/chunks the routing plan
+    names (``candidate_files_by_pid``).
+
+    The middle ground the module docstring promises: point lookups stay
+    driver-side (latency path), full extractions use ``read_lake`` — a
+    10^3–10^6-conversation fetch wants BOTH pruning and parallelism, so
+    each planned partition becomes one Ray task that reads its pruned
+    files, folds winners per kernel, and filters to the conv set.  Under
+    mode "conv"/"hot" (cold convs) the plan touches only the routed
+    partitions; salted layouts fan out to all partitions but still prune
+    chunks by key range + bloom.  Raw Ray tasks by design: a
+    manifest-planned per-partition read is not expressible as a Dataset
+    source without materializing the plan anyway."""
+    import ray
+    import ray.data as rd
+    from migration_pair_ray.schemas import CHANGE_SCHEMA
+
+    kernel = LakeMeta(cfg.lake_dir).merge_kernel()
+    plan = candidate_files_by_pid(cfg, conv_ids)
+    want = sorted(set(conv_ids))
+    if not plan:
+        return rd.from_arrow(CHANGE_SCHEMA.empty_table())
+    fn = ray.remote(num_cpus=1)(_fetch_pid_table)
+    refs = [fn.remote(cfg.lake_dir, rels, want, kernel, visible_only)
+            for _, rels in sorted(plan.items())]
+    return rd.from_arrow_refs(refs)

@@ -530,6 +530,19 @@ def cdc_point_lookup(sf_dir: str):
     return lookup_keys(cfg, ["c0", "c17", "c42"])
 
 
+def cdc_conv_fetch(sf_dir: str):
+    """Bulk conversation fetch: four fixed conversations served by the
+    DISTRIBUTED pruned-read path (``pipelines/lookup.fetch_conversations``
+    — one Ray task per routed partition, chunk/bloom pruning, per-pid
+    kernel fold).  The middle ground between driver-side point lookups
+    and a full ``read_lake`` scan.  Oracle: LWW winners restricted to
+    those conv_ids."""
+    from migration_pair_ray.pipelines.lookup import fetch_conversations
+    cfg = _events_lake(sf_dir)
+    return (fetch_conversations(cfg, ["c1", "c7", "c23", "c30"])
+            .sort(["conv_id", "turn_idx"]))
+
+
 def cdc_tombstone_keys(sf_dir: str):
     """Keys whose LWW winner is a delete (internal lake state, op == 'D')."""
     cfg = _events_lake(sf_dir)

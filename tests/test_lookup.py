@@ -69,3 +69,70 @@ def test_missing_key_empty(tmp_path):
     out = lookup_keys(cfg, ["no-such-conversation"])
     assert out.num_rows == 0
     assert "conv_id" in out.schema.names and "op" not in out.schema.names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_conversations_distributed(tmp_path):
+    """fetch_conversations == lookup_keys == the filtered final state, on
+    a chunked lake; the per-pid plan is a strict subset of partitions."""
+    from migration_pair_ray.pipelines.lookup import (candidate_files_by_pid,
+                                                     fetch_conversations)
+    cfg = _mk_lake(tmp_path, state_chunk_rows=60)
+    full = final_state(cfg).to_pandas()
+    keys = sorted(full["conv_id"].unique())[:4]
+
+    got = (fetch_conversations(cfg, list(keys))
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    want = (full[full["conv_id"].isin(keys)]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    via_lookup = lookup_keys(cfg, list(keys)).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, via_lookup)
+
+    plan = candidate_files_by_pid(cfg, list(keys))
+    assert plan and len(plan) < cfg.num_partitions or len(plan) <= cfg.num_partitions
+    # internal rows requested -> winners incl. op/lsn
+    internal = (fetch_conversations(cfg, list(keys), visible_only=False)
+                .to_pandas())
+    assert {"op", "lsn"} <= set(internal.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_conversations_mor_and_hot(tmp_path):
+    """Layout matrix: merge-on-read deltas fold to true winners; under
+    mode 'hot' a cold conv's fetch touches only its routed partition."""
+    import glob as _glob
+    import os
+    from migration_pair_ray.pipelines.lookup import (candidate_files_by_pid,
+                                                     fetch_conversations)
+
+    log = str(tmp_path / "log")
+    files = generate_change_log(log, n_events=1600, n_convs=12, n_files=4,
+                                tool_epoch=2, hot_frac=0.4, hot_turns=300,
+                                seed=72)
+    for f in files[2:]:
+        os.rename(f, f + ".hold")
+    cfg = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake"),
+                    num_partitions=6, partition_mode="hot",
+                    hot_convs=["conv-0"], mor_max_deltas=4,
+                    hash_state=False)
+    replay(cfg)
+    for f in files[2:]:
+        os.rename(f + ".hold", f)
+    replay(cfg)   # second pass lands as MoR deltas
+
+    full = final_state(cfg).to_pandas()
+    cold = sorted(c for c in full["conv_id"].unique() if c != "conv-0")[0]
+    keys = ["conv-0", cold]
+    got = (fetch_conversations(cfg, keys).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want = (full[full["conv_id"].isin(keys)]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # a cold conv alone routes to exactly one partition's plan
+    plan = candidate_files_by_pid(cfg, [cold])
+    assert len(plan) == 1
+    # the whale fans out (salted) — more than one partition in the plan
+    assert len(candidate_files_by_pid(cfg, ["conv-0"])) > 1
