@@ -129,6 +129,8 @@ QUERY_NAMES = [
     "conv_role_violations",
     "conv_template_turns",
     "cdc_point_lookup",
+    "cdc_conv_fetch",
+    "cdc_hotspots",
     "cdc_find_by_tool",
     "cdc_stale_updates",
     "conv_role_transitions",
