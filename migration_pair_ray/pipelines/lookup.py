@@ -101,6 +101,15 @@ def candidate_files_by_pid(cfg: JobConfig, conv_ids: list[str],
         return (blm.may_contain_pairs(pairs) if pairs is not None
                 else blm.may_contain_conv(want))
 
+    import bisect
+
+    def range_hits(lo: str, hi: str) -> bool:
+        # chunk covers some requested conv c iff lo <= c <= hi: binary
+        # search on the sorted conv set — O(log |want|) per entry, so a
+        # 10^6-conversation fetch plans in ~20 comparisons per chunk
+        i = bisect.bisect_left(want, lo)
+        return i < len(want) and want[i] <= hi
+
     out: dict[int, list[str]] = {}
     for pid in pids:
         m = store.read(pid)
@@ -113,17 +122,16 @@ def candidate_files_by_pid(cfg: JobConfig, conv_ids: list[str],
                 files.append(m["data_file"])
         else:
             for e in entries:
-                lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
-                # chunk covers conv c iff lo <= c <= hi (tuple range
-                # projected onto the conv component)
-                if any(lo <= c <= hi for c in want) and bloom_hits(e["file"]):
+                # tuple range projected onto the conv component
+                if (range_hits(str(e["key_lo"][0]), str(e["key_hi"][0]))
+                        and bloom_hits(e["file"])):
                     files.append(e["file"])
         # merge-on-read deltas carry key ranges too; a delta whose range
         # covers a requested conv may hold a NEWER version of the key, so
         # it must join the plan (lookup_keys reduces winners after read)
         for e in m.get("delta_files", []):
-            lo, hi = str(e["key_lo"][0]), str(e["key_hi"][0])
-            if any(lo <= c <= hi for c in want) and bloom_hits(e["file"]):
+            if (range_hits(str(e["key_lo"][0]), str(e["key_hi"][0]))
+                    and bloom_hits(e["file"])):
                 files.append(e["file"])
         if files:
             out[pid] = files
@@ -181,34 +189,35 @@ def lookup_keys(cfg: JobConfig, conv_ids: list[str],
 
 
 def _fetch_pid_table(lake_dir: str, rels: list[str], want: list[str],
-                     kernel: str, visible_only: bool) -> pa.Table:
+                     kernel: str, visible_only: bool,
+                     schema: pa.Schema) -> pa.Table:
     """One partition's rows for the requested conversations: pruned file
     reads (Parquet row-group stats skip non-matching groups), one kernel
     reduce (base + MoR deltas fold to true winners), optional visibility
     finalize.  Valid per-partition: a key lives in exactly one partition
     and the plan fetched every covering file, so the fold sees each key's
-    complete row set."""
+    complete row set.
+
+    ``schema`` is the footer-unified schema of EVERY planned file (driver-
+    computed): each task conforms to it before the fold, so every block
+    of the Dataset union carries the same columns in the same order —
+    schema evolution can otherwise leave one partition's state without a
+    later column (or with a different field order), and the empty branch
+    goes through the same conform+finalize so a bloom false positive
+    cannot emit a differently-shaped block."""
+    from migration_pair_ray.schemas import conform_batch
     tables = []
     for rel in rels:
         t = pq.read_table(str(Path(lake_dir) / rel),
                           filters=[("conv_id", "in", want)])
         if t.num_rows:
-            tables.append(t)
-    if not tables:
-        from migration_pair_ray.schemas import CHANGE_SCHEMA
-        return CHANGE_SCHEMA.empty_table()
-    out = pa.concat_tables(tables, promote_options="permissive")
-    out = reduce_events(out, kernel)
+            tables.append(conform_batch(t, schema))
+    out = (pa.concat_tables(tables) if tables else schema.empty_table())
+    if out.num_rows:
+        out = reduce_events(out, kernel)
     if visible_only:
         out = finalize_visible(out, kernel)
-    # canonical column order: schema-evolution can leave per-partition
-    # reads with different field orders (a pre-`tool` base promotes the
-    # column at a different position) — every task must emit the same
-    # schema or the Dataset union is malformed
-    from migration_pair_ray.schemas import CHANGE_SCHEMA
-    order = ([c for c in CHANGE_SCHEMA.names if c in out.column_names]
-             + [c for c in out.column_names if c not in CHANGE_SCHEMA.names])
-    return out.select(order)
+    return out
 
 
 def fetch_conversations(cfg: JobConfig, conv_ids: list[str],
@@ -224,20 +233,44 @@ def fetch_conversations(cfg: JobConfig, conv_ids: list[str],
     each planned partition becomes one Ray task that reads its pruned
     files, folds winners per kernel, and filters to the conv set.  Under
     mode "conv"/"hot" (cold convs) the plan touches only the routed
-    partitions; salted layouts fan out to all partitions but still prune
+    partitions — and each task receives only ITS convs, not the full
+    request; salted layouts fan out to all partitions but still prune
     chunks by key range + bloom.  Raw Ray tasks by design: a
     manifest-planned per-partition read is not expressible as a Dataset
     source without materializing the plan anyway."""
     import ray
     import ray.data as rd
-    from migration_pair_ray.schemas import CHANGE_SCHEMA
+    from migration_pair_ray.sources.changelog import unified_schema
 
-    kernel = LakeMeta(cfg.lake_dir).merge_kernel()
+    meta = LakeMeta(cfg.lake_dir)
+    kernel = meta.merge_kernel()
     plan = candidate_files_by_pid(cfg, conv_ids)
     want = sorted(set(conv_ids))
     if not plan:
-        return rd.from_arrow(CHANGE_SCHEMA.empty_table())
+        from migration_pair_ray.schemas import CHANGE_SCHEMA
+        empty = CHANGE_SCHEMA.empty_table()
+        if visible_only:
+            empty = finalize_visible(empty, kernel)
+        return rd.from_arrow(empty)
+    # one footer-read pass unifies the planned files' schemas (evolution:
+    # a partition untouched since before a column appeared must still emit
+    # union-compatible blocks)
+    paths = [str(Path(cfg.lake_dir) / r)
+             for rels in plan.values() for r in rels]
+    schema = unified_schema(paths)
+    # per-pid conv subsets: under routed layouts each partition holds only
+    # its own convs — shipping the full request to every task is O(P·|want|)
+    cur = meta.read()
+    route = _route(want, None, int(cur["num_partitions"]),
+                   cur["partition_mode"], meta.splits(), meta.hot_convs())
+    if route is None:
+        per_pid = {pid: want for pid in plan}
+    else:
+        per_pid = {}
+        for c, r in zip(want, route.tolist()):
+            per_pid.setdefault(int(r), []).append(c)
     fn = ray.remote(num_cpus=1)(_fetch_pid_table)
-    refs = [fn.remote(cfg.lake_dir, rels, want, kernel, visible_only)
-            for _, rels in sorted(plan.items())]
+    refs = [fn.remote(cfg.lake_dir, rels, per_pid.get(pid, want), kernel,
+                      visible_only, schema)
+            for pid, rels in sorted(plan.items())]
     return rd.from_arrow_refs(refs)

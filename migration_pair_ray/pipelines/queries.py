@@ -4542,9 +4542,14 @@ def cdc_refill(sf_dir: str):
     root = Path(src.changelog_dir).parent
     log2, lake2 = str(root / "log_refill"), str(root / "lake_refill")
     if not Path(log2).exists():
-        os.makedirs(log2)
+        # link into a temp dir + atomic rename: a crash mid-link must not
+        # leave a partial log that later runs silently treat as complete
+        tmp = f"{log2}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         for f in sorted(Path(src.changelog_dir).glob("batch-*.parquet")):
-            os.link(f, Path(log2) / f.name)
+            os.link(f, Path(tmp) / f.name)
+        os.rename(tmp, log2)
     cfg = JobConfig(changelog_dir=log2, lake_dir=lake2, num_partitions=16)
     replay(cfg)   # no-op when already up to date
     # deterministic victim: the largest partition

@@ -325,6 +325,9 @@ def _effective_passes(cfg: JobConfig) -> list[dict]:
                 f"unknowable; refill cannot reconstruct state")
         recs.append(rec)
     recs.sort(key=lambda r: int(r["seq"]))
+    # fold FIRST, refuse after: a bulk/repair/multi-source pass that a
+    # later rollback removed from the effective history must not block a
+    # perfectly log-expressible recovery
     eff: list[dict] = []
     for rec in recs:
         stats = rec.get("stats") or {}
@@ -332,6 +335,9 @@ def _effective_passes(cfg: JobConfig) -> list[dict]:
             t = int(stats["target_seq"])
             eff = [r for r in eff if int(r["seq"]) <= t]
             continue
+        eff.append(rec)
+    for rec in eff:
+        stats = rec.get("stats") or {}
         if stats.get("repair_of") is not None:
             raise RefillError(
                 f"pass {rec['pass_id']!r} is a replica repair from "
@@ -345,7 +351,6 @@ def _effective_passes(cfg: JobConfig) -> list[dict]:
                     f"pass {rec['pass_id']!r} is a bulk load "
                     f"({name!r}): its bytes were never in the change log — "
                     f"re-run the bulk load or bootstrap from a replica")
-        eff.append(rec)
     return eff
 
 
@@ -408,7 +413,10 @@ def _refill_locked(cfg: JobConfig, pid: int) -> dict:
     from migration_pair_ray.state.manifest import LakeMeta, ManifestStore
 
     t0 = time.perf_counter()
-    if cfg.txn_boundary:
+    # keyed off the LAKE, not the caller's config: a txn-gated lake keeps
+    # its registry at <lake>/_txns, so a config that forgot txn_boundary
+    # cannot slip held-back uncommitted events into the rebuilt partition
+    if cfg.txn_boundary or (Path(cfg.lake_dir) / "_txns").exists():
         raise RefillError(
             "refill on a txn-gated lake is not supported: held-back "
             "events interleave with the commit-marker registry; restore "
@@ -461,10 +469,31 @@ def _refill_locked(cfg: JobConfig, pid: int) -> dict:
         return b.filter(pa.array(ids == pid))
 
     rows_applied = 0
+    # gate decision follows the HISTORY, not the caller's config: passes
+    # record whether they ran gated ("gated" in checkpoint stats).  A
+    # gated history refilled without the gate would resurrect diverted
+    # malformed rows; an ungated history refilled WITH the gate would
+    # drop rows the state legitimately contains.  Mixed or pre-recording
+    # histories fall back to cfg with a refusal where that is unsafe.
+    gated_flags = {(r.get("stats") or {}).get("gated") for r in eff}
+    gated_flags.discard(None)
+    if len(gated_flags) > 1:
+        raise RefillError(
+            "effective history mixes quarantine-gated and ungated passes "
+            "— one refill pass cannot express both; restore from a "
+            "replica instead")
+    want_gate = (gated_flags.pop() if gated_flags
+                 else bool(cfg.quarantine_dir))
+    if want_gate and not cfg.quarantine_dir:
+        raise RefillError(
+            "this lake's passes ran with a quarantine gate but "
+            "cfg.quarantine_dir is unset — set it so the refill diverts "
+            "the same malformed rows the original replay did")
+
     if paths:
         with _push_shuffle():
             ds = read_changes(paths, unified_schema(paths))
-            if cfg.quarantine_dir:
+            if want_gate:
                 # same gate as replay: rows the original passes diverted
                 # to the dead-letter sink must not resurrect in the merge
                 import shutil as _sh

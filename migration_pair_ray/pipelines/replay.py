@@ -204,6 +204,9 @@ def _replay_locked(cfg: JobConfig, files: list[str], t0: float) -> dict:
     CheckpointStore(cfg.checkpoint_dir).commit_pass(
         pass_id, files, seq=pass_seq,
         stats={"events_in": events_in, "partitions": lineage.num_rows,
+               # whether this pass ran the quarantine gate — refill keys
+               # its own gating off the history, not the caller's config
+               "gated": qdir is not None,
                # schema audit trail: what this pass's unified change
                # schema looked like (pipelines/compliance.schema_history
                # diffs consecutive passes into an evolution log)

@@ -91,7 +91,7 @@ def test_fetch_conversations_distributed(tmp_path):
     pd.testing.assert_frame_equal(got, via_lookup)
 
     plan = candidate_files_by_pid(cfg, list(keys))
-    assert plan and len(plan) < cfg.num_partitions or len(plan) <= cfg.num_partitions
+    assert plan and len(plan) < cfg.num_partitions
     # internal rows requested -> winners incl. op/lsn
     internal = (fetch_conversations(cfg, list(keys), visible_only=False)
                 .to_pandas())
@@ -136,3 +136,25 @@ def test_fetch_conversations_mor_and_hot(tmp_path):
     assert len(plan) == 1
     # the whale fans out (salted) — more than one partition in the plan
     assert len(candidate_files_by_pid(cfg, ["conv-0"])) > 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_conversations_empty_partition_block_schema(tmp_path):
+    """A planned partition whose files hold NO requested rows (range/bloom
+    false positive) must emit a block with the SAME schema as non-empty
+    visible blocks — no op/lsn resurfacing, no malformed Dataset union."""
+    from migration_pair_ray.pipelines.lookup import fetch_conversations
+    cfg = _mk_lake(tmp_path, state_chunk_rows=60)
+    full = final_state(cfg).to_pandas()
+    real = sorted(full["conv_id"].unique())[0]
+    # lexically inside the key space but absent -> planned yet empty reads
+    ghost = real + "zz"
+    got = fetch_conversations(cfg, [real, ghost]).to_pandas()
+    assert "op" not in got.columns and "lsn" not in got.columns
+    want = (full[full["conv_id"] == real]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # fully-absent request: empty Dataset, still visible-shaped
+    empty = fetch_conversations(cfg, [ghost]).to_pandas()
+    assert len(empty) == 0

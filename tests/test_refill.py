@@ -344,3 +344,79 @@ def test_refill_task_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["partition"] == pid and summary["rows_state"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_allows_rolled_back_bulk_pass(tmp_lake, tmp_path):
+    """A bulk load that a LATER rollback removed from the effective
+    history must not block refill — the current state is a pure function
+    of the change log again."""
+    from migration_pair_ray.pipelines.bulk_load import bulk_load
+    from migration_pair_ray.pipelines.compact import rollback_to
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=500, n_convs=6, n_files=2, seed=73)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    retain_passes=2)
+    p1 = replay(cfg)["pass_id"]
+    src = final_state(cfg).to_pandas().head(3)
+    csv_path = tmp_path / "seed.csv"
+    src.to_csv(csv_path, index=False)
+    bulk_load(cfg, str(csv_path), fmt="csv")
+    with pytest.raises(RefillError, match="bulk"):
+        refill_partition(cfg, _nonempty_pid(lake))
+    rollback_to(cfg, p1)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+    pid = _nonempty_pid(lake)
+    refill_partition(cfg, pid)          # no longer refuses
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_honors_gated_history(tmp_lake, tmp_path):
+    """The quarantine-gate decision follows the recorded pass history:
+    a gated lake refuses refill without cfg.quarantine_dir (diverted rows
+    must not resurrect) and recovers exactly with it.  A txn lake refuses
+    even when the CALLER's config forgot txn_boundary (the on-disk
+    registry is the authority)."""
+    import dataclasses
+    import pyarrow.parquet as _pq
+    import pyarrow as pa
+
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=600, n_convs=6, n_files=2,
+                                seed=74)
+    # corrupt a few rows (null conv_id) so the gate actually diverts
+    t = _pq.read_table(files[1])
+    conv = t.column("conv_id").to_pylist()
+    for i in range(0, 9, 3):
+        conv[i] = None
+    t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id",
+                     pa.array(conv, pa.string()))
+    _pq.write_table(t, files[1])
+
+    qdir = str(tmp_path / "quarantine")
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    quarantine_dir=qdir)
+    s = replay(cfg)
+    assert s["quarantined"] > 0
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    pid = _nonempty_pid(lake)
+    bare = dataclasses.replace(cfg, quarantine_dir="")
+    with pytest.raises(RefillError, match="quarantine"):
+        refill_partition(bare, pid)
+    refill_partition(cfg, pid)
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # txn registry on disk refuses refill regardless of caller config
+    log2, lake2 = str(tmp_path / "log2"), str(tmp_path / "lake2")
+    generate_change_log(log2, n_events=300, n_convs=5, n_files=1, seed=75)
+    txn_cfg = JobConfig(changelog_dir=log2, lake_dir=lake2,
+                        num_partitions=4, txn_boundary=True)
+    replay(txn_cfg)
+    forgot = dataclasses.replace(txn_cfg, txn_boundary=False)
+    with pytest.raises(RefillError, match="txn"):
+        refill_partition(forgot, 0)
