@@ -444,3 +444,27 @@ def test_cell_time_travel(tmp_path):
         final_state(cfg, sort=True, as_of=s1["pass_id"]).take_all()
     ).select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     _assert_tables_equal(asof, _brute(events.slice(0, half)))
+
+
+def test_cell_fetch_conversations_matches_lookup(tmp_path):
+    """The distributed conversation fetch finalizes cell determiner rows
+    the same way lookup_keys / final_state do — per-partition fold with
+    complete determiner sets (a key lives in one partition)."""
+    from migration_pair_ray.pipelines.lookup import (fetch_conversations,
+                                                     lookup_keys)
+    events = _make_events(2500, seed=9)
+    cfg = _cfg(tmp_path, "fetch", state_chunk_rows=50)
+    _write_log(Path(cfg.changelog_dir), events, 3)
+    replay(cfg)
+    full = _final(cfg)
+    convs = sorted(set(full.column("conv_id").to_pylist()))[:3]
+
+    got = (fetch_conversations(cfg, convs).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want = (full.to_pandas()[lambda d: d["conv_id"].isin(convs)]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    via_lookup = (lookup_keys(cfg, convs).to_pandas()
+                  .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, via_lookup, check_dtype=False)
