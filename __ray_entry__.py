@@ -45,9 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_find_by_tool": q.cdc_find_by_tool,
         "cdc_feed_resume": q.cdc_feed_resume,
         "cdc_replica": q.cdc_replica,
-        "cdc_replica_repair": q.cdc_replica_repair,
         "cdc_refill": q.cdc_refill,
-        "cdc_replica_bootstrap": q.cdc_replica_bootstrap,
         "cdc_delete_where": q.cdc_delete_where,
         "cdc_txn_boundary": q.cdc_txn_boundary,
         "cdc_snapshot_unix_ms": q.cdc_snapshot_unix_ms,
@@ -55,16 +53,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_agg": q.cdc_incremental_agg,
         "cdc_quarantine_stats": q.cdc_quarantine_stats,
         "cdc_state_diff": q.cdc_state_diff,
+        "cdc_schema_gate": q.cdc_schema_gate,
+        "cdc_lineage_totals": q.cdc_lineage_totals,
         "join_orders_customer_segment": q.join_orders_customer_segment,
         "join_orders_lineitem_priority": q.join_orders_lineitem_priority,
-        "join_orders_customer_left": q.join_orders_customer_left,
         "join_customer_orders_semi": q.join_customer_orders_semi,
         "join_customer_orders_anti": q.join_customer_orders_anti,
         "join_events_orders_asof": q.join_events_orders_asof,
         "join_events_orders_range": q.join_events_orders_range,
         "events_hourly_windows": q.events_hourly_windows,
         "events_sessionize": q.events_sessionize,
-        "events_session_windows": q.events_session_windows,
         "events_sliding_windows": q.events_sliding_windows,
         "events_late_data": q.events_late_data,
         "agg_pricing_summary": q.agg_pricing_summary,
@@ -74,21 +72,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": q.events_type_pivot,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_near_dedup_minhash": q.doc_near_dedup_minhash,
-        "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
-        "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
         "embed_near_dedup": q.embed_near_dedup,
         "doc_dedup_incremental": q.doc_dedup_incremental,
         "doc_langid": q.doc_langid,
         "doc_token_stats_bpe": q.doc_token_stats_bpe,
         "doc_quality": q.doc_quality,
+        "events_csv_roundtrip": q.events_csv_roundtrip,
+        "conv_transcripts": q.conv_transcripts,
         "corpus_curation": q.corpus_curation,
+        "training_prep": q.training_prep,
+        # ---- end of the recorded-50 prefix (all entries below are
+        # equally oracle-backed; pytest + cold rehearsals cover them) ----
+        "cdc_replica_repair": q.cdc_replica_repair,
+        "cdc_replica_bootstrap": q.cdc_replica_bootstrap,
+        "join_orders_customer_left": q.join_orders_customer_left,
+        "events_session_windows": q.events_session_windows,
+        "doc_near_dedup_simhash": q.doc_near_dedup_simhash,
+        "doc_near_dedup_ngram": q.doc_near_dedup_ngram,
         "embed_topk_bruteforce": q.embed_topk_bruteforce,
         "embed_knn_ivf": q.embed_knn_ivf,
         "media_features": q.media_features,
         "events_approx_distinct": q.events_approx_distinct,
-        "events_csv_roundtrip": q.events_csv_roundtrip,
-        # ---- end of the recorded-50 prefix (all entries below are
-        # equally oracle-backed; pytest + cold rehearsals cover them) ----
         "cdc_hotspots": q.cdc_hotspots,
         "cdc_wire_forms": q.cdc_wire_forms,
         "cdc_ttl_expiry": q.cdc_ttl_expiry,
@@ -97,7 +101,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_log_compaction": q.cdc_log_compaction,
         "cdc_tombstone_keys": q.cdc_tombstone_keys,
         "cdc_changelog_stats": q.cdc_changelog_stats,
-        "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_snapshot_incremental": q.cdc_snapshot_incremental,
         "cdc_snapshot_jsonl": q.cdc_snapshot_jsonl,
         "cdc_turn_versions": q.cdc_turn_versions,
@@ -113,7 +116,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention_cohorts": q.events_retention_cohorts,
         "events_value_moments": q.events_value_moments,
         "events_type_drift": q.events_type_drift,
-        "conv_transcripts": q.conv_transcripts,
         "conv_near_dup": q.conv_near_dup,
         "conv_token_packing": q.conv_token_packing,
         "conv_repeated_turns": q.conv_repeated_turns,
@@ -155,7 +157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_gate": q.doc_quality_gate,
         "doc_model_gate": q.doc_model_gate,
         "embed_quantize": q.embed_quantize,
-        "training_prep": q.training_prep,
         "events_value_stats": q.events_value_stats,
         "events_user_cm_counts": q.events_user_cm_counts,
         "events_type_approx_users": q.events_type_approx_users,
@@ -859,6 +860,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT '_state_rows', COUNT(*) FROM w
             WHERE rn = 1 AND op <> 'D'
             ORDER BY reason""",
+        # schema compliance gate (M5/A3, Tasks/EndToEnd.cs:51-85):
+        # file{{i}} rows carry the REAL footer schemas of the 4-way
+        # lsn-split change log (file 0 predates `tool`; row counts
+        # recomputed here from the events table via per = ceil(n/4)),
+        # synthetic rows pin the strict/evolve decision matrix
+        # (wire int64 ts convertible; added column evolves; list<int64>
+        # turn_idx aborts both modes)
+        "cdc_schema_gate": """
+            WITH p AS (SELECT COUNT(*) AS n,
+                              CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS per
+                       FROM events),
+            fc AS (SELECT 'file' || CAST(i AS VARCHAR) AS case_id,
+                          CASE WHEN i = 0 THEN 'tool' ELSE '' END AS missing,
+                          LEAST(per, n - i * per) AS source_rows
+                   FROM range(0, 4) t(i), p),
+            modes AS (SELECT 'strict' AS mode UNION ALL SELECT 'evolve'),
+            fm AS (SELECT case_id, m.mode,
+                          (missing = '' OR m.mode = 'evolve') AS compliant,
+                          '' AS added, missing, '' AS mismatched,
+                          CAST(0 AS BIGINT) AS mismatch_count, source_rows
+                   FROM fc, modes m),
+            syn(case_id, mode, compliant, added, missing, mismatched,
+                mismatch_count, source_rows) AS (VALUES
+              ('extra_col', 'evolve', TRUE, 'model', '', '',
+               CAST(1 AS BIGINT), CAST(-1 AS BIGINT)),
+              ('extra_col', 'strict', FALSE, 'model', '', '', 1, -1),
+              ('incompatible', 'evolve', FALSE, '', '', 'turn_idx', 1, -1),
+              ('incompatible', 'strict', FALSE, '', '', 'turn_idx', 1, -1),
+              ('wire_unix_ms', 'evolve', TRUE, '', '', '', 0, -1),
+              ('wire_unix_ms', 'strict', FALSE, '', '', 'ts', 1, -1))
+            SELECT * FROM fm UNION ALL SELECT * FROM syn
+            ORDER BY case_id, mode""",
         # point-in-time reconstruction: LWW winners over the change
         # prefix with ts <= cutoff (2024-01-15)
         "cdc_state_asof": f"""

@@ -3237,6 +3237,70 @@ def cdc_quarantine_stats(sf_dir: str):
     return out.sort_by([("reason", "ascending")])
 
 
+def cdc_schema_gate(sf_dir: str):
+    """Schema compliance gate, exercised as data — the M5/A3 driver query
+    (``Tasks/EndToEnd.cs:51-85``'s name+type match, generalized to the
+    strict/evolve policy matrix of ``pipelines/compliance``).  Two case
+    families:
+
+    * ``file{i}``: the REAL schemas of the derived change-log's four
+      batch files, read from their Parquet footers (file 0 predates the
+      ``tool`` column — the mandated schema-evolution epoch), each gated
+      against CHANGE_SCHEMA in both modes with the footer row count
+      attached (``source_rows`` ties the oracle to the data: the 4-way
+      lsn split per = ceil(n/4) is recomputed by the oracle from the
+      events table).
+    * synthetic decision-matrix rows pinning the gate's conversion
+      surface: ``wire_unix_ms`` (ts arrives as epoch-ms int64 — the
+      reference's wire form, convertible, so evolve accepts and strict
+      refuses), ``extra_col`` (a new ``model`` column — evolves the lake,
+      strict refuses, and counts toward the reference's mismatch counter
+      ``Tasks/EndToEnd.cs:82``), ``incompatible`` (turn_idx as
+      list<int64> — no cast exists, BOTH modes abort).
+
+    List fields are comma-joined so the report is a flat SQL-comparable
+    table.  ``source_rows = -1`` marks schema-only synthetic cases."""
+    from migration_pair_ray.pipelines.compliance import check_compliance
+    from migration_pair_ray.schemas import CHANGE_SCHEMA
+
+    cfg = _events_lake(sf_dir)   # ensures the derived change log exists
+    cases: list[tuple[str, pa.Schema, int]] = []
+    for f in sorted(Path(cfg.changelog_dir).glob("batch-*.parquet")):
+        pf = pq.ParquetFile(f)
+        i = int(f.name.split("-")[1])
+        cases.append((f"file{i}", pf.schema_arrow, pf.metadata.num_rows))
+
+    def _with_type(schema: pa.Schema, name: str, typ: pa.DataType) -> pa.Schema:
+        idx = schema.get_field_index(name)
+        return schema.set(idx, pa.field(name, typ))
+
+    cases.append(("wire_unix_ms",
+                  _with_type(CHANGE_SCHEMA, "ts", pa.int64()), -1))
+    cases.append(("extra_col",
+                  CHANGE_SCHEMA.append(pa.field("model", pa.string())), -1))
+    cases.append(("incompatible",
+                  _with_type(CHANGE_SCHEMA, "turn_idx", pa.list_(pa.int64())),
+                  -1))
+
+    rows = []
+    for case_id, src, n_rows in cases:
+        for mode in ("strict", "evolve"):
+            r = check_compliance(src, CHANGE_SCHEMA, mode=mode)
+            rows.append({
+                "case_id": case_id, "mode": mode, "compliant": r.compliant,
+                "added": ",".join(r.added), "missing": ",".join(r.missing),
+                "mismatched": ",".join(r.mismatched),
+                "mismatch_count": r.mismatch_count, "source_rows": n_rows,
+            })
+    out = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("case_id", pa.string()), ("mode", pa.string()),
+        ("compliant", pa.bool_()), ("added", pa.string()),
+        ("missing", pa.string()), ("mismatched", pa.string()),
+        ("mismatch_count", pa.int64()), ("source_rows", pa.int64()),
+    ]))
+    return out.sort_by([("case_id", "ascending"), ("mode", "ascending")])
+
+
 def cdc_state_asof(sf_dir: str, cutoff_us: int = 1705276800000000):
     """Point-in-time (time-travel) state: the LWW-merged table AS OF a
     cutoff timestamp (2024-01-15, mid-stream — the reconstruction differs
