@@ -65,7 +65,8 @@ def _entries(manifest: dict) -> list[dict]:
 def _check_partition(lake_dir: str, pid: int, deep: bool,
                      num_partitions: int, mode: str,
                      splits: dict, kernel: str = "row",
-                     hot_convs: tuple = ()) -> list[dict]:
+                     hot_convs: tuple = (),
+                     ever_committed: frozenset = frozenset()) -> list[dict]:
     """All problems found in one partition (empty list = healthy)."""
     problems: list[dict] = []
 
@@ -84,6 +85,18 @@ def _check_partition(lake_dir: str, pid: int, deep: bool,
         # fsynced BEFORE the manifest commits, and GC runs after)
         for f in sorted(on_disk):
             bad("orphan_state", f"{f} exists but partition has no manifest")
+        # ... but "no manifest AND no state files" is only legal for a
+        # partition that never committed.  The lineage ledger (one record
+        # per partition commit) is the independent witness: an active
+        # partition named there with nothing on disk is TOTAL loss —
+        # exactly what refill_damaged exists to rebuild, and exactly the
+        # case a disk-only sweep would wave through as healthy.
+        if pid in ever_committed:
+            bad("lost_partition",
+                "partition committed state in lineage history but has "
+                "no manifest (and no state files)" if not on_disk else
+                "partition committed state in lineage history but has "
+                "no manifest")
         return problems
 
     entries = _entries(manifest)
@@ -239,12 +252,28 @@ def validate_lake(cfg: JobConfig, deep: bool = False) -> dict:
     pids = lm.active_partition_ids()
     lake_dir = cfg.lake_dir
 
+    # deep sweeps cross-check HISTORY, not just disk: lineage records name
+    # every partition that ever committed (column-pruned footer-level
+    # read — one int32 column per pass file), so a partition whose
+    # manifest AND state files are both gone cannot masquerade as
+    # never-written (ADVICE round 4: total partition loss passed the
+    # sweep silently)
+    ever_committed: frozenset = frozenset()
+    if deep:
+        committed: set[int] = set()
+        for f in sorted(Path(cfg.lineage_dir).glob("pass-*.parquet")):
+            committed.update(
+                pq.read_table(str(f), columns=["partition"])
+                .column("partition").to_pylist())
+        ever_committed = frozenset(committed)
+
     def check_batch(t: pa.Table) -> pa.Table:
         rows = []
         for pid in t.column("pid").to_pylist():
             rows.extend(_check_partition(lake_dir, int(pid), deep,
                                          num_partitions, mode, splits,
-                                         kernel, hot_convs))
+                                         kernel, hot_convs,
+                                         ever_committed))
         if not rows:
             return pa.table({"partition": pa.array([], pa.int32()),
                              "kind": pa.array([], pa.string()),

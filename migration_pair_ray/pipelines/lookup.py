@@ -38,20 +38,30 @@ def _route(conv_ids: list[str], turn_idx: list[int] | None,
            hot_convs: tuple = ()) -> np.ndarray | None:
     """Partition id per key, or None when routing is impossible (mode
     "key" without turn_idx — the conversation's turns are salted across
-    all partitions by design; mode "hot" likewise fans out only when a
-    requested conversation is in the whale set)."""
+    all partitions by design).  Mode "hot" without turn_idx SPLITS a
+    mixed request instead of giving up: cold conversations route by conv
+    hash as usual and only the whale entries come back as ``-1`` ("fans
+    out to every partition") — one whale in a 10^6-conv fetch must not
+    cost the cold majority its routing."""
     from migration_pair_ray.stages.partition import partition_ids
-    if turn_idx is None and (
-            mode == "key"
-            or (mode == "hot" and set(conv_ids) & set(hot_convs))):
+    if turn_idx is None and mode == "key":
         return None
     cols = {"conv_id": pa.array(conv_ids, pa.string())}
     if mode in ("key", "hot"):
         cols["turn_idx"] = pa.array(
             turn_idx if turn_idx is not None else [-1] * len(conv_ids),
             pa.int32())
-    return partition_ids(pa.table(cols), num_partitions, mode, splits,
-                         hot_convs)
+    ids = partition_ids(pa.table(cols), num_partitions, mode, splits,
+                        hot_convs).astype(np.int64)
+    if turn_idx is None and mode == "hot":
+        whales = set(conv_ids) & set(hot_convs)
+        if whales:
+            # a whale's turns are salted across all partitions; its
+            # sentinel-turn id above is meaningless — mark for fan-out
+            mask = np.fromiter((c in whales for c in conv_ids),
+                               dtype=bool, count=len(conv_ids))
+            ids[mask] = -1
+    return ids
 
 
 def candidate_files(cfg: JobConfig, conv_ids: list[str],
@@ -74,6 +84,20 @@ def candidate_files_by_pid(cfg: JobConfig, conv_ids: list[str],
     pid the list holds EVERY file whose range/bloom covers a requested
     conv (base, chunks AND MoR deltas), so a per-pid kernel fold sees each
     key's complete row set — the ``finalize_visible`` precondition."""
+    return {pid: e["files"]
+            for pid, e in candidate_plan(cfg, conv_ids, turn_idx).items()}
+
+
+def candidate_plan(cfg: JobConfig, conv_ids: list[str],
+                   turn_idx: list[int] | None = None
+                   ) -> dict[int, dict]:
+    """Per-partition lookup plan: ``{pid: {"files": [...], "convs":
+    [...]}}``.  Each partition is pruned against only ITS OWN requested
+    conversations (under a routed layout a partition can never hold
+    another partition's convs — pruning with the full request would keep
+    chunks that cannot match).  A mixed hot-mode request splits: cold
+    convs go to their routed partition only, whale convs (``_route``
+    id -1) join every active partition's subset."""
     meta = LakeMeta(cfg.lake_dir)
     cur = meta.read()
     if cur is None:
@@ -81,40 +105,48 @@ def candidate_files_by_pid(cfg: JobConfig, conv_ids: list[str],
     p, mode = int(cur["num_partitions"]), cur["partition_mode"]
     route = _route(conv_ids, turn_idx, p, mode, meta.splits(),
                    tuple(cur.get("hot_convs") or ()))
-    if route is None:
-        pids = meta.active_partition_ids(cfg.num_partitions)
+    active = meta.active_partition_ids(cfg.num_partitions)
+    per_conv: dict[int, set] = {}
+    per_pairs: dict[int, set] = {}
+    if route is None:                      # salted layout: full fan-out
+        for pid in active:
+            per_conv[pid] = set(conv_ids)
     else:
-        pids = sorted(set(int(r) for r in route))
-    want = sorted(set(conv_ids))
-    pairs = (sorted(set(zip(conv_ids, turn_idx)))
-             if turn_idx is not None else None)
+        for i, r in enumerate(route.tolist()):
+            for pid in (active if r == -1 else (int(r),)):
+                per_conv.setdefault(pid, set()).add(conv_ids[i])
+                if turn_idx is not None:
+                    per_pairs.setdefault(pid, set()).add(
+                        (conv_ids[i], turn_idx[i]))
     store = ManifestStore(cfg.manifest_dir)
-
-    def bloom_hits(rel: str) -> bool:
-        # second pruning stage after the key range: the file's Bloom
-        # sidecar (state/bloom.py).  Missing/corrupt sidecar -> candidate
-        # (the filter is an accelerator, never an authority).
-        from migration_pair_ray.state.bloom import load_sidecar
-        blm = load_sidecar(Path(cfg.lake_dir) / rel)
-        if blm is None:
-            return True
-        return (blm.may_contain_pairs(pairs) if pairs is not None
-                else blm.may_contain_conv(want))
-
     import bisect
-
-    def range_hits(lo: str, hi: str) -> bool:
-        # chunk covers some requested conv c iff lo <= c <= hi: binary
-        # search on the sorted conv set — O(log |want|) per entry, so a
-        # 10^6-conversation fetch plans in ~20 comparisons per chunk
-        i = bisect.bisect_left(want, lo)
-        return i < len(want) and want[i] <= hi
-
-    out: dict[int, list[str]] = {}
-    for pid in pids:
+    out: dict[int, dict] = {}
+    for pid in sorted(per_conv):
         m = store.read(pid)
         if not m:
             continue
+        want = sorted(per_conv[pid])
+        pairs = (sorted(per_pairs[pid]) if turn_idx is not None else None)
+
+        def bloom_hits(rel: str) -> bool:
+            # second pruning stage after the key range: the file's Bloom
+            # sidecar (state/bloom.py).  Missing/corrupt sidecar ->
+            # candidate (an accelerator, never an authority).
+            from migration_pair_ray.state.bloom import load_sidecar
+            blm = load_sidecar(Path(cfg.lake_dir) / rel)
+            if blm is None:
+                return True
+            return (blm.may_contain_pairs(pairs) if pairs is not None
+                    else blm.may_contain_conv(want))
+
+        def range_hits(lo: str, hi: str) -> bool:
+            # chunk covers some requested conv c iff lo <= c <= hi:
+            # binary search on the sorted conv set — O(log |want|) per
+            # entry, so a 10^6-conversation fetch plans in ~20
+            # comparisons per chunk
+            i = bisect.bisect_left(want, lo)
+            return i < len(want) and want[i] <= hi
+
         files: list[str] = []
         entries = m.get("data_files")
         if entries is None:
@@ -134,7 +166,7 @@ def candidate_files_by_pid(cfg: JobConfig, conv_ids: list[str],
                     and bloom_hits(e["file"])):
                 files.append(e["file"])
         if files:
-            out[pid] = files
+            out[pid] = {"files": files, "convs": want}
     return out
 
 
@@ -244,8 +276,7 @@ def fetch_conversations(cfg: JobConfig, conv_ids: list[str],
 
     meta = LakeMeta(cfg.lake_dir)
     kernel = meta.merge_kernel()
-    plan = candidate_files_by_pid(cfg, conv_ids)
-    want = sorted(set(conv_ids))
+    plan = candidate_plan(cfg, conv_ids)
     if not plan:
         from migration_pair_ray.schemas import CHANGE_SCHEMA
         empty = CHANGE_SCHEMA.empty_table()
@@ -256,21 +287,14 @@ def fetch_conversations(cfg: JobConfig, conv_ids: list[str],
     # a partition untouched since before a column appeared must still emit
     # union-compatible blocks)
     paths = [str(Path(cfg.lake_dir) / r)
-             for rels in plan.values() for r in rels]
+             for e in plan.values() for r in e["files"]]
     schema = unified_schema(paths)
-    # per-pid conv subsets: under routed layouts each partition holds only
-    # its own convs — shipping the full request to every task is O(P·|want|)
-    cur = meta.read()
-    route = _route(want, None, int(cur["num_partitions"]),
-                   cur["partition_mode"], meta.splits(), meta.hot_convs())
-    if route is None:
-        per_pid = {pid: want for pid in plan}
-    else:
-        per_pid = {}
-        for c, r in zip(want, route.tolist()):
-            per_pid.setdefault(int(r), []).append(c)
+    # per-pid conv subsets come from the plan: under routed layouts each
+    # partition holds only its own convs — shipping the full request to
+    # every task is O(P·|want|); a mixed hot-mode request ships the cold
+    # convs only to their routed partition (whales to all)
     fn = ray.remote(num_cpus=1)(_fetch_pid_table)
-    refs = [fn.remote(cfg.lake_dir, rels, per_pid.get(pid, want), kernel,
+    refs = [fn.remote(cfg.lake_dir, e["files"], e["convs"], kernel,
                       visible_only, schema)
-            for pid, rels in sorted(plan.items())]
+            for pid, e in sorted(plan.items())]
     return rd.from_arrow_refs(refs)

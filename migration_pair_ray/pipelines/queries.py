@@ -602,11 +602,14 @@ def conv_near_dup(sf_dir: str, threshold: float = 0.5):
             "text": t.column("transcript")})
 
     # the dedup skeleton executes its input several times (candidate
-    # sketch, shingle, survivor passes); pin the assembled transcripts so
-    # the replay+assembly upstream runs ONCE.  One row per conversation,
-    # so this is small by construction here; at 10^9-conversation scale
-    # spill via checkpoint_parquet (pipelines/curation) instead.
-    docs = tr.map_batches(to_doc, batch_format="pyarrow").materialize()
+    # sketch, shingle, survivor passes); checkpoint the assembled
+    # transcripts to Parquet so the replay+assembly upstream runs ONCE
+    # without pinning the full set in the object store — the same
+    # spill-not-pin stance as corpus_curation (at 10^9 conversations a
+    # .materialize() here would pin every transcript byte)
+    ckpt = f"/tmp/mpr_queries/{Path(sf_dir).name}/conv_near_dup_ckpt"
+    docs = checkpoint_parquet(
+        tr.map_batches(to_doc, batch_format="pyarrow"), ckpt)
     kept = ngram_jaccard_dedup(docs, threshold=threshold, n=5,
                                n_perm=64, n_bands=64)
 

@@ -493,9 +493,18 @@ def _refill_locked(cfg: JobConfig, pid: int) -> dict:
     if paths:
         with _push_shuffle():
             ds = read_changes(paths, unified_schema(paths))
+            ds = ds.map_batches(keep, batch_format="pyarrow")
             if want_gate:
                 # same gate as replay: rows the original passes diverted
-                # to the dead-letter sink must not resurrect in the merge
+                # to the dead-letter sink must not resurrect in the merge.
+                # Gate AFTER keep(pid): partition_ids sentinel-routes even
+                # null-key rows deterministically, so this refill's
+                # quarantine dir holds exactly the malformed rows
+                # attributed to pid — refilling every partition re-creates
+                # the original dead-letter set ONCE, instead of each
+                # refill re-diverting the whole lake's rejects into a
+                # fresh pass-<id> dir (round-4 ADVICE: unbounded
+                # duplication across repeated refills)
                 import shutil as _sh
                 from migration_pair_ray.stages.quarantine import \
                     make_quarantine_gate
@@ -505,7 +514,6 @@ def _refill_locked(cfg: JobConfig, pid: int) -> dict:
                 ds = ds.map_batches(
                     make_quarantine_gate(str(qdir), cfg.merge_kernel),
                     batch_format="pyarrow")
-            ds = ds.map_batches(keep, batch_format="pyarrow")
             lineage = apply_changes_ds(ds, cfg, pass_id,
                                        applier_cls=_RefillApplier,
                                        splits=splits, hot_convs=hot,
@@ -525,6 +533,20 @@ def _refill_locked(cfg: JobConfig, pid: int) -> dict:
         store.commit(pid, empty)
         gc_partition_files(cfg.lake_dir, pid, set())
         rec = store.read(pid)
+
+    # the ops ledger must account for a state-mutating recovery: commit a
+    # zero-change-file pass record (the rollback precedent) so
+    # task_history shows the refill and the manifest's pass_id resolves
+    # in the checkpoint store.  Lands LAST (crash above = re-run with the
+    # same deterministic pass_id; commit_pass is idempotent on an
+    # existing file).  Feed/replicate serve it as an empty pass — a
+    # refill does not change visible state, so a consumer skipping it
+    # cannot diverge (unlike a rollback, which they refuse).
+    from migration_pair_ray.state.manifest import CheckpointStore
+    CheckpointStore(cfg.checkpoint_dir).commit_pass(
+        pass_id, [],
+        stats={"refill_of": pid, "gated": bool(want_gate),
+               "files_read": len(paths)})
 
     return {"partition": pid, "pass_id": pass_id,
             "passes_replayed": len(eff), "files_read": len(paths),

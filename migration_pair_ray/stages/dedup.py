@@ -593,9 +593,17 @@ def _collect_sig_store(sketch: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarr
     return ids[order], mat[order]
 
 
+# above this many documents the broadcast signature store (n_docs ×
+# (n_perm+1) × 8 B per node — ~5 GB at 10^7 docs, n_perm=64) stops being
+# a sane per-worker allocation; verify="auto" flips to the fully
+# distributed join path there
+BROADCAST_CEILING_DOCS = 10_000_000
+
+
 def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                             n_perm: int = 64, k: int = 5, n_bands: int = 16,
-                            verify: str | bool = "broadcast"
+                            verify: str | bool = "auto",
+                            broadcast_ceiling_docs: int = BROADCAST_CEILING_DOCS
                             ) -> "ray.data.Dataset":
     """docs(doc_id, text) → candidate pairs (a, b, sim); verified pairs
     have estimated Jaccard ≥ threshold.
@@ -607,11 +615,15 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
 
     ``verify`` selects where the estimate check runs:
 
-    * ``"broadcast"`` (default): per-doc signatures are broadcast once
+    * ``"auto"`` (default): count the materialized sketch (free — it is
+      already pinned) and pick "broadcast" at or under
+      ``broadcast_ceiling_docs``, "join" beyond it — the operator never
+      has to know the corpus size before calling.
+    * ``"broadcast"``: per-doc signatures are broadcast once
       (``ray.put``) and pairs are verified INSIDE the bucket group, so
       only true near-dup pairs ever leave a group.  Ceiling: the sig
       store is n_docs × (n_perm+1) × 8 B on each node (~5 GB at 10^7
-      docs) — right up to ~10^8 docs.
+      docs).
     * ``"join"``: no broadcast — raw collision pairs are deduped by one
       light groupby and signatures arrive via two ``hash_join``s against
       the sketch table; fully distributed, the path beyond the broadcast
@@ -627,6 +639,10 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
         .materialize())    # one sig computation; consumed 2-3 ways below
     band_rows = sketch.map_batches(
         lambda t: _explode_band_rows(t, n_bands), batch_format="pyarrow")
+
+    if verify == "auto":
+        verify = ("broadcast" if sketch.count() <= broadcast_ceiling_docs
+                  else "join")
 
     if verify == "broadcast":
         sig_ref = ray.put(_collect_sig_store(sketch))
@@ -686,9 +702,12 @@ def minhash_candidate_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
 
 def minhash_lsh_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
                       n_perm: int = 64, k: int = 5, n_bands: int = 16,
-                      verify: str = "broadcast") -> "ray.data.Dataset":
+                      verify: str = "auto",
+                      broadcast_ceiling_docs: int = BROADCAST_CEILING_DOCS
+                      ) -> "ray.data.Dataset":
     pairs = minhash_candidate_pairs(ds, threshold, n_perm, k, n_bands,
-                                    verify=verify)
+                                    verify=verify,
+                                    broadcast_ceiling_docs=broadcast_ceiling_docs)
     clusters = connected_components(pairs)
     return drop_cluster_losers(ds, clusters)
 

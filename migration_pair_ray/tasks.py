@@ -86,7 +86,8 @@ def task_hotspots(cfg: JobConfig, top_k: int = 5, **kw) -> dict:
 
 def task_history(cfg: JobConfig, **kw) -> dict:
     """Committed-pass history in seq order — the ops ledger: one row per
-    pass with its kind (replay / bulk / rollback / repair), file count and
+    pass with its kind (replay / bulk / rollback / repair / refill), file
+    count and
     recorded stats.  Read-only, checkpoint-dir only (no data reads)."""
     import json as _json
     from pathlib import Path
@@ -100,6 +101,7 @@ def task_history(cfg: JobConfig, **kw) -> dict:
         files = rec.get("files", [])
         kind = ("rollback" if stats.get("rollback_to") is not None
                 else "repair" if stats.get("repair_of") is not None
+                else "refill" if stats.get("refill_of") is not None
                 else "bulk" if any(n.startswith("bulk:") for n in files)
                 else "replay")
         rows.append({"seq": rec.get("seq", -1), "pass_id": rec["pass_id"],

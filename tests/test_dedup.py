@@ -183,6 +183,16 @@ def test_minhash_join_verify_equals_broadcast_verify():
     j = sorted(minhash_lsh_dedup(ray.data.from_pandas(df), threshold=0.7,
                                  verify="join").to_pandas()["doc_id"])
     assert b == j
+    # verify="auto" flips on the sketch count: a tiny ceiling forces the
+    # distributed join path, the default keeps broadcast — survivors are
+    # identical either way (the operator never picks a mode by hand)
+    auto_small = sorted(minhash_lsh_dedup(
+        ray.data.from_pandas(df), threshold=0.7, verify="auto",
+        broadcast_ceiling_docs=1).to_pandas()["doc_id"])
+    auto_big = sorted(minhash_lsh_dedup(
+        ray.data.from_pandas(df), threshold=0.7,
+        verify="auto").to_pandas()["doc_id"])
+    assert auto_small == auto_big == b
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -281,3 +281,68 @@ def test_hot_config_validation():
     with pytest.raises(ValueError, match="only applies"):
         JobConfig(changelog_dir="x", lake_dir="y", partition_mode="conv",
                   hot_convs=["a"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_mixed_request_keeps_cold_routing(tmp_lake):
+    """Round-4 ADVICE: a conv-level request mixing ONE whale with cold
+    conversations must not lose routing for the cold majority — the plan
+    fans out only the whale; each cold conv is planned (and shipped) to
+    exactly its routed partition."""
+    from migration_pair_ray.pipelines.lookup import (candidate_plan,
+                                                     fetch_conversations)
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=1500, n_convs=12, n_files=2,
+                        hot_frac=0.4, seed=77)
+    hot = _hot_set(log)
+    assert hot
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=8,
+                    partition_mode="hot", hot_convs=hot)
+    replay(cfg)
+    vis = final_state(cfg).to_pandas()
+    cold = sorted(set(vis["conv_id"]) - set(hot))[:2]
+    assert len(cold) == 2
+    req = [hot[0]] + cold
+
+    plan = candidate_plan(cfg, req)
+    for c in cold:
+        holders = [pid for pid, e in plan.items() if c in e["convs"]]
+        assert len(holders) == 1, (c, holders)   # cold conv stays routed
+    whale_holders = [pid for pid, e in plan.items()
+                     if hot[0] in e["convs"]]
+    assert len(whale_holders) > 1                # whale fans out
+
+    got = (fetch_conversations(cfg, req).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want = (vis[vis["conv_id"].isin(req)]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_strings_frozen_contract():
+    """Routing stability: hash_strings pins the SipHash-2-4 + splitmix64
+    values of pd.util.hash_array — a changed hash silently re-routes
+    every existing lake's keys, so these literals must NEVER change.
+    (The dictionary-encode fast path must reproduce them bit for bit;
+    nulls hash as empty string.)"""
+    import pyarrow as pa
+    from migration_pair_ray.stages.partition import hash_strings
+
+    golden = {
+        "": 1760245841805064774,
+        "c0": 14157290225740440609,
+        "c49": 9065829157774324872,
+        "conv_00000042": 537632746438920373,
+        "whale-βξ": 18304047671962012706,
+        "a" * 40: 12515515532949263426,
+    }
+    vals = list(golden)
+    h = hash_strings(pa.array(vals * 3, pa.string()))
+    for i, v in enumerate(vals * 3):
+        assert int(h[i]) == golden[v], (v, int(h[i]))
+    hn = hash_strings(pa.array([None, ""], pa.string()))
+    assert int(hn[0]) == int(hn[1]) == golden[""]
+    # chunked + sliced inputs take the same path
+    ch = pa.chunked_array([pa.array(vals), pa.array(vals).slice(2, 3)])
+    hc = hash_strings(ch)
+    assert [int(x) for x in hc] == [golden[v] for v in vals + vals[2:5]]

@@ -420,3 +420,130 @@ def test_refill_honors_gated_history(tmp_lake, tmp_path):
     forgot = dataclasses.replace(txn_cfg, txn_boundary=False)
     with pytest.raises(RefillError, match="txn"):
         refill_partition(forgot, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fsck_flags_total_partition_loss_and_refill_heals(tmp_lake):
+    """Round-4 ADVICE (medium): a partition whose manifest AND state
+    files are both gone must not pass deep fsck as 'never written' — the
+    lineage ledger names every partition that ever committed, and
+    refill_damaged must rebuild it."""
+    from migration_pair_ray.pipelines.repair import refill_damaged
+
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=1000, n_convs=8, n_files=2,
+                                tool_epoch=1, seed=61)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=6)
+    replay(cfg)
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+
+    pid = _nonempty_pid(lake)
+    # total loss: manifest and every state file of the partition
+    os.remove(Path(lake, "_manifest", f"part-{pid:05d}.json"))
+    for f in Path(lake, f"part={pid:05d}").glob("state-*.parquet"):
+        os.remove(f)
+
+    rep = validate_lake(cfg, deep=True)
+    assert not rep["ok"]
+    kinds = {p["kind"] for p in rep["problems"] if p["partition"] == pid}
+    assert "lost_partition" in kinds, rep["problems"]
+
+    healed = refill_damaged(cfg)
+    assert healed["ok"], healed
+    assert pid in [r["partition"] for r in healed["refilled"]]
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    pd.testing.assert_frame_equal(got, _oracle(files), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_commits_checkpoint_pass_record(tmp_lake):
+    """Round-4 ADVICE: a refill is a state-mutating recovery and must be
+    visible in the ops ledger — a zero-change-file pass record with
+    stats.refill_of, classified 'refill' by task_history, and served as
+    an EMPTY pass by the feed (a refill does not change visible state,
+    so consumers skip it rather than refuse)."""
+    from migration_pair_ray.pipelines.feed import ack_feed, read_feed
+    from migration_pair_ray.state.manifest import CheckpointStore
+    from migration_pair_ray.tasks import task_history
+
+    log, lake = tmp_lake
+    generate_change_log(log, n_events=800, n_convs=8, n_files=2, seed=62)
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=6)
+    replay(cfg)
+
+    pid = _nonempty_pid(lake)
+    victim = sorted(Path(lake, f"part={pid:05d}").glob("state-*.parquet"))[0]
+    os.remove(victim)
+    s = refill_partition(cfg, pid)
+
+    seqs = CheckpointStore(cfg.checkpoint_dir).pass_seqs()
+    assert s["pass_id"] in seqs, "refill pass missing from checkpoint store"
+    hist = task_history(cfg)["passes"]
+    byid = {r["pass_id"]: r for r in hist}
+    assert byid[s["pass_id"]]["kind"] == "refill"
+    # manifest pass_id now resolves in the ledger (auditable trace)
+    rec = json.loads(
+        Path(lake, "_manifest", f"part-{pid:05d}.json").read_text())
+    assert rec["pass_id"] == s["pass_id"]
+
+    # a fresh consumer reads the whole stream across the refill pass
+    # without error and lands on the frontier (refill contributes 0 rows)
+    ds, frontier = read_feed(cfg, "c1")
+    assert frontier == max(seqs.values())
+    n_log = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(f"{log}/*.parquet"))
+    assert ds.count() == n_log
+    ack_feed(cfg, "c1", frontier)
+    ds2, _ = read_feed(cfg, "c1")
+    assert ds2.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refill_quarantine_scoped_to_partition(tmp_lake, tmp_path):
+    """Round-4 ADVICE: the refill gate runs AFTER the partition filter,
+    so each refill's dead-letter dir holds only the malformed rows
+    attributed (sentinel-routed) to that partition — refilling every
+    partition recreates the original reject set once, with no lake-wide
+    duplication."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    from migration_pair_ray.stages.partition import partition_ids
+
+    log, lake = tmp_lake
+    files = generate_change_log(log, n_events=900, n_convs=8, n_files=2,
+                                seed=63)
+    t = _pq.read_table(files[0])
+    conv = t.column("conv_id").to_pylist()
+    for i in range(0, 30, 3):
+        conv[i] = None                       # 10 unroutable rows
+    t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id",
+                     pa.array(conv, pa.string()))
+    _pq.write_table(t, files[0])
+
+    qdir = tmp_path / "quarantine"
+    cfg = JobConfig(changelog_dir=log, lake_dir=lake, num_partitions=4,
+                    quarantine_dir=str(qdir))
+    s = replay(cfg)
+    assert s["quarantined"] == 10
+    want = final_state(cfg).to_pandas().reset_index(drop=True)
+    replay_dirs = set(qdir.glob("pass-*"))
+
+    total_refilled = 0
+    for pid in range(4):
+        refill_partition(cfg, pid)
+        new_dirs = set(qdir.glob("pass-*")) - replay_dirs
+        pid_rows = 0
+        for d in new_dirs:
+            for f in d.glob("q-*.parquet"):
+                qt = _pq.read_table(f)
+                routed = partition_ids(qt, 4, "conv")
+                assert (routed == pid).all(), \
+                    f"refill of {pid} quarantined another partition's rows"
+                pid_rows += qt.num_rows
+        total_refilled += pid_rows
+        replay_dirs |= new_dirs
+    # union across all partitions == the original reject set, exactly once
+    assert total_refilled == 10
+    got = final_state(cfg).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
