@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
                         "unix-microsecond cutoff")
     p.add_argument("--top-k", type=int, default=5,
                    help="hotspots: how many whale conversations to report")
+    p.add_argument("--poll-s", type=float, default=5.0,
+                   help="tail: seconds between change-log polls")
+    p.add_argument("--max-polls", type=int, default=0,
+                   help="tail: stop after this many polls (0 = forever)")
     p.add_argument("--num-cpus", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -125,6 +129,8 @@ def main(argv: list[str] | None = None) -> int:
         kw["top_k"] = args.top_k
     if args.task == "replay_multi":
         kw.update(sources=args.sources, names=args.names)
+    if args.task == "tail":
+        kw.update(poll_s=args.poll_s, max_polls=args.max_polls)
 
     import ray
     if not ray.is_initialized():

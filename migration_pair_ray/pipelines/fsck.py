@@ -338,11 +338,16 @@ def lake_stats(cfg: JobConfig) -> dict:
         for p in ckdir.glob("pass-*.json"):
             with open(p) as f:
                 last_seq = max(last_seq, int(json.load(f).get("seq", -1)))
+    from migration_pair_ray.tasks import tail_lag
     stream = {
         "last_pass_seq": last_seq,
         "consumers": {c: {"acked_seq": s, "lag": last_seq - s}
                       for c, s in list_consumers(cfg).items()},
         "log_truncated_through_seq": retention_horizon(cfg),
+        # ingest-side lag: change files in the log no pass has committed
+        # yet (the tailer's bounded-lag signal; consumers above are the
+        # egress-side lag)
+        "log_lag": tail_lag(cfg),
     }
 
     lm = LakeMeta(cfg.lake_dir)

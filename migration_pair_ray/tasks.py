@@ -133,6 +133,24 @@ def task_fsck(cfg: JobConfig, deep: bool = False, **kw) -> dict:
     return validate_lake(cfg, deep=deep)
 
 
+def tail_lag(cfg: JobConfig) -> dict:
+    """Bounded-lag metric for the tailer: change files discovered in the
+    log but not yet committed by any pass, and their event count (one
+    footer read per pending file — no data reads).  Zero lag = the lake
+    is caught up with its log; a monitoring loop alerts when
+    ``pending_events`` stays above a bound across polls."""
+    import os
+    import pyarrow.parquet as _pq
+    from migration_pair_ray.sources.changelog import discover
+    from migration_pair_ray.state.manifest import CheckpointStore
+    done = CheckpointStore(cfg.checkpoint_dir).committed_files()
+    pending = [f for f in discover(cfg.changelog_dir)
+               if os.path.basename(f) not in done]
+    return {"pending_files": len(pending),
+            "pending_events": sum(_pq.ParquetFile(f).metadata.num_rows
+                                  for f in pending)}
+
+
 def task_tail(cfg: JobConfig, poll_s: float = 5.0, max_polls: int = 0,
               **kw) -> dict:
     """Continuous change-log tailer: poll ``discover`` → ``replay`` until
@@ -140,11 +158,22 @@ def task_tail(cfg: JobConfig, poll_s: float = 5.0, max_polls: int = 0,
     EndToEnd run (a binlog/WAL tail consumes batches forever; each poll
     is one bounded LSN-range pass, SURVEY.md §2.9).  ``max_polls=0``
     polls forever; tests set a small positive bound.  Idle polls are
-    no-ops (replay returns up_to_date)."""
+    no-ops (replay returns up_to_date).
+
+    Each poll measures ``tail_lag`` BEFORE applying, so the summary
+    reports the max backlog the tailer ever saw and the lag left at
+    exit; crash-kill mid-pass is safe by the same idempotent-commit
+    argument as replay itself (the restart re-applies only uncommitted
+    files — tests/test_durability_config kills the CLI with SIGKILL
+    mid-pass and resumes)."""
     import time as _time
     from migration_pair_ray.pipelines.replay import replay
     polls = applied = events = 0
+    max_lag_files = max_lag_events = 0
     while True:
+        lag = tail_lag(cfg)
+        max_lag_files = max(max_lag_files, lag["pending_files"])
+        max_lag_events = max(max_lag_events, lag["pending_events"])
         s = replay(cfg)
         polls += 1
         if not s["up_to_date"]:
@@ -153,7 +182,9 @@ def task_tail(cfg: JobConfig, poll_s: float = 5.0, max_polls: int = 0,
         if max_polls and polls >= max_polls:
             break
         _time.sleep(poll_s)
-    return {"polls": polls, "passes_applied": applied, "events_in": events}
+    return {"polls": polls, "passes_applied": applied, "events_in": events,
+            "max_lag_files": max_lag_files,
+            "max_lag_events": max_lag_events, "final_lag": tail_lag(cfg)}
 
 
 def task_repartition(cfg: JobConfig, new_lake_dir: str = "",
