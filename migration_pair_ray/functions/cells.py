@@ -79,6 +79,9 @@ def cell_reduce(table: pa.Table) -> pa.Table:
     like any change batch."""
     if table.num_rows == 0:
         return table
+    # 64-bit offsets before sort/combine_chunks — see lww_reduce
+    from migration_pair_ray.functions.normalize import promote_large_strings
+    table = promote_large_strings(table)
     table = table.sort_by(_SORT_KEYS, null_placement="at_start")
     starts, gid = _group_layout(table)
     n = table.num_rows

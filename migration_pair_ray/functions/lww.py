@@ -68,6 +68,11 @@ def lww_reduce(table: pa.Table) -> pa.Table:
     """
     if table.num_rows == 0:
         return table
+    # a >2 GiB 32-bit-offset payload column cannot survive the sort's
+    # chunk concatenation — promote to 64-bit offsets first (no-op for
+    # ordinary batches; functions/normalize.promote_large_strings)
+    from migration_pair_ray.functions.normalize import promote_large_strings
+    table = promote_large_strings(table)
     # null_placement="at_start": a null ts/lsn always loses to a real one.
     table = table.sort_by(_SORT_KEYS, null_placement="at_start")
     return table.filter(_group_last_mask(table, MERGE_KEYS))

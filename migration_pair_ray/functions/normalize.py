@@ -38,19 +38,66 @@ def _cast_column(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> pa.Chu
     return pc.cast(col, target)
 
 
+# Promote string/binary columns to their large_ (64-bit offset) types
+# BEFORE a batch's payload bytes reach Arrow's 2^31-1 single-array offset
+# cap: sort_by / take / combine_chunks all concatenate chunks, and a
+# >2 GiB logical string column fails them with "offset overflow while
+# concatenating arrays" (measured; the changegen hit it at 10^8 rows).
+# The margin leaves headroom for kernels that pad while concatenating.
+LARGE_PROMOTE_BYTES = (1 << 31) - (1 << 27)
+
+
+def promote_large_strings(batch: pa.Table,
+                          threshold: int = LARGE_PROMOTE_BYTES) -> pa.Table:
+    """string→large_string / binary→large_binary for any column whose
+    LOGICAL payload (summed over chunks — concatenation is what
+    overflows) is at or past ``threshold``.  Casts run per chunk (each
+    chunk is under the cap by construction), so the promotion itself
+    cannot overflow.  No-op (zero-copy) for ordinary batches: one
+    ``nbytes`` check per column."""
+    for i, f in enumerate(batch.schema):
+        if pa.types.is_string(f.type):
+            big = pa.large_string()
+        elif pa.types.is_binary(f.type):
+            big = pa.large_binary()
+        else:
+            continue
+        col = batch.column(i)
+        if col.nbytes >= threshold:
+            batch = batch.set_column(
+                i, pa.field(f.name, big), pc.cast(col, big))
+    return batch
+
+
 def normalize_batch(batch: pa.Table, target: pa.Schema) -> pa.Table:
     """Conform ``batch`` to ``target`` by name: missing columns backfilled
     with typed nulls (schema evolution), extra columns dropped, types cast
-    with the reference's conversion semantics."""
+    with the reference's conversion semantics.  Columns whose payload
+    approaches the 32-bit offset cap leave as ``large_string`` /
+    ``large_binary`` regardless of the target's declared type — the merge
+    kernels downstream sort and concatenate, which a >2 GiB 32-bit-offset
+    column cannot survive (see ``promote_large_strings``)."""
     n = batch.num_rows
     cols = []
+    fields = []
     for f in target:
         idx = batch.schema.get_field_index(f.name)
         if idx == -1:
             cols.append(pa.nulls(n, type=f.type))
-        else:
-            cols.append(_cast_column(batch.column(idx), f.type))
-    return pa.Table.from_arrays(cols, schema=target)
+            fields.append(f)
+            continue
+        col = _cast_column(batch.column(idx), f.type)
+        if (pa.types.is_string(col.type)
+                and col.nbytes >= LARGE_PROMOTE_BYTES):
+            col = pc.cast(col, pa.large_string())
+            f = pa.field(f.name, pa.large_string())
+        elif (pa.types.is_binary(col.type)
+                and col.nbytes >= LARGE_PROMOTE_BYTES):
+            col = pc.cast(col, pa.large_binary())
+            f = pa.field(f.name, pa.large_binary())
+        cols.append(col)
+        fields.append(f)
+    return pa.Table.from_arrays(cols, schema=pa.schema(fields))
 
 
 def empty_strings_to_null(batch: pa.Table) -> pa.Table:

@@ -161,3 +161,64 @@ def test_compliance_accepts_widening_rejects_narrowing_conflict():
                          pa.field("ts", pa.timestamp("us"))])
     rep2 = check_compliance(src_bad, tgt, mode="evolve")
     assert not rep2.compliant and rep2.mismatched == ["turn_idx"]
+
+
+def test_large_string_promotion_survives_merge():
+    """A batch whose text payload exceeds Arrow's 2^31-1 single-array
+    offset cap must flow through normalize and BOTH merge kernels: the
+    32-bit string type fails sort_by/combine_chunks with 'offset
+    overflow while concatenating arrays' (measured), so the engine
+    promotes to large_string/large_binary at the cap (round-4 VERDICT
+    item 9 — the changegen hit this at 1e8 rows)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from migration_pair_ray.functions.lww import lww_reduce
+    from migration_pair_ray.functions.normalize import (
+        LARGE_PROMOTE_BYTES, normalize_batch, promote_large_strings)
+    from migration_pair_ray.schemas import CHANGE_SCHEMA
+
+    big = "x" * (8 << 20)                       # 8 MiB per row
+    chunk = pa.array([big] * 100)               # ~800 MiB per chunk
+    text = pa.chunked_array([chunk] * 3)        # ~2.4 GiB logical column
+    assert text.nbytes >= LARGE_PROMOTE_BYTES
+    n = 300
+    t = pa.table({
+        "conv_id": pa.array([f"c{i % 5}" for i in range(n)]),
+        "turn_idx": pa.array([(i // 5) % 6 for i in range(n)], pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": text,
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([1_000_000 + i for i in range(n)],
+                       pa.timestamp("us")),
+        "op": pa.array(["U"] * n),
+        "lsn": pa.array(list(range(n)), pa.int64()),
+    })
+
+    # the unpromoted 32-bit type really cannot survive the merge sort —
+    # the guard exists because this raises
+    with pytest.raises(pa.lib.ArrowInvalid, match="offset overflow"):
+        t.sort_by([("conv_id", "ascending")])
+
+    norm = normalize_batch(t, CHANGE_SCHEMA)
+    assert norm.schema.field("text").type == pa.large_string()
+
+    red = lww_reduce(norm)                      # sorts + filters: survives
+    assert red.num_rows == 30                   # one winner per (conv, turn)
+    assert red.schema.field("text").type == pa.large_string()
+    # winner per key is the max-lsn row; text bytes intact
+    assert red.column("text")[0].as_py() == big
+
+    # raw (un-normalized) batches entering the kernel directly are
+    # promoted by the kernel itself
+    red2 = lww_reduce(t)
+    assert red2.num_rows == 30
+
+    # small batches stay on 32-bit offsets — promotion is a no-op
+    small = promote_large_strings(t.slice(0, 2))
+    assert small.schema.field("text").type == pa.string()
+
+    # string + large_string change files unify to large_string, so a
+    # promoted file coexists with ordinary files in one pass
+    from migration_pair_ray.schemas import unify_change_schemas
+    u = unify_change_schemas([CHANGE_SCHEMA, norm.schema])
+    assert u.field("text").type == pa.large_string()
