@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": q.events_props_extract,
         "embed_label_centroids": q.embed_label_centroids,
         "embed_knn_ivf_incremental": q.embed_knn_ivf_incremental,
+        "embed_knn_hnsw": q.embed_knn_hnsw,
         "media_byte_stats": q.media_byte_stats_q,
         "media_frame_stats": q.media_frame_stats,
     }
@@ -2086,6 +2087,22 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive probe (n_probe = n_clusters) reads every IVF bucket,
         # so the persisted-index path must equal the brute-force top-k
         "embed_knn_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 2),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cos
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, vec_id) rn
+              FROM scored)
+            SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 10
+            ORDER BY query_id, cos DESC, vec_id""",
+        # bucketed-HNSW full-width probe == the same brute-force top-k
+        # (the search() exact-scan shortcut at beam >= bucket size makes
+        # this provable, not probabilistic)
+        "embed_knn_hnsw": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 2),
             scored AS (

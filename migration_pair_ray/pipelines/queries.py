@@ -1666,6 +1666,31 @@ def embed_knn_ivf(sf_dir: str):
     return ivf_probe(index_dir, queries, k=10, n_probe=16, round_to=4)
 
 
+def embed_knn_hnsw(sf_dir: str):
+    """HARD-oracle check of the bucketed-HNSW layout (the recall-
+    sensitive ANN option, Malkov & Yashunin 2016): the corpus is
+    partitioned into per-centroid graph files once, probed with every
+    bucket and a beam at least as wide as any bucket — the search()
+    full-width shortcut makes that PROVABLY equal to the brute-force
+    top-k, so the SQL oracle checks the whole build→graph→probe→merge
+    machinery exactly.  The approximate regime (narrow beam / partial
+    probe — the 10^10-row scale path) is recall-tested in
+    tests/test_similarity.py, same split of duties as embed_knn_ivf."""
+    from migration_pair_ray.stages.similarity import hnsw_build, hnsw_probe
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    queries = np.array(q.column("embedding").to_pylist(), dtype=np.float32)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(Path("/tmp/mpr_queries")
+                    / f"hnsw-{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}")
+    if not Path(index_dir, "centroids.npy").exists():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        hnsw_build(ds, index_dir, n_clusters=8)
+    return hnsw_probe(index_dir, queries, k=10, n_probe=8,
+                      ef_search=1 << 20, round_to=4)
+
+
 def media_byte_stats_q(sf_dir: str):
     from migration_pair_ray.stages.multimodal import fake_payload_from_text, media_byte_stats
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -368,3 +369,363 @@ def ivf_append(ds: "ray.data.Dataset", index_dir: str, tag: str,
                                              batch_format="pyarrow")
                .take_all())
     return int(sum(r["rows"] for r in written))
+
+
+# ------------------------------------------------------------------- hnsw
+#
+# HNSW (Malkov & Yashunin 2016, arXiv:1603.09320) behind the same
+# bucketed-files interface as ivf_build/ivf_probe: the corpus is coarse-
+# quantized into centroid buckets exactly like IVF, and each bucket holds
+# a SELF-CONTAINED small-world graph file (vectors + ids + layered
+# adjacency).  Probing ranks buckets by centroid, then greedy-searches
+# only the probed buckets' graphs — the recall-sensitive option the IVF
+# shortlist lacks (IVF recall collapses when a true neighbor's bucket is
+# not probed AND the shortlist is large; HNSW recall inside a probed
+# bucket is near-exact at modest ef).  Per-bucket graphs keep the build
+# embarrassingly parallel (one Ray task per bucket) and bound insert cost
+# by bucket size, not corpus size.
+
+
+class _HNSW:
+    """In-memory HNSW over L2-normalized vectors (cosine via dot).
+    Deterministic: level draws come from a seeded RNG keyed by insertion
+    order, so a rebuild from the same rows is bit-identical."""
+
+    def __init__(self, dim: int, m: int = 16, ef_construction: int = 80,
+                 seed: int = 7):
+        self.dim, self.m, self.m0 = dim, m, 2 * m
+        self.ef_c = ef_construction
+        self.ml = 1.0 / np.log(m)
+        self.rng = np.random.default_rng(seed)
+        self.vecs = np.empty((0, dim), dtype=np.float32)
+        self.ids: list[int] = []
+        self.levels: list[int] = []
+        # neighbors[node][layer] -> list[int]
+        self.neighbors: list[list[list[int]]] = []
+        self.entry = -1
+        self.max_level = -1
+
+    # ---------------------------------------------------------- search
+    def _search_layer(self, q: np.ndarray, entries: list[int], ef: int,
+                      layer: int) -> list[tuple[float, int]]:
+        """Best-first beam search on one layer; returns up to ``ef``
+        (sim, node) pairs, best first."""
+        import heapq
+        sims = {e: float(self.vecs[e] @ q) for e in entries}
+        visited = set(entries)
+        # candidates: max-heap by sim (negate); results: min-heap by sim
+        cand = [(-s, n) for n, s in sims.items()]
+        res = [(s, n) for n, s in sims.items()]
+        heapq.heapify(cand)
+        heapq.heapify(res)
+        while cand:
+            cs, c = heapq.heappop(cand)
+            if -cs < res[0][0] and len(res) >= ef:
+                break
+            for nb in self.neighbors[c][layer]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(self.vecs[nb] @ q)
+                if len(res) < ef or s > res[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(res, (s, nb))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+        return sorted(res, reverse=True)
+
+    def add(self, vec: np.ndarray, ext_id: int) -> None:
+        node = len(self.ids)
+        self.vecs = np.vstack([self.vecs, vec[None, :]])
+        self.ids.append(int(ext_id))
+        level = int(-np.log(max(self.rng.random(), 1e-12)) * self.ml)
+        self.levels.append(level)
+        self.neighbors.append([[] for _ in range(level + 1)])
+        if self.entry < 0:
+            self.entry, self.max_level = node, level
+            return
+        ep = [self.entry]
+        for lyr in range(self.max_level, level, -1):
+            ep = [self._search_layer(vec, ep, 1, lyr)[0][1]]
+        for lyr in range(min(level, self.max_level), -1, -1):
+            cand = self._search_layer(vec, ep, self.ef_c, lyr)
+            mmax = self.m0 if lyr == 0 else self.m
+            chosen = [n for _, n in cand[:self.m]]
+            self.neighbors[node][lyr] = list(chosen)
+            for nb in chosen:
+                lst = self.neighbors[nb][lyr]
+                lst.append(node)
+                if len(lst) > mmax:
+                    # prune to the mmax most similar (simple heuristic)
+                    sims = self.vecs[lst] @ self.vecs[nb]
+                    keep = np.argsort(-sims)[:mmax]
+                    self.neighbors[nb][lyr] = [lst[i] for i in keep]
+            ep = [n for _, n in cand]
+        if level > self.max_level:
+            self.entry, self.max_level = node, level
+
+    def search(self, q: np.ndarray, k: int, ef_search: int = 64
+               ) -> list[tuple[float, int]]:
+        """Top-k (sim, external id), best first.  A beam as wide as the
+        whole graph IS an exact scan — take it literally (one matmul)
+        instead of walking edges, which also makes full-width probes
+        provably exact (the hard-oracle contract ``embed_knn_hnsw``
+        relies on; a graph walk could in principle strand a node in a
+        disconnected layer-0 component)."""
+        if self.entry < 0:
+            return []
+        if ef_search >= len(self.ids):
+            sims = self.vecs @ q
+            order = np.lexsort((np.asarray(self.ids), -sims))[:k]
+            return [(float(sims[i]), self.ids[i]) for i in order]
+        ep = [self.entry]
+        for lyr in range(self.max_level, 0, -1):
+            ep = [self._search_layer(q, ep, 1, lyr)[0][1]]
+        res = self._search_layer(q, ep, max(ef_search, k), 0)
+        return [(s, self.ids[n]) for s, n in res[:k]]
+
+    # ----------------------------------------------------- (de)serialize
+    def to_table(self) -> pa.Table:
+        flat_nbrs, nbr_offsets, layers, nodes = [], [0], [], []
+        for n, per_layer in enumerate(self.neighbors):
+            for lyr, lst in enumerate(per_layer):
+                nodes.append(n)
+                layers.append(lyr)
+                flat_nbrs.extend(lst)
+                nbr_offsets.append(len(flat_nbrs))
+        adj = pa.ListArray.from_arrays(
+            pa.array(nbr_offsets, pa.int32()),
+            pa.array(flat_nbrs, pa.int32()))
+        meta = {"entry": str(self.entry), "max_level": str(self.max_level),
+                "m": str(self.m), "ef_c": str(self.ef_c),
+                "dim": str(self.dim),
+                "n_nodes": str(len(self.ids)),
+                "rng_draws": str(len(self.ids))}
+        # vec is a VARIABLE list column (empty on adjacency rows):
+        # Parquet does not round-trip null fixed-size-list slots
+        n_nodes = len(self.ids)
+        vec = pa.ListArray.from_arrays(
+            pa.array(np.arange(n_nodes + 1, dtype=np.int64) * self.dim,
+                     pa.int32()),
+            pa.array(self.vecs.reshape(-1), pa.float32()))
+        empty_vec = pa.ListArray.from_arrays(
+            pa.array(np.zeros(len(nodes) + 1, dtype=np.int64), pa.int32()),
+            pa.array([], pa.float32()))
+        nodes_t = pa.table({
+            "kind": pa.array(["node"] * n_nodes, pa.string()),
+            "node": pa.array(range(n_nodes), pa.int32()),
+            "layer": pa.array(self.levels, pa.int32()),
+            "ext_id": pa.array(self.ids, pa.int64()),
+            "vec": vec,
+            "nbrs": pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_nodes + 1, dtype=np.int64), pa.int32()),
+                pa.array([], pa.int32())),
+        })
+        adj_t = pa.table({
+            "kind": pa.array(["adj"] * len(nodes), pa.string()),
+            "node": pa.array(nodes, pa.int32()),
+            "layer": pa.array(layers, pa.int32()),
+            "ext_id": pa.nulls(len(nodes), pa.int64()),
+            "vec": empty_vec,
+            "nbrs": adj,
+        })
+        t = pa.concat_tables([nodes_t, adj_t])
+        return t.replace_schema_metadata(meta)
+
+    @classmethod
+    def from_table(cls, t: pa.Table, seed: int = 7) -> "_HNSW":
+        meta = {k.decode(): v.decode()
+                for k, v in (t.schema.metadata or {}).items()}
+        g = cls(int(meta["dim"]), m=int(meta["m"]),
+                ef_construction=int(meta["ef_c"]), seed=seed)
+        nodes = t.filter(pc.equal(t.column("kind"), "node")).sort_by(
+            [("node", "ascending")])
+        n = nodes.num_rows
+        g.vecs = np.asarray(nodes.column("vec").combine_chunks().flatten(),
+                            dtype=np.float32).reshape(n, -1)
+        g.ids = nodes.column("ext_id").to_pylist()
+        g.levels = nodes.column("layer").to_pylist()
+        g.neighbors = [[[] for _ in range(lv + 1)] for lv in g.levels]
+        adj = t.filter(pc.equal(t.column("kind"), "adj"))
+        for node, layer, nbrs in zip(adj.column("node").to_pylist(),
+                                     adj.column("layer").to_pylist(),
+                                     adj.column("nbrs").to_pylist()):
+            g.neighbors[node][layer] = list(nbrs)
+        g.entry = int(meta["entry"])
+        g.max_level = int(meta["max_level"])
+        # burn the construction draws so appends continue the SAME
+        # deterministic level sequence a single-shot build would produce
+        for _ in range(int(meta["rng_draws"])):
+            g.rng.random()
+        return g
+
+
+def _bucket_graph_path(index_dir: str, b: int) -> str:
+    import os
+    return os.path.join(index_dir, f"bucket={b}", "graph.parquet")
+
+
+def hnsw_build(ds: "ray.data.Dataset", index_dir: str, n_clusters: int = 8,
+               m: int = 16, ef_construction: int = 80,
+               sample_size: int = 2048, vec_col: str = "embedding",
+               id_col: str = "vec_id", seed: int = 11) -> int:
+    """Build the persisted bucketed-HNSW layout: IVF coarse quantization
+    (centroids from a sample, saved alongside) + one self-contained HNSW
+    graph file per bucket, built by one Ray task per bucket (insertion
+    order = ascending id → deterministic bytes; atomic tmp+rename).
+    Returns total vectors indexed."""
+    import os
+    sample = [r[vec_col] for r in ds.take(sample_size)]
+    cent = kmeans_centroids(np.asarray(sample), n_clusters, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mm = _l2_normalize(_batch_matrix(batch, vec_col))
+        b = (mm @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table({id_col: batch.column(id_col),
+                         vec_col: batch.column(vec_col),
+                         "bucket": pa.array(b)})
+
+    def build_bucket(g: pa.Table) -> pa.Table:
+        import os
+        import pyarrow.parquet as pq
+        if g.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        b = int(g.column("bucket")[0].as_py())
+        g = g.sort_by([(id_col, "ascending")])
+        mm = _l2_normalize(_batch_matrix(g, vec_col))
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        graph = _HNSW(mm.shape[1], m=m, ef_construction=ef_construction,
+                      seed=seed + b)
+        for i in range(len(ids)):
+            graph.add(mm[i], int(ids[i]))
+        path = _bucket_graph_path(index_dir, b)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(graph.to_table(), tmp)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([g.num_rows], pa.int64())})
+
+    rows = (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("bucket").map_groups(build_bucket,
+                                          batch_format="pyarrow")
+            .take_all())
+    return int(sum(r["rows"] for r in rows))
+
+
+def hnsw_append(ds: "ray.data.Dataset", index_dir: str,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                seed: int = 11) -> int:
+    """Incremental append: route new vectors to their centroid bucket and
+    INSERT them into that bucket's existing graph (one Ray task per
+    touched bucket; untouched buckets' files are byte-stable).  The
+    centroids are fixed at build time — the same contract as
+    ``ivf_append``: appends follow the frozen coarse quantizer."""
+    import os
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mm = _l2_normalize(_batch_matrix(batch, vec_col))
+        b = (mm @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table({id_col: batch.column(id_col),
+                         vec_col: batch.column(vec_col),
+                         "bucket": pa.array(b)})
+
+    def extend_bucket(g: pa.Table) -> pa.Table:
+        import os
+        import pyarrow.parquet as pq
+        if g.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        b = int(g.column("bucket")[0].as_py())
+        path = _bucket_graph_path(index_dir, b)
+        if os.path.exists(path):
+            graph = _HNSW.from_table(pq.read_table(path), seed=seed + b)
+        else:
+            mm0 = _l2_normalize(_batch_matrix(g.slice(0, 1), vec_col))
+            graph = _HNSW(mm0.shape[1], seed=seed + b)
+        g = g.sort_by([(id_col, "ascending")])
+        mm = _l2_normalize(_batch_matrix(g, vec_col))
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        known = set(graph.ids)
+        added = 0
+        for i in range(len(ids)):
+            if int(ids[i]) in known:    # idempotent re-append
+                continue
+            graph.add(mm[i], int(ids[i]))
+            added += 1
+        tmp = f"{path}.tmp.{os.getpid()}"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(graph.to_table(), tmp)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([added], pa.int64())})
+
+    rows = (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("bucket").map_groups(extend_bucket,
+                                          batch_format="pyarrow")
+            .take_all())
+    return int(sum(r["rows"] for r in rows))
+
+
+def hnsw_probe(index_dir: str, queries: np.ndarray, k: int = 10,
+               n_probe: int = 4, ef_search: int = 64,
+               id_col: str = "vec_id", round_to: int | None = 6
+               ) -> pa.Table:
+    """Query the bucketed-HNSW layout: rank buckets per query against the
+    saved centroids, search ONLY the probed buckets' graphs (one Ray task
+    per bucket — each loads one graph file, never the corpus), merge the
+    per-bucket top-k driver-side (k·n_probe·n_queries rows).  Same output
+    contract as ``ivf_probe``/``brute_force_topk``: (query_id, id, cos)
+    ordered by (query_id, -cos, id)."""
+    import os
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _l2_normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]   # (nq, p)
+
+    @ray.remote(num_cpus=1)
+    def search_bucket(b: int, q_idx: np.ndarray) -> list[tuple]:
+        import pyarrow.parquet as pq
+        path = _bucket_graph_path(index_dir, int(b))
+        if not os.path.exists(path):
+            return []
+        graph = _HNSW.from_table(pq.read_table(path))
+        out = []
+        for qi in q_idx:
+            for s, ext in graph.search(qn[qi], k, ef_search=ef_search):
+                out.append((int(qi), ext, float(s)))
+        return out
+
+    by_bucket: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for b in probes[qi]:
+            by_bucket.setdefault(int(b), []).append(qi)
+    refs = [search_bucket.remote(b, np.array(qis, dtype=np.int64))
+            for b, qis in sorted(by_bucket.items())]
+    rows = [r for part in ray.get(refs) for r in part]
+    if not rows:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    qid = np.array([r[0] for r in rows], dtype=np.int64)
+    vid = np.array([r[1] for r in rows], dtype=np.int64)
+    cos = np.array([r[2] for r in rows], dtype=np.float64)
+    if round_to is not None:
+        cos = np.round(cos, round_to)
+    t = pa.table({"query_id": pa.array(qid), id_col: pa.array(vid),
+                  "cos": pa.array(cos)})
+    t = t.sort_by([("query_id", "ascending"), ("cos", "descending"),
+                   (id_col, "ascending")])
+    # per-query top-k after the cross-bucket merge
+    keep = np.zeros(t.num_rows, dtype=bool)
+    qs = t.column("query_id").to_numpy(zero_copy_only=False)
+    seen: dict[int, int] = {}
+    for i, q in enumerate(qs):
+        c = seen.get(int(q), 0)
+        if c < k:
+            keep[i] = True
+            seen[int(q)] = c + 1
+    return t.filter(pa.array(keep))
