@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_label_centroids": q.embed_label_centroids,
         "embed_knn_ivf_incremental": q.embed_knn_ivf_incremental,
         "embed_knn_hnsw": q.embed_knn_hnsw,
+        "doc_decontaminate_join": q.doc_decontaminate_join,
+        "doc_tfidf_top_join": q.doc_tfidf_top_join,
         "media_byte_stats": q.media_byte_stats_q,
         "media_frame_stats": q.media_frame_stats,
     }
@@ -2169,4 +2171,8 @@ def oracle_sql() -> dict[str, str]:
     # the cell-kernel LAKE replay and the one-shot cell fold share their
     # semantics (functions/cells.py) — and therefore their oracle
     out["cdc_cell_replay"] = out["cdc_patch_merge"]
+    # the distributed (join-path) twins compute the identical result, so
+    # the broadcast queries' oracles apply verbatim
+    out["doc_decontaminate_join"] = out["doc_decontaminate"]
+    out["doc_tfidf_top_join"] = out["doc_tfidf_top"]
     return out

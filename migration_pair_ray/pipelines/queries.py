@@ -2151,6 +2151,39 @@ def doc_decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 97):
     return decontaminate(corpus, bench, n=n).sort("doc_id")
 
 
+def doc_decontaminate_join(sf_dir: str, n: int = 8, bench_mod: int = 97):
+    """Same fixture and oracle as doc_decontaminate, hard-forced onto the
+    DISTRIBUTED scrubber (stages/curation.decontaminate_join — the
+    beyond-broadcast-gram-store path: bloom-prefiltered hash join on gram
+    hashes, exact-string verify of candidate docs only).  A recorded
+    proof that the scale path is bit-exact against SQL, not just
+    equivalence-tested against the broadcast path."""
+    from migration_pair_ray.stages.curation import decontaminate_join
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def split(t: pa.Table, want_bench: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % bench_mod == 0) == want_bench
+        return t.filter(pa.array(mask))
+
+    bench = ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    return decontaminate_join(corpus, bench, n=n).sort("doc_id")
+
+
+def doc_tfidf_top_join(sf_dir: str):
+    """doc_tfidf_top hard-forced onto the fully distributed join scorer
+    (stages/curation.tfidf_top_join — the beyond-vocab-ceiling path: term
+    runs hash-joined with the df table, per-doc argmax in coarse
+    doc-hash groups).  Same SQL oracle as the broadcast scan."""
+    from migration_pair_ray.stages.curation import tfidf_top_join
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_docs = ds.count()
+    return tfidf_top_join(ds, n_docs).sort("doc_id")
+
+
 def doc_chunk_windows(sf_dir: str, size: int = 32, stride: int = 24):
     """Training-window chunker (stages/curation.py chunk_batch): each doc's
     token list → overlapping windows of `size` tokens advancing by
@@ -2440,7 +2473,13 @@ def cdc_changefeed(sf_dir: str):
         lambda t: mark(t, "before"), batch_format="pyarrow")
     b = final_state(src, sort=False).map_batches(
         lambda t: mark(t, "after"), batch_format="pyarrow")
-    j = hash_join(a, b, on=["conv_id", "turn_idx"], how="outer")
+    # role/tool are low-cardinality: dictionary-code them on the wire so
+    # the outer join's exchange ships int32 codes + one tiny per-block
+    # dictionary instead of repeated strings (decoded in-bucket — result
+    # bytes identical)
+    j = hash_join(a, b, on=["conv_id", "turn_idx"], how="outer",
+                  dict_cols=["before_role", "before_tool",
+                             "after_role", "after_tool"])
 
     def classify(t: pa.Table) -> pa.Table:
         in_a = pc.is_valid(t.column("__before"))
