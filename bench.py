@@ -113,6 +113,10 @@ QUERY_NAMES = [
     "embed_near_dedup",
     "embed_knn_ivf",
     "embed_knn_ivf_incremental",
+    "embed_knn_hnsw",
+    "doc_tfidf_top_join",
+    "doc_decontaminate_join",
+    "cdc_schema_gate",
     "conv_repeated_turns",
     "distinct_event_types",
     "doc_dup_clusters",

@@ -210,10 +210,34 @@ def _lsh_planes(seed: int, n_tables: int, dim: int, n_planes: int) -> np.ndarray
     return planes
 
 
+def _pack_f32(m: np.ndarray) -> pa.Array:
+    """(n, d) float32 matrix → fixed_size_binary(d*4), zero-padding-free."""
+    arr = np.ascontiguousarray(m.astype("<f4", copy=False))
+    return pa.Array.from_buffers(pa.binary(arr.shape[1] * 4), arr.shape[0],
+                                 [None, pa.py_buffer(arr.tobytes())])
+
+
+def _unpack_f32(col) -> np.ndarray:
+    """fixed_size_binary column → (n, d) float32 matrix (zero-copy)."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = ca.type.byte_width
+    a = np.frombuffer(ca.buffers()[1], dtype="<f4")
+    off = ca.offset * (width // 4)
+    return a[off: off + len(ca) * (width // 4)].reshape(len(ca), width // 4)
+
+
+# broadcast vector stores above this many BYTES (n_docs × dim × 4) flip
+# embedding_dedup's verify="auto" to the vectors-on-the-wire shuffle path
+EMBED_BROADCAST_CEILING_BYTES = 4 << 30
+
+
 def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
                     n_planes: int = 12, n_tables: int = 4,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    seed: int = 5, n_coarse: int = 64) -> "ray.data.Dataset":
+                    seed: int = 5, n_coarse: int = 64,
+                    verify: str = "auto",
+                    broadcast_ceiling_bytes: int = EMBED_BROADCAST_CEILING_BYTES
+                    ) -> "ray.data.Dataset":
     """Cosine near-duplicate removal: multi-table random-hyperplane LSH.
 
     ``n_tables`` independent tables of ``n_planes`` hyperplanes each
@@ -223,40 +247,62 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
     n_planes = 12, n_tables = 4 that is > 0.998, while random pairs
     (c ≈ 0) land together with p ≈ 2^-12 per table, keeping buckets small.
 
-    Scale shape (same exchange discipline as MinHash): the shuffle carries
-    ONLY (coarse, bucket, doc_id) rows (~20 B each) — the vectors are
-    broadcast once as (sorted ids, normalized matrix) flat numpy buffers
-    (``ray.put`` → zero-copy map on every node; ceiling ~n_docs × dim × 4 B,
-    the same broadcast regime as the minhash sig store).  Ray groups are
-    ``n_coarse`` COARSE buckets (not one per fine bucket — per-group
-    dispatch pitfall); inside a group, fine-bucket runs are found by one
-    lexsort, vectors are gathered from the store by ``searchsorted``, and
-    each run is verified by ONE normalized matmul + ``triu_indices``
-    threshold — no Python pair loop.  Buckets beyond ``_BUCKET_CAP``
-    members are degenerate (near-constant embeddings) and are skipped,
-    bounding the quadratic.
+    ``verify`` picks where bucket members' vectors come from:
+
+    * ``"auto"`` (default): estimate the store (row count × dim × 4 B —
+      one ``take(1)`` + ``count``) and pick "broadcast" at or under
+      ``broadcast_ceiling_bytes``, "shuffle" beyond.
+    * ``"broadcast"``: the shuffle carries ONLY (coarse, bucket, doc_id)
+      rows (~20 B each) — vectors are broadcast once as (sorted ids,
+      normalized matrix) flat numpy buffers (``ray.put`` → zero-copy map
+      on every node; the same broadcast regime as the minhash sig store).
+    * ``"shuffle"``: no broadcast — each bucket row carries its vector as
+      ``fixed_size_binary(dim*4)`` (n_tables copies per doc on the wire,
+      dim×4 B each); fully distributed, the path beyond the ceiling.
+
+    Ray groups are ``n_coarse`` COARSE buckets (not one per fine bucket —
+    per-group dispatch pitfall); inside a group, fine-bucket runs are
+    found by one lexsort and each run is verified by ONE normalized
+    matmul + ``triu_indices`` threshold — no Python pair loop.  Buckets
+    beyond ``_BUCKET_CAP`` members are degenerate (near-constant
+    embeddings) and are skipped, bounding the quadratic.
     """
     from migration_pair_ray.stages.dedup import (
         _BUCKET_CAP, connected_components, drop_cluster_losers)
 
     golden = np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF)
 
-    # one vector pass: collect the normalized matrix driver-side via
-    # zero-copy block iteration, broadcast once
-    ids_parts, vec_parts = [], []
-    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        if batch.num_rows == 0:
-            continue
-        ids_parts.append(batch.column(id_col).to_numpy(zero_copy_only=False)
-                         .astype(np.int64))
-        vec_parts.append(_l2_normalize(_batch_matrix(batch, vec_col)))
-    if not ids_parts:
-        return ds
-    all_ids = np.concatenate(ids_parts)
-    all_vecs = np.concatenate(vec_parts)
-    order = np.argsort(all_ids)
-    store_ref = ray.put((all_ids[order], all_vecs[order]))
+    if verify == "auto":
+        first = ds.take(1)
+        dim0 = len(first[0][vec_col]) if first else 0
+        est = ds.count() * dim0 * 4
+        verify = ("broadcast" if est <= broadcast_ceiling_bytes
+                  else "shuffle")
+    if verify not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"verify must be 'auto'|'broadcast'|'shuffle', got {verify!r}")
+
+    store_ref = None
+    if verify == "broadcast":
+        # one vector pass: collect the normalized matrix driver-side via
+        # zero-copy block iteration, broadcast once
+        ids_parts, vec_parts = [], []
+        for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            if batch.num_rows == 0:
+                continue
+            ids_parts.append(
+                batch.column(id_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+            vec_parts.append(_l2_normalize(_batch_matrix(batch, vec_col)))
+        if not ids_parts:
+            return ds
+        all_ids = np.concatenate(ids_parts)
+        all_vecs = np.concatenate(vec_parts)
+        order = np.argsort(all_ids)
+        store_ref = ray.put((all_ids[order], all_vecs[order]))
+
+    carry_vecs = verify == "shuffle"
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _l2_normalize(_batch_matrix(batch, vec_col))
@@ -271,11 +317,14 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
         flat_keys = keys.reshape(-1)
         with np.errstate(over="ignore"):
             coarse = ((flat_keys * golden) % n_coarse).astype(np.int32)
-        return pa.table({
+        cols = {
             "bucket": pa.array(flat_keys),
             "coarse": pa.array(np.abs(coarse)),
             "doc_id": pa.array(np.tile(ids, n_tables)),
-        })
+        }
+        if carry_vecs:
+            cols["vecb"] = _pack_f32(np.tile(m, (n_tables, 1)))
+        return pa.table(cols)
 
     cand = ds.map_batches(bucketize, batch_format="pyarrow")
 
@@ -285,11 +334,16 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
                           "sim": pa.array([], pa.float64())})
         if g.num_rows < 2:
             return empty
-        store_ids, store_vecs = ray.get(store_ref)   # zero-copy plasma map
         buckets = g.column("bucket").to_numpy(zero_copy_only=False)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, buckets))
         buckets, ids = buckets[order], ids[order]
+        if carry_vecs:
+            group_vecs = _unpack_f32(g.column("vecb"))[order]
+            store_ids = store_vecs = None
+        else:
+            store_ids, store_vecs = ray.get(store_ref)  # zero-copy plasma
+            group_vecs = None
         starts = np.flatnonzero(
             np.concatenate([[True], buckets[1:] != buckets[:-1]]))
         ends = np.concatenate([starts[1:], [len(buckets)]])
@@ -298,7 +352,10 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
             k = e - s
             if k < 2 or k > _BUCKET_CAP:     # degenerate bucket: no signal
                 continue
-            sub = store_vecs[np.searchsorted(store_ids, ids[s:e])]
+            if carry_vecs:
+                sub = group_vecs[s:e]
+            else:
+                sub = store_vecs[np.searchsorted(store_ids, ids[s:e])]
             cos = sub @ sub.T                # one matmul per fine bucket
             iu, ju = np.triu_indices(k, 1)
             cv = cos[iu, ju]

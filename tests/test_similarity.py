@@ -283,3 +283,31 @@ def test_hnsw_append_matches_full_build_recall(tmp_path):
         top = max((r for r in approx.to_pylist() if r["query_id"] == qi),
                   key=lambda r: r["cos"])
         assert top["cos"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dedup_shuffle_equals_broadcast():
+    """The vectors-on-the-wire shuffle path (beyond the broadcast store
+    ceiling) must keep exactly the same survivors as the broadcast path,
+    and verify='auto' must flip between them on the ceiling."""
+    from migration_pair_ray.stages.similarity import embedding_dedup
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    # plant exact copies so clusters exist (same trick as the planted-
+    # copies test): every 10th vector duplicated under a shifted id
+    dup = emb[emb["vec_id"] % 10 == 0].copy()
+    dup["vec_id"] = dup["vec_id"] + 100000
+    both = pd.concat([emb, dup], ignore_index=True)
+
+    def survivors(**kw):
+        ds = ray.data.from_pandas(both)
+        out = embedding_dedup(ds, threshold=0.995, **kw)
+        return sorted(out.to_pandas()["vec_id"].tolist())
+
+    b = survivors(verify="broadcast")
+    s = survivors(verify="shuffle")
+    assert b == s
+    auto_small = survivors(verify="auto", broadcast_ceiling_bytes=1)
+    auto_big = survivors(verify="auto")
+    assert auto_small == auto_big == b
+    # the planted copies were dropped (min-id survives)
+    assert not any(v >= 100000 for v in b)
