@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_hnsw": q.embed_knn_hnsw,
         "doc_decontaminate_join": q.doc_decontaminate_join,
         "doc_tfidf_top_join": q.doc_tfidf_top_join,
+        "cdc_changefeed_join": q.cdc_changefeed_join,
         "media_byte_stats": q.media_byte_stats_q,
         "media_frame_stats": q.media_frame_stats,
     }
@@ -2175,4 +2176,7 @@ def oracle_sql() -> dict[str, str]:
     # the broadcast queries' oracles apply verbatim
     out["doc_decontaminate_join"] = out["doc_decontaminate"]
     out["doc_tfidf_top_join"] = out["doc_tfidf_top"]
+    # the co-partitioned (default) and generic-join changefeeds compute
+    # the identical diff — one oracle serves both
+    out["cdc_changefeed_join"] = out["cdc_changefeed"]
     return out

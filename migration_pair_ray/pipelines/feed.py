@@ -901,3 +901,147 @@ def export_jsonl(cfg: JobConfig, consumer: str, out_dir: str,
     if ack and frontier > consumer_cursor(cfg, consumer):
         summary["ack"] = ack_feed(cfg, consumer, frontier)
     return summary
+
+
+# ------------------------------------------------------- co-located diff
+
+def diff_lakes(a: JobConfig, b: JobConfig) -> "object":
+    """NET per-key state diff a → b as a Dataset of
+    ``(conv_id, turn_idx, change, before_role/text/tool/ts,
+    after_role/text/tool/ts)`` — insert / update / delete rows only
+    (unchanged keys emit nothing; null-safe payload comparison).
+
+    The co-partitioned fast path of the changefeed: when both lakes share
+    the SAME layout (partition count, mode, splits, hot set, kernel) a
+    key lives in the same partition id on both sides, so the diff is one
+    LOCAL outer join per partition — one Ray task reads both sides'
+    state files for its pid and emits only that pid's changed rows.
+    **No exchange at all**: at 100 TB nothing moves except the changed
+    rows flowing to the consumer, vs the generic path's full two-sided
+    payload shuffle (``cdc_changefeed(impl="join")`` remains the
+    mixed-layout fallback).  Raises ``LakeLayoutError`` when the layouts
+    differ — a silent fallback would hide an all-to-all cost the caller
+    believed was free."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from migration_pair_ray.functions.lww import finalize_visible
+    from migration_pair_ray.functions.normalize import make_normalizer
+    from migration_pair_ray.schemas import CHANGE_SCHEMA, unify_change_schemas
+    from migration_pair_ray.stages.applier import read_state_table
+    from migration_pair_ray.state.manifest import (LakeLayoutError, LakeMeta,
+                                                   ManifestStore,
+                                                   record_files)
+
+    la, lb = LakeMeta(a.lake_dir), LakeMeta(b.lake_dir)
+    ra, rb = la.read() or {}, lb.read() or {}
+    layout_a = (ra.get("num_partitions"), ra.get("partition_mode"),
+                tuple(sorted((la.splits() or {}).items())),
+                tuple(la.hot_convs() or ()), la.merge_kernel())
+    layout_b = (rb.get("num_partitions"), rb.get("partition_mode"),
+                tuple(sorted((lb.splits() or {}).items())),
+                tuple(lb.hot_convs() or ()), lb.merge_kernel())
+    if layout_a != layout_b:
+        raise LakeLayoutError(
+            f"diff_lakes needs identical layouts; got {layout_a} vs "
+            f"{layout_b} — use the generic join changefeed instead")
+    kernel = la.merge_kernel()
+
+    sa = ManifestStore(a.manifest_dir)
+    sb = ManifestStore(b.manifest_dir)
+    pids = sorted(set(la.active_partition_ids(a.num_partitions))
+                  | set(lb.active_partition_ids(b.num_partitions)))
+    plans = []
+    import pyarrow.parquet as pq
+    footers = []
+    for pid in pids:
+        mma, mmb = sa.read(pid), sb.read(pid)
+        if mma is None and mmb is None:
+            continue
+        plans.append((pid, mma, mmb))
+        for m, cfgx in ((mma, a), (mmb, b)):
+            footers.extend(
+                pq.read_schema(str(Path(cfgx.lake_dir) / f))
+                for f in record_files(m))
+    if not plans:
+        return rd.from_arrow(_DIFF_SCHEMA.empty_table())
+    schema = unify_change_schemas(footers) if footers else CHANGE_SCHEMA
+
+    payload = ("role", "text", "tool", "ts")
+
+    def _diff_pid(lake_a: str, mja: str | None, lake_b: str,
+                  mjb: str | None) -> pa.Table:
+        norm = make_normalizer(schema)
+
+        def side(lake: str, mj: str | None, prefix: str) -> pa.Table:
+            m = json.loads(mj) if mj else None
+            t = read_state_table(lake, m, kernel=kernel)
+            if t is None or t.num_rows == 0:
+                t = schema.empty_table()
+            t = finalize_visible(norm(t), kernel)
+            cols = {"conv_id": t.column("conv_id"),
+                    "turn_idx": t.column("turn_idx")}
+            for c in payload:
+                cols[f"{prefix}_{c}"] = t.column(c)
+            cols[f"__{prefix}"] = pa.array(
+                np.ones(t.num_rows, np.int8))
+            return pa.table(cols)
+
+        va = side(lake_a, mja, "before")
+        vb = side(lake_b, mjb, "after")
+        j = va.join(vb, keys=["conv_id", "turn_idx"],
+                    join_type="full outer")
+
+        in_a = pc.is_valid(j.column("__before"))
+        in_b = pc.is_valid(j.column("__after"))
+
+        def same(col: str):
+            x, y = j.column(f"before_{col}"), j.column(f"after_{col}")
+            eq = pc.fill_null(pc.equal(x, y), False)
+            return pc.or_(eq, pc.and_(pc.is_null(x), pc.is_null(y)))
+
+        unchanged = same(payload[0])
+        for c in payload[1:]:
+            unchanged = pc.and_(unchanged, same(c))
+
+        def _cc(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        ins = pc.and_(pc.invert(_cc(in_a)), in_b)
+        dele = pc.and_(in_a, pc.invert(_cc(in_b)))
+        emit = pc.or_(pc.or_(ins, dele),
+                      pc.and_(pc.and_(in_a, in_b),
+                              pc.invert(_cc(unchanged))))
+        j = j.filter(emit)
+        ins_np = pc.and_(pc.invert(_cc(pc.is_valid(j.column("__before")))),
+                         pc.is_valid(j.column("__after"))
+                         ).to_numpy(zero_copy_only=False)
+        del_np = pc.and_(pc.is_valid(j.column("__before")),
+                         pc.invert(_cc(pc.is_valid(j.column("__after"))))
+                         ).to_numpy(zero_copy_only=False)
+        change = np.where(ins_np, "insert",
+                          np.where(del_np, "delete", "update"))
+        cols = {"conv_id": j.column("conv_id"),
+                "turn_idx": j.column("turn_idx"),
+                "change": pa.array(change.tolist(), pa.string())}
+        for p in ("before", "after"):
+            for c in payload:
+                cols[f"{p}_{c}"] = j.column(f"{p}_{c}")
+        return pa.table(cols)
+
+    fn = ray.remote(num_cpus=1)(_diff_pid)
+    refs = [fn.remote(a.lake_dir, json.dumps(mma) if mma else None,
+                      b.lake_dir, json.dumps(mmb) if mmb else None)
+            for _, mma, mmb in plans]
+    return rd.from_arrow_refs(refs)
+
+
+import pyarrow as _pa_diff  # noqa: E402  (schema literal below)
+_DIFF_SCHEMA = _pa_diff.schema(
+    [("conv_id", _pa_diff.string()), ("turn_idx", _pa_diff.int32()),
+     ("change", _pa_diff.string())]
+    + [(f"{p}_{c}", _pa_diff.timestamp("us") if c == "ts"
+        else _pa_diff.string())
+       for p in ("before", "after")
+       for c in ("role", "text", "tool", "ts")])

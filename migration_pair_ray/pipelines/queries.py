@@ -2432,16 +2432,23 @@ def doc_tfidf_top(sf_dir: str):
 
 
 @_push_heavy
-def cdc_changefeed(sf_dir: str):
+def cdc_changefeed(sf_dir: str, impl: str = "copart"):
     """Changefeed emission — the downstream-consumer surface of a CDC
     engine: the NET per-key effect (insert / update / delete with
     before/after text) of advancing the lake from a checkpoint state
     (files 0-1 of the derived log) to the current state (the full log).
-    Both states come from REAL replay passes; the diff is a distributed
+    Both states come from REAL replay passes.
+
+    ``impl="copart"`` (default): the two lakes share the SAME layout, so
+    the diff runs as ``feed.diff_lakes`` — one LOCAL outer join per
+    partition, **zero exchange** (nothing moves but the changed rows);
+    the 100-TB shape for same-layout changefeeds.
+    ``impl="join"``: the generic mixed-layout path — a distributed
     full-outer hash join on the merge key with explicit presence markers
     (value columns can be legitimately null, so nullity of the payload
-    can't signal absence) and a vectorized null-safe any-column-changed
-    mask.  Keys whose winner is unchanged emit nothing."""
+    can't signal absence), role/tool dictionary-coded on the wire.
+    Both are oracle-checked (`cdc_changefeed` / `cdc_changefeed_join`);
+    keys whose winner is unchanged emit nothing either way."""
     from migration_pair_ray.stages.join import hash_join
     src = _events_lake(sf_dir)
     root = Path(src.changelog_dir).parent
@@ -2458,6 +2465,15 @@ def cdc_changefeed(sf_dir: str):
     pre_cfg = JobConfig(changelog_dir=log_pre, lake_dir=lake_pre,
                         num_partitions=16)
     replay(pre_cfg)   # idempotent no-op when up to date
+
+    if impl == "copart":
+        from migration_pair_ray.pipelines.feed import diff_lakes
+        return (diff_lakes(pre_cfg, src)
+                .map_batches(lambda t: t.select(
+                    ["conv_id", "turn_idx", "change",
+                     "before_text", "after_text"]),
+                    batch_format="pyarrow")
+                .sort(["conv_id", "turn_idx"]))
 
     def mark(t: pa.Table, prefix: str) -> pa.Table:
         return pa.table({
@@ -2525,6 +2541,13 @@ def cdc_changefeed(sf_dir: str):
 
     return (j.map_batches(classify, batch_format="pyarrow")
             .sort(["conv_id", "turn_idx"]))
+
+
+def cdc_changefeed_join(sf_dir: str):
+    """The generic mixed-layout changefeed path (distributed full-outer
+    hash join), kept oracle-verified alongside the co-partitioned
+    default — the fallback ``diff_lakes`` refuses to silently take."""
+    return cdc_changefeed(sf_dir, impl="join")
 
 
 @_push_heavy

@@ -675,3 +675,71 @@ def test_verify_replica_incremental_matches_streaming(tmp_path):
     from migration_pair_ray.pipelines.repair import repair_replica
     assert repair_replica(src, dst)["clean_after"]
     assert verify_replica(src, dst, incremental=True).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_diff_lakes_copartitioned_equals_join_changefeed(tmp_path):
+    """feed.diff_lakes (per-partition local outer join, zero exchange)
+    must emit exactly the insert/update/delete rows the generic join
+    path computes, and must REFUSE mismatched layouts rather than
+    silently shuffling."""
+    import duckdb
+    import pandas as pd
+    from migration_pair_ray.pipelines.feed import diff_lakes
+    from migration_pair_ray.state.manifest import LakeLayoutError
+
+    log = str(tmp_path / "log")
+    files = generate_change_log(log, n_events=1200, n_convs=10, n_files=2,
+                                tool_epoch=1, shuffle_window=200, seed=81)
+    # before = first file only; after = full log
+    log_pre = str(tmp_path / "log_pre")
+    os.makedirs(log_pre)
+    os.link(files[0], os.path.join(log_pre, os.path.basename(files[0])))
+    a = JobConfig(changelog_dir=log_pre, lake_dir=str(tmp_path / "lake_a"),
+                  num_partitions=6)
+    b = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake_b"),
+                  num_partitions=6)
+    replay(a)
+    replay(b)
+
+    got = (diff_lakes(a, b).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want = duckdb.sql(f"""
+        WITH pre AS (SELECT conv_id, turn_idx, role, text,
+                            CAST(NULL AS VARCHAR) AS tool, ts, op, lsn
+                     FROM read_parquet('{log_pre}/*.parquet')),
+        wa AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, lsn DESC) rn FROM pre),
+        sa AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM wa
+               WHERE rn = 1 AND op <> 'D'),
+        fl AS (SELECT * FROM read_parquet('{log}/*.parquet',
+                 union_by_name=true)),
+        wb AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, lsn DESC) rn FROM fl),
+        sb AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM wb
+               WHERE rn = 1 AND op <> 'D'),
+        j AS (SELECT COALESCE(sa.conv_id, sb.conv_id) conv_id,
+                     COALESCE(sa.turn_idx, sb.turn_idx) turn_idx,
+                     sa.conv_id IS NOT NULL a_in, sb.conv_id IS NOT NULL b_in,
+                     sa.text b_text, sb.text a_text,
+                     (sa.role IS NOT DISTINCT FROM sb.role AND
+                      sa.text IS NOT DISTINCT FROM sb.text AND
+                      sa.tool IS NOT DISTINCT FROM sb.tool AND
+                      sa.ts IS NOT DISTINCT FROM sb.ts) same
+              FROM sa FULL OUTER JOIN sb USING (conv_id, turn_idx))
+        SELECT conv_id, turn_idx,
+               CASE WHEN NOT a_in THEN 'insert'
+                    WHEN NOT b_in THEN 'delete' ELSE 'update' END AS change
+        FROM j WHERE NOT a_in OR NOT b_in OR NOT same
+        ORDER BY conv_id, turn_idx""").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "change"]], want, check_dtype=False)
+    assert set(got["change"]) <= {"insert", "update", "delete"}
+    assert len(got) > 0
+
+    # mismatched layout refuses (different partition count)
+    c = JobConfig(changelog_dir=log, lake_dir=str(tmp_path / "lake_c"),
+                  num_partitions=4)
+    replay(c)
+    with pytest.raises(LakeLayoutError, match="identical layouts"):
+        diff_lakes(a, c)
