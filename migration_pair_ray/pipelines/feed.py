@@ -905,11 +905,16 @@ def export_jsonl(cfg: JobConfig, consumer: str, out_dir: str,
 
 # ------------------------------------------------------- co-located diff
 
-def diff_lakes(a: JobConfig, b: JobConfig) -> "object":
+def diff_lakes(a: JobConfig, b: JobConfig,
+               payload_cols: tuple = ("role", "text", "tool", "ts")
+               ) -> "object":
     """NET per-key state diff a → b as a Dataset of
-    ``(conv_id, turn_idx, change, before_role/text/tool/ts,
-    after_role/text/tool/ts)`` — insert / update / delete rows only
-    (unchanged keys emit nothing; null-safe payload comparison).
+    ``(conv_id, turn_idx, change, before_<c>/after_<c> per payload
+    column)`` — insert / update / delete rows only (unchanged keys emit
+    nothing; null-safe payload comparison).  ``payload_cols=()`` is the
+    presence-only form: insert/delete rows only, no payload compared or
+    emitted — the keys-only delta stream incremental view maintenance
+    consumes.
 
     The co-partitioned fast path of the changefeed: when both lakes share
     the SAME layout (partition count, mode, splits, hot set, kernel) a
@@ -964,11 +969,15 @@ def diff_lakes(a: JobConfig, b: JobConfig) -> "object":
             footers.extend(
                 pq.read_schema(str(Path(cfgx.lake_dir) / f))
                 for f in record_files(m))
+    payload = tuple(payload_cols)
     if not plans:
-        return rd.from_arrow(_DIFF_SCHEMA.empty_table())
+        empty = pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+             ("change", pa.string())]
+            + [(f"{p}_{c}", CHANGE_SCHEMA.field(c).type)
+               for p in ("before", "after") for c in payload])
+        return rd.from_arrow(empty.empty_table())
     schema = unify_change_schemas(footers) if footers else CHANGE_SCHEMA
-
-    payload = ("role", "text", "tool", "ts")
 
     def _diff_pid(lake_a: str, mja: str | None, lake_b: str,
                   mjb: str | None) -> pa.Table:
@@ -1001,9 +1010,12 @@ def diff_lakes(a: JobConfig, b: JobConfig) -> "object":
             eq = pc.fill_null(pc.equal(x, y), False)
             return pc.or_(eq, pc.and_(pc.is_null(x), pc.is_null(y)))
 
-        unchanged = same(payload[0])
-        for c in payload[1:]:
-            unchanged = pc.and_(unchanged, same(c))
+        if payload:
+            unchanged = same(payload[0])
+            for c in payload[1:]:
+                unchanged = pc.and_(unchanged, same(c))
+        else:   # presence-only: both-present keys never emit
+            unchanged = pa.array(np.ones(j.num_rows, np.bool_))
 
         def _cc(x):
             return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
@@ -1036,12 +1048,3 @@ def diff_lakes(a: JobConfig, b: JobConfig) -> "object":
             for _, mma, mmb in plans]
     return rd.from_arrow_refs(refs)
 
-
-import pyarrow as _pa_diff  # noqa: E402  (schema literal below)
-_DIFF_SCHEMA = _pa_diff.schema(
-    [("conv_id", _pa_diff.string()), ("turn_idx", _pa_diff.int32()),
-     ("change", _pa_diff.string())]
-    + [(f"{p}_{c}", _pa_diff.timestamp("us") if c == "ts"
-        else _pa_diff.string())
-       for p in ("before", "after")
-       for c in ("role", "text", "tool", "ts")])

@@ -2996,8 +2996,6 @@ def cdc_incremental_agg(sf_dir: str):
     'maintained view == recomputed view'.  Counts that reach zero drop
     out (their conversation was fully tombstoned)."""
     from ray.data.aggregate import Sum
-
-    from migration_pair_ray.stages.join import hash_join
     cdc_changefeed(sf_dir)               # builds the checkpoint lake once
     src = _events_lake(sf_dir)
     root = Path(src.changelog_dir).parent
@@ -3011,39 +3009,28 @@ def cdc_incremental_agg(sf_dir: str):
                 .group_by("conv_id").aggregate([("d", "sum")])
                 .rename_columns(["conv_id", "delta"]))
 
-    # delta projection pushdown: a COUNT view's deltas depend only on key
-    # PRESENCE flipping between the checkpoint and current states (insert
-    # +1 / delete -1; updates are 0) — so the view consumes a keys-only
-    # presence join, never the feed's before/after text payloads.  At the
-    # 10^10 scale the exchange carries 3 slim columns instead of 12.
-    def mark(t: pa.Table, prefix: str) -> pa.Table:
-        return pa.table({
-            "conv_id": t.column("conv_id"),
-            "turn_idx": t.column("turn_idx"),
-            f"__{prefix}": pa.array(np.ones(t.num_rows, np.int8))})
-
-    a = final_state(pre_cfg, sort=False).map_batches(
-        lambda t: mark(t, "before"), batch_format="pyarrow")
-    b = final_state(src, sort=False).map_batches(
-        lambda t: mark(t, "after"), batch_format="pyarrow")
-    j = hash_join(a, b, on=["conv_id", "turn_idx"], how="outer")
+    # delta projection pushdown, now with ZERO exchange: a COUNT view's
+    # deltas depend only on key PRESENCE flipping between the checkpoint
+    # and current states (insert +1 / delete -1; updates are 0), and the
+    # two states are same-layout lakes — so the deltas come from the
+    # co-partitioned presence-only diff (feed.diff_lakes(payload_cols=()):
+    # one local outer join per partition, nothing shuffled, no payload
+    # read into the comparison).  At 10^10 scale only the ±1 partials
+    # move.
+    from migration_pair_ray.pipelines.feed import diff_lakes
 
     def feed_partial(t: pa.Table) -> pa.Table:
-        in_a = pc.is_valid(t.column("__before")).to_numpy(
-            zero_copy_only=False)
-        in_b = pc.is_valid(t.column("__after")).to_numpy(
-            zero_copy_only=False)
-        d = in_b.astype(np.int64) - in_a.astype(np.int64)
-        keep = d != 0
-        return (pa.table({"conv_id": t.column("conv_id").filter(
-                              pa.array(keep)),
-                          "d": pa.array(d[keep])})
+        ch = np.asarray(t.column("change").to_pandas(), dtype=object)
+        d = np.where(ch == "insert", 1, -1).astype(np.int64)
+        return (pa.table({"conv_id": t.column("conv_id"),
+                          "d": pa.array(d)})
                 .group_by("conv_id").aggregate([("d", "sum")])
                 .rename_columns(["conv_id", "delta"]))
 
     base = final_state(pre_cfg, sort=False).map_batches(
         base_partial, batch_format="pyarrow")
-    deltas = j.map_batches(feed_partial, batch_format="pyarrow")
+    deltas = (diff_lakes(pre_cfg, src, payload_cols=())
+              .map_batches(feed_partial, batch_format="pyarrow"))
     out = (base.union(deltas)
            .groupby("conv_id").aggregate(Sum("delta", alias_name="n_turns")))
     return (out.map_batches(
