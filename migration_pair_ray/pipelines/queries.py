@@ -556,13 +556,21 @@ def cdc_tombstone_keys(sf_dir: str):
 def conv_transcripts(sf_dir: str):
     """Transcript assembly: the LWW-merged final state rolled up to ONE
     row per conversation — every surviving turn rendered as ``role: text``
-    and joined in turn order (``stages/analytic.grouped_string_agg``), plus
-    the turn count.  The grouped-ordered-concat every transcript consumer
-    (training-corpus export, conversation-level filtering) needs, with
-    zero per-conversation dispatch."""
-    from migration_pair_ray.stages.analytic import grouped_string_agg
+    and joined in turn order, plus the turn count.  The grouped-ordered-
+    concat every transcript consumer (training-corpus export,
+    conversation-level filtering) needs, with zero per-conversation
+    dispatch.
+
+    Exchange discipline: on a conv-disjoint layout (``partition_mode=
+    "conv"``, splits included — children stay conv-routed) a partition
+    holds every turn of its conversations, so the assembly runs INSIDE
+    the per-partition read task (``read_lake(finalize=...)`` →
+    ``analytic.string_agg_table``) — **no shuffle**; the turn text never
+    moves except into its own transcript.  Salted layouts ("key"/"hot"
+    spread a conv's turns) fall back to the coarse-bucket
+    ``grouped_string_agg`` exchange."""
+    from migration_pair_ray.state.manifest import LakeMeta
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'role', 'text'])
 
     def mkline(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(t.column("role")),
@@ -574,9 +582,27 @@ def conv_transcripts(sf_dir: str):
                          "turn_idx": t.column("turn_idx"),
                          "line": line})
 
-    out = grouped_string_agg(
-        st.map_batches(mkline, batch_format="pyarrow"),
-        "conv_id", ["turn_idx"], "line", sep="\n", out_col="transcript")
+    meta = LakeMeta(cfg.lake_dir)
+    if (meta.read() or {}).get("partition_mode") == "conv":
+        from migration_pair_ray.functions.lww import finalize_visible
+        from migration_pair_ray.pipelines.replay import read_lake
+        from migration_pair_ray.stages.analytic import string_agg_table
+        kernel = meta.merge_kernel()
+
+        def assemble(t: pa.Table) -> pa.Table:
+            t = finalize_visible(t, kernel)
+            return string_agg_table(mkline(t), "conv_id", ["turn_idx"],
+                                    "line", sep="\n", out_col="transcript")
+
+        out = read_lake(cfg, finalize=assemble)
+    else:
+        from migration_pair_ray.stages.analytic import grouped_string_agg
+        st = final_state(cfg, sort=False,
+                         columns=["conv_id", "turn_idx", "role", "text"])
+        out = grouped_string_agg(
+            st.map_batches(mkline, batch_format="pyarrow"),
+            "conv_id", ["turn_idx"], "line", sep="\n",
+            out_col="transcript")
     return out.rename_columns(
         ["conv_id", "transcript", "n_turns"]).sort("conv_id")
 

@@ -143,27 +143,40 @@ def grouped_string_agg(ds: "ray.data.Dataset", key_col: str,
                  + [(c, "ascending") for c in order_cols])
 
     def join_bucket(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__b"])
-        kt = g.schema.field(key_col).type
-        if g.num_rows == 0:
-            return pa.table({key_col: pa.array([], kt),
-                             out_col: pa.array([], pa.large_string()),
-                             "n_rows": pa.array([], pa.int64())})
-        g = g.sort_by(sort_keys)
-        first = _group_first_mask_np(g, key_col)
-        starts = np.flatnonzero(first)
-        offsets = np.append(starts, g.num_rows).astype(np.int64)
-        flat = pc.cast(g.column(text_col).combine_chunks(),
-                       pa.large_string())
-        lists = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
-        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
-        return pa.table({
-            key_col: pc.take(g.column(key_col), pa.array(starts)),
-            out_col: joined,
-            "n_rows": pa.array(np.diff(offsets))})
+        return string_agg_table(g.drop_columns(["__b"]), key_col,
+                                order_cols, text_col, sep, out_col)
 
     return (_with_bucket(ds, key_col, n_coarse)
             .groupby("__b").map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def string_agg_table(g: pa.Table, key_col: str, order_cols: list[str],
+                     text_col: str, sep: str = "\n",
+                     out_col: str = "agg_text") -> pa.Table:
+    """The in-bucket kernel of ``grouped_string_agg`` as a reusable
+    table→table function: every row of a key must be present in ``g``.
+    Co-partitioned callers use it directly — a conv-disjoint lake
+    partition already IS a complete bucket, so transcript assembly there
+    needs no shuffle at all (one call per partition read task)."""
+    kt = g.schema.field(key_col).type
+    if g.num_rows == 0:
+        return pa.table({key_col: pa.array([], kt),
+                         out_col: pa.array([], pa.large_string()),
+                         "n_rows": pa.array([], pa.int64())})
+    sort_keys = ([(key_col, "ascending")]
+                 + [(c, "ascending") for c in order_cols])
+    g = g.sort_by(sort_keys)
+    first = _group_first_mask_np(g, key_col)
+    starts = np.flatnonzero(first)
+    offsets = np.append(starts, g.num_rows).astype(np.int64)
+    flat = pc.cast(g.column(text_col).combine_chunks(),
+                   pa.large_string())
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), flat)
+    joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+    return pa.table({
+        key_col: pc.take(g.column(key_col), pa.array(starts)),
+        out_col: joined,
+        "n_rows": pa.array(np.diff(offsets))})
 
 
 def _group_first_mask_np(g: pa.Table, key_col: str) -> np.ndarray:

@@ -254,3 +254,29 @@ def test_retention_cohorts_shuffle_is_user_weeks_not_events():
     assert shuffled <= 600, \
         f"retention exchange carries {shuffled} rows — raw events " \
         f"have crept into the shuffle"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_string_agg_table_equals_grouped_string_agg():
+    """string_agg_table (the co-partitioned per-table kernel behind the
+    shuffle-free transcript assembly) must produce exactly what the
+    coarse-bucket grouped_string_agg exchange produces on the same
+    complete input."""
+    import numpy as np
+    import ray.data as rd
+    from migration_pair_ray.stages.analytic import (grouped_string_agg,
+                                                    string_agg_table)
+    rng = np.random.default_rng(8)
+    n = 4000
+    t = pa.table({
+        "k": pa.array([f"c{i}" for i in rng.integers(0, 97, n)]),
+        "o": pa.array(rng.permutation(n).astype("int64")),
+        "txt": pa.array([f"line-{i}" for i in range(n)]),
+    })
+    local = (string_agg_table(t, "k", ["o"], "txt", sep="|").to_pandas()
+             .sort_values("k").reset_index(drop=True))
+    dist = (grouped_string_agg(rd.from_arrow(t), "k", ["o"], "txt",
+                               sep="|").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(local, dist)
+    assert (local["n_rows"].sum()) == n
