@@ -958,17 +958,11 @@ def diff_lakes(a: JobConfig, b: JobConfig,
     pids = sorted(set(la.active_partition_ids(a.num_partitions))
                   | set(lb.active_partition_ids(b.num_partitions)))
     plans = []
-    import pyarrow.parquet as pq
-    footers = []
     for pid in pids:
         mma, mmb = sa.read(pid), sb.read(pid)
         if mma is None and mmb is None:
             continue
         plans.append((pid, mma, mmb))
-        for m, cfgx in ((mma, a), (mmb, b)):
-            footers.extend(
-                pq.read_schema(str(Path(cfgx.lake_dir) / f))
-                for f in record_files(m))
     payload = tuple(payload_cols)
     if not plans:
         empty = pa.schema(
@@ -977,28 +971,40 @@ def diff_lakes(a: JobConfig, b: JobConfig,
             + [(f"{p}_{c}", CHANGE_SCHEMA.field(c).type)
                for p in ("before", "after") for c in payload])
         return rd.from_arrow(empty.empty_table())
-    schema = unify_change_schemas(footers) if footers else CHANGE_SCHEMA
 
     def _diff_pid(lake_a: str, mja: str | None, lake_b: str,
                   mjb: str | None) -> pa.Table:
+        # schema unification happens HERE, per pid, from the tables just
+        # read — the driver never does an O(total state files) serial
+        # footer sweep before the first task can start.  Output payload
+        # columns are cast to their canonical CHANGE_SCHEMA types below,
+        # so blocks align across partitions that evolved differently.
+        ta = read_state_table(lake_a, json.loads(mja) if mja else None,
+                              kernel=kernel)
+        tb = read_state_table(lake_b, json.loads(mjb) if mjb else None,
+                              kernel=kernel)
+        local = [t.schema for t in (ta, tb)
+                 if t is not None and t.num_rows]
+        schema = unify_change_schemas(local) if local else CHANGE_SCHEMA
         norm = make_normalizer(schema)
 
-        def side(lake: str, mj: str | None, prefix: str) -> pa.Table:
-            m = json.loads(mj) if mj else None
-            t = read_state_table(lake, m, kernel=kernel)
+        def side(t: pa.Table | None, prefix: str) -> pa.Table:
             if t is None or t.num_rows == 0:
                 t = schema.empty_table()
             t = finalize_visible(norm(t), kernel)
             cols = {"conv_id": t.column("conv_id"),
                     "turn_idx": t.column("turn_idx")}
             for c in payload:
-                cols[f"{prefix}_{c}"] = t.column(c)
+                col = t.column(c)
+                if c in CHANGE_SCHEMA.names:
+                    col = pc.cast(col, CHANGE_SCHEMA.field(c).type)
+                cols[f"{prefix}_{c}"] = col
             cols[f"__{prefix}"] = pa.array(
                 np.ones(t.num_rows, np.int8))
             return pa.table(cols)
 
-        va = side(lake_a, mja, "before")
-        vb = side(lake_b, mjb, "after")
+        va = side(ta, "before")
+        vb = side(tb, "after")
         j = va.join(vb, keys=["conv_id", "turn_idx"],
                     join_type="full outer")
 

@@ -1708,7 +1708,9 @@ def embed_knn_hnsw(sf_dir: str):
     st = os.stat(f"{sf_dir}/embeddings.parquet")
     index_dir = str(Path("/tmp/mpr_queries")
                     / f"hnsw-{Path(sf_dir).name}-{st.st_size}-{int(st.st_mtime)}")
-    if not Path(index_dir, "centroids.npy").exists():
+    # _meta.json is the build's commit marker (written LAST) — a crashed
+    # build is invisible and rebuilds here
+    if not Path(index_dir, "_meta.json").exists():
         shutil.rmtree(index_dir, ignore_errors=True)
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])

@@ -88,6 +88,19 @@ def word_gram_hashes(flat_tokens: pa.Array, offsets: np.ndarray, n: int,
 
 # ---------------------------------------------------------------- decontam
 
+def _gram_rows_batch(t: pa.Table, text_col: str, n: int) -> pa.Table:
+    """(gh, g) rows of a batch's word n-grams WITH materialized strings —
+    the one extraction both the broadcast store and the join-side
+    distillation use (bench side only: gram strings are bounded by the
+    eval set, never the corpus)."""
+    flat, offs = word_lists(t.column(text_col))
+    h, _, pos = word_gram_hashes(flat, offs, n)
+    toks = np.asarray(flat.to_pandas(), dtype=object)
+    strs = [" ".join(toks[p:p + n]) for p in pos]
+    return pa.table({"gh": pa.array(h, pa.uint64()),
+                     "g": pa.array(strs, pa.string())})
+
+
 def benchmark_gram_store(bench: rd.Dataset, text_col: str = "text",
                          n: int = 8) -> "ray.ObjectRef":
     """Distill a (small) benchmark/eval dataset into a broadcastable gram
@@ -100,16 +113,9 @@ def benchmark_gram_store(bench: rd.Dataset, text_col: str = "text",
     scrubbing task reads it zero-copy from the object store.
     """
 
-    def grams(t: pa.Table) -> pa.Table:
-        flat, offs = word_lists(t.column(text_col))
-        h, _, pos = word_gram_hashes(flat, offs, n)
-        toks = np.asarray(flat.to_pandas(), dtype=object)
-        # bench side only: materialize gram strings (bounded small)
-        strs = [" ".join(toks[p:p + n]) for p in pos]
-        return pa.table({"gh": pa.array(h, pa.uint64()),
-                         "g": pa.array(strs, pa.string())})
-
-    parts = bench.map_batches(grams, batch_format="pyarrow").to_pandas()
+    parts = bench.map_batches(
+        lambda t: _gram_rows_batch(t, text_col, n),
+        batch_format="pyarrow").to_pandas()
     hashes = np.unique(parts["gh"].to_numpy(dtype=np.uint64))
     return ray.put({"hashes": hashes, "strings": frozenset(parts["g"])})
 
@@ -177,18 +183,11 @@ def bench_gram_rows(bench: rd.Dataset, text_col: str = "text",
     the join-side twin of ``benchmark_gram_store`` (nothing funnels to
     the driver; dedup is one gram-sized groupby)."""
 
-    def grams(t: pa.Table) -> pa.Table:
-        flat, offs = word_lists(t.column(text_col))
-        h, _, pos = word_gram_hashes(flat, offs, n)
-        toks = np.asarray(flat.to_pandas(), dtype=object)
-        strs = [" ".join(toks[p:p + n]) for p in pos]
-        return pa.table({"gh": pa.array(h, pa.uint64()),
-                         "g": pa.array(strs, pa.string())})
-
     def first(g: pa.Table) -> pa.Table:
         return g.slice(0, 1)
 
-    return (bench.map_batches(grams, batch_format="pyarrow")
+    return (bench.map_batches(lambda t: _gram_rows_batch(t, text_col, n),
+                              batch_format="pyarrow")
             .groupby(["gh", "g"]).map_groups(first, batch_format="pyarrow"))
 
 
@@ -727,6 +726,15 @@ def build_tfidf_index(docs: rd.Dataset, index_dir: str,
     from migration_pair_ray.state.manifest import _atomic_write
     from migration_pair_ray.stages.partition import hash_strings
 
+    # the bucket count is a LAYOUT property of the index, fixed at first
+    # build: an append under a different modulus would hash its terms
+    # into buckets the reader never scans (silent vocabulary loss) — so
+    # an existing _meta.json's num_buckets always wins, like
+    # exact_dedup_incremental reading its index's recorded layout
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        num_buckets = int(json.loads(open(meta_path).read())["num_buckets"])
+
     n_docs = docs.count()
     df = doc_freq(docs, text_col=text_col)
 
@@ -752,7 +760,6 @@ def build_tfidf_index(docs: rd.Dataset, index_dir: str,
             .groupby("__b").map_groups(write_bucket, batch_format="pyarrow")
             .take_all())
     total = int(sum(r["n"] for r in rows))
-    meta_path = os.path.join(index_dir, "_meta.json")
     meta = {"num_buckets": num_buckets, "tags": {}}
     if os.path.exists(meta_path):
         meta = json.loads(open(meta_path).read())

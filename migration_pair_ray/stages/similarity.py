@@ -273,8 +273,21 @@ def embedding_dedup(ds: "ray.data.Dataset", threshold: float = 0.98,
     golden = np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF)
 
     if verify == "auto":
-        first = ds.take(1)
-        dim0 = len(first[0][vec_col]) if first else 0
+        # estimate rows × dim × 4 B.  dim comes from the schema when the
+        # column is fixed-size (free); otherwise one take(1).  count()
+        # is metadata-cheap on file-backed datasets but EXECUTES a
+        # computed pipeline once — callers with an expensive upstream
+        # should pass verify explicitly (or materialize first).
+        dim0 = None
+        try:
+            ft = dict(zip(ds.schema().names, ds.schema().types))[vec_col]
+            if isinstance(ft, pa.DataType) and pa.types.is_fixed_size_list(ft):
+                dim0 = ft.list_size
+        except Exception:
+            pass
+        if dim0 is None:
+            first = ds.take(1)
+            dim0 = len(first[0][vec_col]) if first else 0
         est = ds.count() * dim0 * 4
         verify = ("broadcast" if est <= broadcast_ceiling_bytes
                   else "shuffle")
@@ -550,8 +563,8 @@ class _HNSW:
                 layers.append(lyr)
                 flat_nbrs.extend(lst)
                 nbr_offsets.append(len(flat_nbrs))
-        adj = pa.ListArray.from_arrays(
-            pa.array(nbr_offsets, pa.int32()),
+        adj = pa.LargeListArray.from_arrays(
+            pa.array(nbr_offsets, pa.int64()),
             pa.array(flat_nbrs, pa.int32()))
         meta = {"entry": str(self.entry), "max_level": str(self.max_level),
                 "m": str(self.m), "ef_c": str(self.ef_c),
@@ -560,13 +573,15 @@ class _HNSW:
                 "rng_draws": str(len(self.ids))}
         # vec is a VARIABLE list column (empty on adjacency rows):
         # Parquet does not round-trip null fixed-size-list slots
+        # int64 offsets: a bucket at n_nodes*dim > 2^31-1 floats (e.g.
+        # ~2.8M vectors at dim 768) must serialize, not overflow
         n_nodes = len(self.ids)
-        vec = pa.ListArray.from_arrays(
+        vec = pa.LargeListArray.from_arrays(
             pa.array(np.arange(n_nodes + 1, dtype=np.int64) * self.dim,
-                     pa.int32()),
+                     pa.int64()),
             pa.array(self.vecs.reshape(-1), pa.float32()))
-        empty_vec = pa.ListArray.from_arrays(
-            pa.array(np.zeros(len(nodes) + 1, dtype=np.int64), pa.int32()),
+        empty_vec = pa.LargeListArray.from_arrays(
+            pa.array(np.zeros(len(nodes) + 1, dtype=np.int64), pa.int64()),
             pa.array([], pa.float32()))
         nodes_t = pa.table({
             "kind": pa.array(["node"] * n_nodes, pa.string()),
@@ -574,8 +589,8 @@ class _HNSW:
             "layer": pa.array(self.levels, pa.int32()),
             "ext_id": pa.array(self.ids, pa.int64()),
             "vec": vec,
-            "nbrs": pa.ListArray.from_arrays(
-                pa.array(np.zeros(n_nodes + 1, dtype=np.int64), pa.int32()),
+            "nbrs": pa.LargeListArray.from_arrays(
+                pa.array(np.zeros(n_nodes + 1, dtype=np.int64), pa.int64()),
                 pa.array([], pa.int32())),
         })
         adj_t = pa.table({
@@ -617,6 +632,35 @@ class _HNSW:
         return g
 
 
+def _centroid_assign(batch: pa.Table, cent: np.ndarray, vec_col: str,
+                     id_col: str) -> pa.Table:
+    """(id, vec, bucket) rows under a fixed centroid set — the one
+    assignment used by both hnsw_build and hnsw_append (a drifted copy
+    would route appends into different buckets than the build)."""
+    mm = _l2_normalize(_batch_matrix(batch, vec_col))
+    b = (mm @ cent.T).argmax(axis=1).astype(np.int32)
+    return pa.table({id_col: batch.column(id_col),
+                     vec_col: batch.column(vec_col),
+                     "bucket": pa.array(b)})
+
+
+def _hnsw_meta_path(index_dir: str) -> str:
+    import os
+    return os.path.join(index_dir, "_meta.json")
+
+
+def _hnsw_meta(index_dir: str) -> dict:
+    import json
+    import os
+    path = _hnsw_meta_path(index_dir)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} missing: the HNSW index at {index_dir} was never "
+            f"committed (a crashed build is invisible by design — re-run "
+            f"hnsw_build)")
+    return json.loads(open(path).read())
+
+
 def _bucket_graph_path(index_dir: str, b: int) -> str:
     import os
     return os.path.join(index_dir, f"bucket={b}", "graph.parquet")
@@ -630,21 +674,23 @@ def hnsw_build(ds: "ray.data.Dataset", index_dir: str, n_clusters: int = 8,
     (centroids from a sample, saved alongside) + one self-contained HNSW
     graph file per bucket, built by one Ray task per bucket (insertion
     order = ascending id → deterministic bytes; atomic tmp+rename).
-    Returns total vectors indexed."""
+    Crash-visibility follows the repo's index discipline
+    (build_fingerprint_index / build_gram_index): ``_meta.json`` — which
+    also records the m/ef_construction the graphs were built with, so
+    appends into fresh buckets use the SAME parameters — commits LAST; a
+    killed build leaves no meta and probe/append refuse instead of
+    silently serving an index with missing buckets.  Returns total
+    vectors indexed."""
+    import json
     import os
+    from migration_pair_ray.state.manifest import _atomic_write
     sample = [r[vec_col] for r in ds.take(sample_size)]
     cent = kmeans_centroids(np.asarray(sample), n_clusters, seed=seed)
     os.makedirs(index_dir, exist_ok=True)
-    np.save(os.path.join(index_dir, "centroids.npy"), cent)
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(ref)
-        mm = _l2_normalize(_batch_matrix(batch, vec_col))
-        b = (mm @ c.T).argmax(axis=1).astype(np.int32)
-        return pa.table({id_col: batch.column(id_col),
-                         vec_col: batch.column(vec_col),
-                         "bucket": pa.array(b)})
+        return _centroid_assign(batch, ray.get(ref), vec_col, id_col)
 
     def build_bucket(g: pa.Table) -> pa.Table:
         import os
@@ -670,7 +716,15 @@ def hnsw_build(ds: "ray.data.Dataset", index_dir: str, n_clusters: int = 8,
             .groupby("bucket").map_groups(build_bucket,
                                           batch_format="pyarrow")
             .take_all())
-    return int(sum(r["rows"] for r in rows))
+    total = int(sum(r["rows"] for r in rows))
+    cpath = os.path.join(index_dir, "centroids.npy")
+    np.save(cpath + f".tmp.{os.getpid()}.npy", cent)
+    os.replace(cpath + f".tmp.{os.getpid()}.npy", cpath)
+    _atomic_write(_hnsw_meta_path(index_dir),
+                  json.dumps({"n_clusters": n_clusters, "m": m,
+                              "ef_construction": ef_construction,
+                              "seed": seed, "built": total}).encode())
+    return total
 
 
 def hnsw_append(ds: "ray.data.Dataset", index_dir: str,
@@ -680,18 +734,17 @@ def hnsw_append(ds: "ray.data.Dataset", index_dir: str,
     INSERT them into that bucket's existing graph (one Ray task per
     touched bucket; untouched buckets' files are byte-stable).  The
     centroids are fixed at build time — the same contract as
-    ``ivf_append``: appends follow the frozen coarse quantizer."""
+    ``ivf_append``: appends follow the frozen coarse quantizer.
+    Refuses an uncommitted index (no ``_meta.json``); a bucket that was
+    EMPTY at build time gets a fresh graph with the meta-recorded
+    m/ef_construction, never hardcoded defaults."""
     import os
+    meta = _hnsw_meta(index_dir)
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(ref)
-        mm = _l2_normalize(_batch_matrix(batch, vec_col))
-        b = (mm @ c.T).argmax(axis=1).astype(np.int32)
-        return pa.table({id_col: batch.column(id_col),
-                         vec_col: batch.column(vec_col),
-                         "bucket": pa.array(b)})
+        return _centroid_assign(batch, ray.get(ref), vec_col, id_col)
 
     def extend_bucket(g: pa.Table) -> pa.Table:
         import os
@@ -704,7 +757,9 @@ def hnsw_append(ds: "ray.data.Dataset", index_dir: str,
             graph = _HNSW.from_table(pq.read_table(path), seed=seed + b)
         else:
             mm0 = _l2_normalize(_batch_matrix(g.slice(0, 1), vec_col))
-            graph = _HNSW(mm0.shape[1], seed=seed + b)
+            graph = _HNSW(mm0.shape[1], m=int(meta["m"]),
+                          ef_construction=int(meta["ef_construction"]),
+                          seed=seed + b)
         g = g.sort_by([(id_col, "ascending")])
         mm = _l2_normalize(_batch_matrix(g, vec_col))
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
@@ -739,6 +794,7 @@ def hnsw_probe(index_dir: str, queries: np.ndarray, k: int = 10,
     contract as ``ivf_probe``/``brute_force_topk``: (query_id, id, cos)
     ordered by (query_id, -cos, id)."""
     import os
+    _hnsw_meta(index_dir)      # refuse an uncommitted (crashed) build
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     qn = _l2_normalize(np.asarray(queries, dtype=np.float32))
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]   # (nq, p)

@@ -138,14 +138,16 @@ def tail_lag(cfg: JobConfig) -> dict:
     log but not yet committed by any pass, and their event count (one
     footer read per pending file — no data reads).  Zero lag = the lake
     is caught up with its log; a monitoring loop alerts when
-    ``pending_events`` stays above a bound across polls."""
-    import os
+    ``pending_events`` stays above a bound across polls.
+
+    Uses ``discover(changelog_dir, checkpoint_dir)`` — the SAME
+    committed-file subtraction replay itself resumes from (including the
+    append-only size check and the name-prefix rules that keep bulk /
+    multi-source pass entries from masking changelog files) — so the lag
+    is exactly the work the next replay would do."""
     import pyarrow.parquet as _pq
     from migration_pair_ray.sources.changelog import discover
-    from migration_pair_ray.state.manifest import CheckpointStore
-    done = CheckpointStore(cfg.checkpoint_dir).committed_files()
-    pending = [f for f in discover(cfg.changelog_dir)
-               if os.path.basename(f) not in done]
+    pending = discover(cfg.changelog_dir, cfg.checkpoint_dir)
     return {"pending_files": len(pending),
             "pending_events": sum(_pq.ParquetFile(f).metadata.num_rows
                                   for f in pending)}

@@ -319,8 +319,11 @@ def test_tfidf_join_equals_broadcast_and_auto_flips(tmp_path):
     pd.testing.assert_frame_equal(got_disk, want, check_dtype=False)
 
     # incremental: indexing the corpus again under a new tag doubles
-    # every df and n_docs — segments sum at read time, idempotently
-    build_tfidf_index(ds, idx, tag="batch2")
+    # every df and n_docs — segments sum at read time, idempotently.
+    # A conflicting num_buckets on the append is IGNORED in favor of the
+    # index's recorded layout (a different modulus would hash the new
+    # terms into buckets the reader never scans)
+    build_tfidf_index(ds, idx, tag="batch2", num_buckets=128)
     df2, n2 = read_tfidf_index(idx)
     assert n2 == 2 * n
     d1 = df_ds.to_pandas().set_index("term")["df"]

@@ -311,3 +311,35 @@ def test_embedding_dedup_shuffle_equals_broadcast():
     assert auto_small == auto_big == b
     # the planted copies were dropped (min-id survives)
     assert not any(v >= 100000 for v in b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hnsw_crashed_build_is_invisible(tmp_path):
+    """_meta.json is the build's commit marker (written LAST): without it
+    probe/append refuse, so a killed build can never serve an index with
+    silently missing bucket graphs; append into a bucket empty at build
+    time uses the meta-recorded m/ef, not defaults."""
+    import os
+    from migration_pair_ray.stages.similarity import (hnsw_append,
+                                                      hnsw_build,
+                                                      hnsw_probe)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ds = ray.data.from_pandas(emb.head(100))
+    idx = str(tmp_path / "hnsw")
+    hnsw_build(ds, idx, n_clusters=4, m=8, ef_construction=40)
+    q = np.stack(emb["embedding"].iloc[:2].to_numpy())
+    assert len(hnsw_probe(idx, q, k=5, n_probe=4).to_pylist()) > 0
+
+    os.remove(os.path.join(idx, "_meta.json"))     # simulate crashed build
+    with pytest.raises(FileNotFoundError, match="never.*committed"):
+        hnsw_probe(idx, q, k=5, n_probe=4)
+    with pytest.raises(FileNotFoundError, match="never.*committed"):
+        hnsw_append(ray.data.from_pandas(emb.tail(50)), idx)
+
+    # rebuilt index commits again and appends carry the build's m/ef
+    hnsw_build(ds, idx, n_clusters=4, m=8, ef_construction=40)
+    import json
+    meta = json.loads(open(os.path.join(idx, "_meta.json")).read())
+    assert meta["m"] == 8 and meta["ef_construction"] == 40
+    assert hnsw_append(ray.data.from_pandas(
+        emb.tail(50).reset_index(drop=True)), idx) == 50
