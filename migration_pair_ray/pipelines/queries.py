@@ -553,6 +553,27 @@ def cdc_tombstone_keys(sf_dir: str):
 
 
 @_push_heavy
+def _conv_local(cfg: JobConfig, table_fn):
+    """Run a per-conversation table→table operator INSIDE each partition
+    read task when the lake layout is conv-disjoint — the co-partitioned
+    fast path shared by the conversation-grain queries: a conv-mode
+    partition (splits included — children stay conv-routed) holds every
+    visible row of its conversations, so any per-conv grouped operator is
+    complete per partition and needs no exchange.  ``table_fn`` receives
+    the partition's VISIBLE table.  Returns None on salted layouts
+    ("key"/"hot" spread a conv's rows) — callers fall back to their
+    coarse-bucket exchange path."""
+    from migration_pair_ray.state.manifest import LakeMeta
+    meta = LakeMeta(cfg.lake_dir)
+    if (meta.read() or {}).get("partition_mode") != "conv":
+        return None
+    from migration_pair_ray.functions.lww import finalize_visible
+    from migration_pair_ray.pipelines.replay import read_lake
+    kernel = meta.merge_kernel()
+    return read_lake(cfg, finalize=lambda t: table_fn(
+        finalize_visible(t, kernel)))
+
+
 def conv_transcripts(sf_dir: str):
     """Transcript assembly: the LWW-merged final state rolled up to ONE
     row per conversation — every surviving turn rendered as ``role: text``
@@ -569,7 +590,6 @@ def conv_transcripts(sf_dir: str):
     moves except into its own transcript.  Salted layouts ("key"/"hot"
     spread a conv's turns) fall back to the coarse-bucket
     ``grouped_string_agg`` exchange."""
-    from migration_pair_ray.state.manifest import LakeMeta
     cfg = _events_lake(sf_dir)
 
     def mkline(t: pa.Table) -> pa.Table:
@@ -582,19 +602,12 @@ def conv_transcripts(sf_dir: str):
                          "turn_idx": t.column("turn_idx"),
                          "line": line})
 
-    meta = LakeMeta(cfg.lake_dir)
-    if (meta.read() or {}).get("partition_mode") == "conv":
-        from migration_pair_ray.functions.lww import finalize_visible
-        from migration_pair_ray.pipelines.replay import read_lake
-        from migration_pair_ray.stages.analytic import string_agg_table
-        kernel = meta.merge_kernel()
-
-        def assemble(t: pa.Table) -> pa.Table:
-            t = finalize_visible(t, kernel)
-            return string_agg_table(mkline(t), "conv_id", ["turn_idx"],
-                                    "line", sep="\n", out_col="transcript")
-
-        out = read_lake(cfg, finalize=assemble)
+    from migration_pair_ray.stages.analytic import string_agg_table
+    local = _conv_local(cfg, lambda t: string_agg_table(
+        mkline(t), "conv_id", ["turn_idx"], "line",
+        sep="\n", out_col="transcript"))
+    if local is not None:
+        out = local
     else:
         from migration_pair_ray.stages.analytic import grouped_string_agg
         st = final_state(cfg, sort=False,
@@ -2769,13 +2782,17 @@ def conv_context_windows(sf_dir: str, k: int = 8):
     conversation rendered as a single ``role: text`` context block in
     ascending turn order — the prompt-construction step an agent/training
     pipeline runs per conversation.  Composition of two vectorized
-    grouped operators over the LWW-merged state: ``grouped_top_n`` (per-key
-    top-k by turn_idx, coarse-bucketed, no global sort) feeding
-    ``grouped_string_agg`` (ordered concat, zero per-key dispatch)."""
+    grouped kernels over the LWW-merged state: per-key top-k by turn_idx
+    feeding the ordered concat — fused INSIDE each partition read task
+    on conv-disjoint layouts (``_conv_local``: top_n_table →
+    string_agg_table, zero exchange), or as the coarse-bucketed
+    ``grouped_top_n`` → ``grouped_string_agg`` pipeline on salted
+    layouts."""
     from migration_pair_ray.stages.analytic import (grouped_string_agg,
-                                                    grouped_top_n)
+                                                    grouped_top_n,
+                                                    string_agg_table,
+                                                    top_n_table)
     cfg = _events_lake(sf_dir)
-    st = final_state(cfg, sort=False, columns=['conv_id', 'turn_idx', 'role', 'text'])
 
     def mkline(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(t.column("role")),
@@ -2787,10 +2804,21 @@ def conv_context_windows(sf_dir: str, k: int = 8):
                          "turn_idx": t.column("turn_idx"),
                          "line": line})
 
-    last_k = grouped_top_n(st.map_batches(mkline, batch_format="pyarrow"),
-                           "conv_id", "turn_idx", n=k, descending=True)
-    out = grouped_string_agg(last_k, "conv_id", ["turn_idx"], "line",
-                             sep="\n", out_col="context")
+    def window_local(t: pa.Table) -> pa.Table:
+        last_k = top_n_table(mkline(t), "conv_id", "turn_idx", n=k,
+                             descending=True)
+        return string_agg_table(last_k, "conv_id", ["turn_idx"], "line",
+                                sep="\n", out_col="context")
+
+    out = _conv_local(cfg, window_local)
+    if out is None:
+        st = final_state(cfg, sort=False,
+                         columns=["conv_id", "turn_idx", "role", "text"])
+        last_k = grouped_top_n(
+            st.map_batches(mkline, batch_format="pyarrow"),
+            "conv_id", "turn_idx", n=k, descending=True)
+        out = grouped_string_agg(last_k, "conv_id", ["turn_idx"], "line",
+                                 sep="\n", out_col="context")
     return out.rename_columns(
         ["conv_id", "context", "n_context"]).sort("conv_id")
 

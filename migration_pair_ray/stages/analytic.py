@@ -58,23 +58,32 @@ def grouped_top_n(ds: "ray.data.Dataset", key_col: str, order_col: str,
     rows.
     """
     n_coarse = _default_coarse(n_coarse)
+
+    def topn_bucket(g: pa.Table) -> pa.Table:
+        return top_n_table(g.drop_columns(["__b"]), key_col, order_col, n,
+                           descending, tie_breakers)
+
+    return (_with_bucket(ds, key_col, n_coarse)
+            .groupby("__b").map_groups(topn_bucket, batch_format="pyarrow"))
+
+
+def top_n_table(g: pa.Table, key_col: str, order_col: str, n: int,
+                descending: bool = True,
+                tie_breakers: list[str] | None = None) -> pa.Table:
+    """The in-bucket kernel of ``grouped_top_n`` as a reusable
+    table→table function (every row of a key must be present) — the
+    co-partitioned building block, like ``string_agg_table``."""
     ties = tie_breakers or []
     sort_keys = ([(key_col, "ascending"),
                   (order_col, "descending" if descending else "ascending")]
                  + [(c, "ascending") for c in ties])
-
-    def topn_bucket(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__b"])
-        if g.num_rows == 0:
-            return g.append_column("rank", pa.array([], pa.int64()))
-        g = g.sort_by(sort_keys)
-        _, pos = _key_segments(g, key_col)
-        keep = pos < n
-        return (g.filter(pa.array(keep))
-                .append_column("rank", pa.array(pos[keep])))
-
-    return (_with_bucket(ds, key_col, n_coarse)
-            .groupby("__b").map_groups(topn_bucket, batch_format="pyarrow"))
+    if g.num_rows == 0:
+        return g.append_column("rank", pa.array([], pa.int64()))
+    g = g.sort_by(sort_keys)
+    _, pos = _key_segments(g, key_col)
+    keep = pos < n
+    return (g.filter(pa.array(keep))
+            .append_column("rank", pa.array(pos[keep])))
 
 
 def running_aggregate(ds: "ray.data.Dataset", key_col: str, order_col: str,
